@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + shared derived views over the driver testdata
+  * (`TESTDATA.md`, `FIXTURES.md`).
+  *
+  * Every pack reads parquet through [[Tables.t]] so that filter/column
+  * pushdown reaches the scan uniformly; derived views (the hw5 `student`
+  * table, the hw3 wide-column `cells` table) are defined ONCE here, in both
+  * Spark and ANSI-SQL (DuckDB) form, so the oracle sees byte-identical
+  * derivations.
+  */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // --------------------------------------------------------------------------
+  // hw5 `student(id string, name string, age int, sex string)` view
+  // (reference: homework-5/README.md:82). Derived deterministically from
+  // `customer` with injected NULL id/name rows so three-valued-logic and
+  // null-safe EXCEPT semantics are observable (FIXTURES.md B4).
+  // --------------------------------------------------------------------------
+
+  def student(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+      when(col("c_custkey") % 37 === 0, lit(null))
+        .otherwise(col("c_custkey").cast("string")).as("id"),
+      when(col("c_custkey") % 41 === 0, lit(null))
+        .otherwise(col("c_name")).as("name"),
+      (lit(10) + col("c_custkey") % 50).cast("int").as("age"),
+      when(col("c_custkey") % 2 === 0, lit("m")).otherwise(lit("f")).as("sex"))
+
+  /** Same derivation as [[student]], as a DuckDB CTE body. */
+  val studentSql: String =
+    """SELECT
+      |  CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE CAST(c_custkey AS VARCHAR) END AS id,
+      |  CASE WHEN c_custkey % 41 = 0 THEN NULL ELSE c_name END AS name,
+      |  CAST(10 + c_custkey % 50 AS INT) AS age,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'm' ELSE 'f' END AS sex
+      |FROM customer""".stripMargin
+
+  /** Registers `student` as a temp view for literal spark.sql queries. */
+  def studentView(spark: SparkSession, dir: String): Unit =
+    student(spark, dir).createOrReplaceTempView("student")
+
+  // --------------------------------------------------------------------------
+  // hw3 wide-column `cells(rowkey, family, qualifier, value, version)` table
+  // (reference: homework-3/HBaseClient.java:83-120 — rowkey → CF → qualifier
+  // → value cells, with up-to-3 retained versions per cell). Derived from
+  // `orders`: each customer's orders become successive versions of the cells
+  // under rowkey "C<custkey>", so maxVersions(3) retention is observable.
+  // --------------------------------------------------------------------------
+
+  def cells(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val base = o.select(
+      concat(lit("C"), col("o_custkey").cast("string")).as("rowkey"),
+      col("o_orderkey").as("version"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+    base.select(col("rowkey"), lit("order").as("family"),
+        lit("status").as("qualifier"), col("o_orderstatus").as("value"),
+        col("version"))
+      .unionAll(base.select(col("rowkey"), lit("order").as("family"),
+        lit("totalprice").as("qualifier"),
+        floor(col("o_totalprice")).cast("string").as("value"), col("version")))
+      .unionAll(base.select(col("rowkey"), lit("info").as("family"),
+        lit("priority").as("qualifier"),
+        col("o_orderpriority").as("value"), col("version")))
+  }
+
+  /** Same derivation as [[cells]], as a DuckDB CTE body. */
+  val cellsSql: String =
+    """SELECT 'C' || CAST(o_custkey AS VARCHAR) AS rowkey, 'order' AS family,
+      |       'status' AS qualifier, o_orderstatus AS value, o_orderkey AS version
+      |FROM orders
+      |UNION ALL
+      |SELECT 'C' || CAST(o_custkey AS VARCHAR), 'order', 'totalprice',
+      |       CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), o_orderkey
+      |FROM orders
+      |UNION ALL
+      |SELECT 'C' || CAST(o_custkey AS VARCHAR), 'info', 'priority',
+      |       o_orderpriority, o_orderkey
+      |FROM orders""".stripMargin
+}

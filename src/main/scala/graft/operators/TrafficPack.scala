@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** hw1 pack — Hadoop-MapReduce batch aggregation re-expressed as a Spark
+  * group-by.
+  *
+  * Reference semantics (homework-1/src/main/java/.../MyMapper.java:23-31 +
+  * MyReduce.java:21-31): per record key, three parallel sums — sum(up),
+  * sum(down), sum(up+down). Here the record key is `l_orderkey` and the two
+  * metrics are `l_quantity` / `l_extendedprice`; the map-side combine the old
+  * `mapred` API got from its combiner is Spark's partial HashAggregate, and
+  * the shuffle-by-key is the Exchange under it.
+  */
+object TrafficPack extends QueryPack {
+
+  /** Per-key 3-way sum rollup (MyReduce.java:23-30 shape). */
+  def trafficRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_up"),
+        round(sum(col("l_extendedprice")), 2).as("sum_down"),
+        round(sum(col("l_quantity") + col("l_extendedprice")), 2).as("sum_total"))
+      .orderBy(col("l_orderkey"))
+
+  /** Global rollup across all keys (the classic total-traffic footer). */
+  def trafficTotal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_up"),
+        round(sum(col("l_extendedprice")), 2).as("sum_down"))
+
+  val queries = Map(
+    "q01_traffic_rollup" -> trafficRollup _,
+    "q02_traffic_total" -> trafficTotal _)
+
+  val oracle = Map(
+    "q01_traffic_rollup" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_quantity), 2) AS sum_up,
+        |  round(sum(l_extendedprice), 2) AS sum_down,
+        |  round(sum(l_quantity + l_extendedprice), 2) AS sum_total
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q02_traffic_total" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_up,
+        |  round(sum(l_extendedprice), 2) AS sum_down
+        |FROM lineitem""".stripMargin)
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Registers each parquet table from sfDir under its bare name, runs each SQL in
+<verifyOutDir>/oracle_sql.json, and compares against the Spark parquet dump in
+<verifyOutDir>/<name>/. Compare = sort columns by name, then hash every value
+row-by-row (strict), plus a row-order-insensitive fallback diagnostic.
+
+Builder-side validation tool only — NOT part of the shipped library.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = Path(out_dir) / name
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+            ).fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs "
+                  f"{list(want.columns)}")
+            n_fail += 1
+            continue
+        g_rows = [tuple(canon(v) for v in r)
+                  for r in got.itertuples(index=False)]
+        w_rows = [tuple(canon(v) for v in r)
+                  for r in want.itertuples(index=False)]
+        if g_rows == w_rows:
+            print(f"PASS {name} ({len(g_rows)} rows)")
+            n_pass += 1
+        elif sorted(g_rows) == sorted(w_rows):
+            print(f"WARN {name}: values match but row ORDER differs")
+            n_fail += 1
+        else:
+            only_g = set(g_rows) - set(w_rows)
+            only_w = set(w_rows) - set(g_rows)
+            print(f"FAIL {name}: {len(g_rows)} vs {len(w_rows)} rows; "
+                  f"spark-only={list(only_g)[:2]} oracle-only={list(only_w)[:2]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
