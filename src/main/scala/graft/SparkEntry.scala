@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    TrafficPack)
+    TrafficPack,
+    RelationalPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,6 +17,24 @@ import graft.Tables.t
   */
 object TrafficPack extends QueryPack {
 
+  /** Literal hw1 pipeline: TSV lines → (key, up, down) by position → per-key
+    * sums. Positions mirror MyMapper.java:23-29 (field 1 = key, fields 7/8 =
+    * up/down flow); output shape mirrors MyReduce.java:30 (key, up, down,
+    * total). Schema applied at read so the parse is pushed into the scan.
+    */
+  def tsvTraffic(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .select(
+        col("_c1").as("phone"),
+        col("_c7").cast("long").as("up"),
+        col("_c8").cast("long").as("down"))
+      .groupBy(col("phone"))
+      .agg(
+        sum(col("up")).as("sum_up"),
+        sum(col("down")).as("sum_down"),
+        sum(col("up") + col("down")).as("sum_total"))
+      .orderBy(col("phone"))
+
   /** Per-key 3-way sum rollup (MyReduce.java:23-30 shape). */
   def trafficRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")

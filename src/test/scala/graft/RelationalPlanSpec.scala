@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalPack
+
+/** Faithful re-test of the reference's manual optimizer observations
+  * (homework-5/README.md plan-change logs) as plan-shape assertions.
+  * Matches on node TYPES, not rule names — Spark 4 here vs 3.1.2 there
+  * (SURVEY.md §7.3).
+  */
+class RelationalPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def prep(): Unit = Tables.studentView(spark, SparkTestSession.sfDir)
+
+  test("Q1: id <> null collapses the whole query to an empty LocalRelation") {
+    prep()
+    val qe = spark.sql(RelationalPack.q1Sql).queryExecution
+    val opt = qe.optimizedPlan
+    assert(opt.isInstanceOf[LocalRelation], s"expected LocalRelation, got:\n$opt")
+    assert(opt.asInstanceOf[LocalRelation].data.isEmpty)
+    assert(spark.sql(RelationalPack.q1Sql).collect().isEmpty)
+  }
+
+  test("Q2: EXCEPT rewrites to a null-safe LeftAnti join over Aggregates") {
+    prep()
+    val opt = spark.sql(RelationalPack.q2Sql).queryExecution.optimizedPlan
+    val antiJoins = opt.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(antiJoins.nonEmpty, s"no LeftAnti join in:\n$opt")
+    // null-safe equality on both keys (README.md:400 `(id <=> id) AND (name <=> name)`)
+    assert(antiJoins.head.condition.get.sql.contains("<=>"))
+    // DISTINCT became an Aggregate (ReplaceDistinctWithAggregate)
+    assert(opt.collect { case a: Aggregate => a }.nonEmpty)
+  }
+
+  test("Q2: (100 - 10) is constant-folded to 90") {
+    prep()
+    val opt = spark.sql(RelationalPack.q2Sql).queryExecution.optimizedPlan
+    val s = opt.toString
+    assert(s.contains("90"), s)
+    assert(!s.contains("100 - 10") && !s.contains("(100 + -10)"), s)
+  }
+
+  test("nested filters merge into a single conjunctive Filter") {
+    prep()
+    val opt = spark.sql(
+      """select name, age from (select id, name, age from student where age > 18) t
+        |where age < 35""".stripMargin).queryExecution.optimizedPlan
+    val filters = opt.collect { case f: Filter => f }
+    assert(filters.size == 1, s"expected 1 merged Filter, got ${filters.size}:\n$opt")
+    assert(filters.head.condition.sql.toLowerCase.contains("and"))
+  }
+
+  test("column pruning reaches the parquet scan") {
+    prep()
+    val exec = spark.sql("select name from student where age > 18")
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("c_name"), exec)
+    assert(!exec.contains("c_acctbal"), s"unpruned scan:\n$exec")
+  }
+}
