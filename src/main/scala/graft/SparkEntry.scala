@@ -13,7 +13,10 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     TrafficPack,
-    RelationalPack)
+    RelationalPack,
+    JoinsPack,
+    AggPack,
+    WindowPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,6 +17,26 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `ts` normalized to a µs-precision TIMESTAMP.
+    *
+    * The parquet stores TIMESTAMP(NANOS), which Spark only reads as a raw
+    * nanosecond long under the legacy flag; we truncate ns→µs (matching what
+    * DuckDB's epoch_ms sees at ms granularity) and expose a real timestamp
+    * column so downstream window/bucketing code is type-clean.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Epoch milliseconds of a (possibly NTZ) timestamp column — the one
+    * timestamp representation that hash-compares cleanly against DuckDB's
+    * epoch_ms (FIXTURES.md caveats). Session TZ is pinned UTC.
+    */
+  def tsMillis(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_millis(c.cast("timestamp"))
+
   // --------------------------------------------------------------------------
   // hw5 `student(id string, name string, age int, sex string)` view
   // (reference: homework-5/README.md:82). Derived deterministically from

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{events, t, tsMillis}
+
+/** Window-function surface. The one reference-derived window semantic is the
+  * hw3 maxVersions(3) retention (HBaseClient.java:132-138 →
+  * row_number ≤ 3, implemented in WideColumnPack); this pack adds the
+  * standard ranking/offset/frame windows over orders/events (SURVEY.md §2.5).
+  * Timestamps are projected through unix_millis for oracle parity
+  * (FIXTURES.md caveats: events.ts is ns-precision parquet).
+  */
+object WindowPack extends QueryPack {
+
+  /** Top-3 most recent orders per customer — ranking window, the
+    * scale-friendly alternative to a global sort (partition-local heaps
+    * after one shuffle on o_custkey).
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        tsMillis(col("o_orderdate")).as("ts_ms"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** rank + dense_rank with real ties (o_totalprice duplicates). */
+  def rankOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** lag offset window: per-user delta of `value` between consecutive
+    * events. Raw doubles are safe to compare: the subtraction is a single
+    * deterministic IEEE op on unmodified parquet values.
+    */
+  def lagDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        (col("value") - col("prev_value")).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Running (cumulative) sum frame — rows between unbounded preceding and
+    * current row. Same addition sequence in both engines → bit-identical.
+    */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("running_value", sum(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val queries = Map(
+    "q36_window_topn" -> topOrdersPerCustomer _,
+    "q37_window_rank" -> rankOrders _,
+    "q38_window_lag" -> lagDeltas _,
+    "q39_window_running" -> runningSum _)
+
+  val oracle = Map(
+    "q36_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, epoch_ms(o_orderdate) AS ts_ms FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q37_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+        |  FROM orders) t
+        |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "q38_window_lag" ->
+      """SELECT user_id, event_id, value - prev_value AS delta FROM (
+        |  SELECT user_id, event_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events) t
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q39_window_running" ->
+      """SELECT user_id, event_id,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AggPack, JoinsPack}
+
+class AggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sfDir
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val exact = AggPack.countDistincts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = AggPack.approxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: exact=$ex approx=$ap")
+    }
+  }
+
+  test("topk limit plans as TakeOrderedAndProject, not a global sort") {
+    val plan = AggPack.topkOrders(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("broadcast hint produces BroadcastHashJoin for dim joins") {
+    val plan = JoinsPack.joinBroadcast(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("except/intersect rewrite to anti/semi joins") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val ex = JoinsPack.exceptKeys(spark, dir).queryExecution.optimizedPlan
+    assert(ex.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty)
+    val in = JoinsPack.intersectKeys(spark, dir).queryExecution.optimizedPlan
+    assert(in.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty)
+  }
+}
