@@ -16,7 +16,10 @@ object SparkEntry {
     RelationalPack,
     JoinsPack,
     AggPack,
-    WindowPack)
+    WindowPack,
+    InvertedIndexPack,
+    WideColumnPack,
+    LookupPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

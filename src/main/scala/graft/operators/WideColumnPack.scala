@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** hw3 pack — HBase wide-column semantics over a long-format cells table.
+  *
+  * Reference (homework-3/.../HBaseClient.java): a `student` table with three
+  * column families and maxVersions=3 (:122-144), point Puts (:83-120), a
+  * Get/Scan read path iterating family → qualifier → value maps (:63-80),
+  * a PrefixFilter scan (:65-66) and setReversed(true) (:67).
+  *
+  * Spark model (SURVEY.md §1.3): `cells(rowkey, family, qualifier, value,
+  * version)` long format (Tables.cells, derived from orders so multiple
+  * versions per cell exist). maxVersions retention = ranking window;
+  * prefix scan = startswith (pushed to the scan as a range predicate);
+  * reversed scan = descending sort; the typed view = latest-version pivot.
+  */
+object WideColumnPack extends QueryPack {
+
+  private val verWin =
+    Window.partitionBy(col("rowkey"), col("family"), col("qualifier"))
+      .orderBy(col("version").desc)
+
+  /** Prefix + reversed scan with maxVersions(3) retention — the literal
+    * hw3 scan (PrefixFilter("G202005790") + setReversed + 3 versions).
+    */
+  def prefixScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.cells(spark, dir)
+      .filter(col("rowkey").startsWith("C10"))
+      .withColumn("rn", row_number().over(verWin))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("rowkey").desc, col("family"), col("qualifier"),
+        col("version").desc)
+
+  /** Point Get by rowkey (HBaseClient.java:71-80): all retained cell
+    * versions of one row, family-major like the reference's map iteration.
+    */
+  def pointGet(spark: SparkSession, dir: String): DataFrame =
+    Tables.cells(spark, dir)
+      .filter(col("rowkey") === "C421")
+      .withColumn("rn", row_number().over(verWin))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("family"), col("qualifier"), col("version").desc)
+
+  /** Latest-version pivot to a typed row view — `getNoVersionMap` shape
+    * (family→qualifier→newest value) as columns.
+    */
+  def latestPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.cells(spark, dir)
+      .withColumn("rn", row_number().over(verWin))
+      .filter(col("rn") === 1)
+      .groupBy(col("rowkey"))
+      .agg(
+        max(when(col("family") === "order" && col("qualifier") === "status",
+          col("value"))).as("status"),
+        max(when(col("family") === "order" && col("qualifier") === "totalprice",
+          col("value"))).as("totalprice"),
+        max(when(col("family") === "info" && col("qualifier") === "priority",
+          col("value"))).as("priority"))
+      .orderBy(col("rowkey"))
+
+  val queries = Map(
+    "q45_widecol_prefix_scan" -> prefixScan _,
+    "q46_widecol_point_get" -> pointGet _,
+    "q47_widecol_latest_pivot" -> latestPivot _)
+
+  private def withCells(body: String): String =
+    s"WITH cells AS (\n${Tables.cellsSql}\n)\n$body"
+
+  val oracle = Map(
+    "q45_widecol_prefix_scan" -> withCells(
+      """SELECT rowkey, family, qualifier, value, version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                               ORDER BY version DESC) AS rn
+        |  FROM cells WHERE rowkey LIKE 'C10%') t
+        |WHERE rn <= 3
+        |ORDER BY rowkey DESC, family, qualifier, version DESC""".stripMargin),
+    "q46_widecol_point_get" -> withCells(
+      """SELECT rowkey, family, qualifier, value, version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                               ORDER BY version DESC) AS rn
+        |  FROM cells WHERE rowkey = 'C421') t
+        |WHERE rn <= 3 ORDER BY family, qualifier, version DESC""".stripMargin),
+    "q47_widecol_latest_pivot" -> withCells(
+      """SELECT rowkey,
+        |  max(CASE WHEN family = 'order' AND qualifier = 'status' THEN value END) AS status,
+        |  max(CASE WHEN family = 'order' AND qualifier = 'totalprice' THEN value END) AS totalprice,
+        |  max(CASE WHEN family = 'info' AND qualifier = 'priority' THEN value END) AS priority
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                               ORDER BY version DESC) AS rn
+        |  FROM cells) t
+        |WHERE rn = 1 GROUP BY rowkey ORDER BY rowkey""".stripMargin))
+}
