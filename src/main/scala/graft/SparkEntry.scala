@@ -19,7 +19,8 @@ object SparkEntry {
     WindowPack,
     InvertedIndexPack,
     WideColumnPack,
-    LookupPack)
+    LookupPack,
+    EventsPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

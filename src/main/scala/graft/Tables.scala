@@ -26,8 +26,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
+    // mantissa, so float division drifts by whole milliseconds.
     t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Epoch milliseconds of a (possibly NTZ) timestamp column — the one

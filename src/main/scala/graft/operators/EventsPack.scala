@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{events, tsMillis}
+
+/** Events/time pack — streaming-shaped capabilities as batch queries.
+  *
+  * The reference has zero streaming code (SURVEY.md §2.10), so tumbling/
+  * sliding windows, sessionization and JSON property extraction over the
+  * driver's `events` table are implemented as batch `window()`/window-
+  * function queries; the same transformations run unchanged on a
+  * `readStream` source (see graft.streaming.EventStreamJobs + its spec).
+  * All timestamps are exported as epoch milliseconds (tsMillis) — the one
+  * representation that hash-compares cleanly with DuckDB.
+  */
+object EventsPack extends QueryPack {
+
+  /** Tumbling 1-hour windows per event type — `window($"ts", "1 hour")`,
+    * epoch-aligned exactly like date_trunc('hour').
+    */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .select(tsMillis(col("window.start")).as("bucket_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+
+  /** Sliding windows: 1-hour duration, 30-minute slide — each event lands
+    * in two windows; Spark's window() generates them via Expand (no
+    * self-join, single shuffle).
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(tsMillis(col("window.start")).as("bucket_ms"), col("n"))
+      .orderBy(col("bucket_ms"))
+
+  /** Sessionization: a >30-minute silence starts a new session. Classic
+    * two-window formulation — lag to flag session starts, running sum to
+    * number them, then one aggregation per (user, session). Both shuffles
+    * hash on user_id, so AQE coalesces them into one exchange.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          tsMillis(col("ts")) - tsMillis(col("prev_ts")) > 30 * 60 * 1000).cast("int"))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        tsMillis(min(col("ts"))).as("start_ms"),
+        tsMillis(max(col("ts"))).as("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** JSON property extraction: `props` like {"k": 87} → typed int, then a
+    * small rollup — get_json_object is codegen'd, no UDF.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val queries = Map(
+    "q55_tumbling_window" -> tumbling _,
+    "q56_sliding_window" -> sliding _,
+    "q57_sessionize" -> sessionize _,
+    "q58_json_extract" -> jsonExtract _)
+
+  val oracle = Map(
+    "q55_tumbling_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+        |  count(*) AS n, round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "q56_sliding_window" ->
+      """SELECT bucket_ms, count(*) AS n FROM (
+        |  SELECT 1800000 * (epoch_ms(ts) // 1800000) - k * 1800000 AS bucket_ms
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets) t
+        |GROUP BY bucket_ms ORDER BY bucket_ms""".stripMargin,
+    "q57_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_ms(ts) - epoch_ms(prev_ts) > 30 * 60 * 1000 THEN 1 ELSE 0 END
+        |        AS new_session
+        |    FROM (SELECT user_id, event_id, ts,
+        |            lag(ts, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS prev_ts
+        |          FROM events) l) f) s
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q58_json_extract" ->
+      """SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

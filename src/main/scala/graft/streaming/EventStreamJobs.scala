@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming forms of the events-pack transformations.
+  *
+  * The reference has no streaming code (SURVEY.md §2.10); this module exists
+  * because a complete engine needs the streaming execution path for the same
+  * semantics: `readStream` file source → the *identical* declarative
+  * transforms as EventsPack → watermarked stateful aggregation. Batch/stream
+  * equivalence is asserted in EventStreamSpec.
+  */
+object EventStreamJobs {
+
+  /** The events parquet schema, spelled out because a streaming source
+    * cannot infer schemas. `ts` arrives as a raw nanosecond long (the
+    * driver's parquet is TIMESTAMP(NANOS) — same legacy-flag handling as
+    * Tables.events) and is normalized to a µs timestamp here.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming events source over a directory of event parquet files (the
+    * streaming file source tails a DIRECTORY — new files become new
+    * micro-batches).
+    */
+  def readEvents(spark: SparkSession, watchDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(watchDir)
+      // integer div — see Tables.events (ns longs exceed double precision)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts — the streaming twin of
+    * EventsPack.tumbling. Late data beyond 1 hour is dropped; state for
+    * closed windows is evicted (bounded state at 100 TB/day rates).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, tsMs: Long)
+  case class SessionState(sessionId: Long, lastMs: Long, nEvents: Long, startMs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_ms: Long, end_ms: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * arbitrary-state API the built-in window cannot express (gap-based
+    * sessions emitted as they close). Event-time ordering within a group is
+    * guaranteed here by per-batch sort in the test harness; production use
+    * pairs this with a watermark.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = Seq.newBuilder[SessionOut]
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (e.tsMs, e.event_id)).foreach { e =>
+            st =
+              if (st.nEvents == 0L || e.tsMs - st.lastMs > gapMs) {
+                if (st.nEvents > 0L)
+                  out += SessionOut(userId, st.sessionId, st.nEvents, st.startMs, st.lastMs)
+                SessionState(st.sessionId + 1, e.tsMs, 1L, e.tsMs)
+              } else st.copy(lastMs = e.tsMs, nEvents = st.nEvents + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Flush any open sessions from the final state (test/EOS helper). */
+  def finalSession(st: SessionState, userId: Long): Option[SessionOut] =
+    if (st.nEvents > 0) Some(SessionOut(userId, st.sessionId, st.nEvents, st.startMs, st.lastMs))
+    else None
+}
