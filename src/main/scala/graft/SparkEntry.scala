@@ -20,7 +20,11 @@ object SparkEntry {
     InvertedIndexPack,
     WideColumnPack,
     LookupPack,
-    EventsPack)
+    EventsPack,
+    TextPack,
+    DedupPack,
+    SimilarityPack,
+    MultimodalPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable column builders for the LLM-data-pipeline operators (dedup,
+  * similarity, text analysis). Everything here composes built-in codegen'd
+  * functions — higher-order array functions instead of UDFs — so the
+  * expressions stay inside whole-stage codegen and push through Catalyst
+  * untouched.
+  */
+package object functions {
+
+  /** Whitespace tokenization (the reference's split(" ") —
+    * homework-4/.../InvertedMain.scala:15).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles of a token array: the unit of near-dup
+    * comparison. `sequence` is empty when the doc is shorter than n.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+
+  /** k-hash MinHash signature of a shingle array. Hash i of shingle s is
+    * xxhash64(i, s) — one 64-bit hash family indexed by the position column,
+    * no UDF, fully codegen'd.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+
+  /** LSH band keys for a minhash signature: bands of `rowsPerBand` hashes,
+    * each band hashed to one bucket key. Docs sharing ANY band key are
+    * candidate pairs.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(b, concat_ws("_", slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
+          .as("bucket")))
+
+  /** 64-bit SimHash of a token array, as a 64-element ±count array (bit b
+    * set ⇔ element b > 0). Bit b of token t is the parity of xxhash64(b, t)
+    * — 64 independent hash functions, the random-projection formulation —
+    * which keeps everything in codegen'd built-ins (no variable bit shifts,
+    * which the Column DSL can't express).
+    */
+  def simhashBits(toks: Column): Column =
+    transform(sequence(lit(0), lit(63)),
+      b => aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(xxhash64(b, t).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+
+  /** Hamming distance between two simhash bit-sign arrays. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        when((x > 0) === (y > 0), 0).otherwise(1)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two float-array embeddings, computed in double
+    * with sequential accumulation (index order) — the exact op sequence
+    * DuckDB's list_cosine_similarity uses, for oracle parity.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / sqrt(na * nb)
+  }
+}

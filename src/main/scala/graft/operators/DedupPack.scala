@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions._
+
+/** Deduplication pack over `documents`/`embeddings` — the operators a
+  * training-data pipeline runs before anything else.
+  *
+  * Scale design: every variant is join-on-key, never doc×doc. Exact dedup
+  * shuffles on a text hash (not the text itself); n-gram jaccard joins on
+  * shingles so cost is Σ postings², bounded by shingle frequency; MinHash
+  * LSH joins on band buckets (constant signatures per doc) and only
+  * verifies candidates; simhash joins on band keys of the bit signature.
+  * Brute-force O(n²) appears nowhere except as the small-side verifier.
+  */
+object DedupPack extends QueryPack {
+
+  /** Exact dedup: keep the smallest doc_id per distinct text, counting
+    * copies. Grouping directly on md5(text) keeps shuffle rows narrow — at
+    * 100 TB the text column never crosses the wire.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle join:
+    * explode distinct shingles → self-join on shingle → count intersections
+    * → |A∩B| / (|A|+|B|-|A∩B|). This is the ground-truth near-dup set the
+    * sketch variants approximate.
+    */
+  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash + LSH near-dup pairs: 16-hash signatures, 4 bands × 4 rows.
+    * Candidates = docs sharing a band bucket; candidates are then verified
+    * with the true jaccard of their shingle sets (computed on the candidate
+    * pairs only — the expensive compare never runs doc×doc). Same output
+    * shape as dedupJaccard; recall is probabilistic (asserted ≥ bound in
+    * DedupSpec), precision is exact thanks to verification.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val sig = docs.select(col("doc_id"), col("sh"),
+      minhashSignature(col("sh"), 16).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(lshBands(col("sig"), 4, 4)).as("band"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .dropDuplicates("d1", "d2")
+    candidates
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, 4 bands of 16 bits as LSH
+    * keys (a ≤3-bit-different pair shares ≥1 exact band), verified by
+    * hamming distance ≤ maxHamming.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val sig = t(spark, dir, "documents")
+      .select(col("doc_id"), simhashBits(tokens(col("text"))).as("bits"))
+    val banded = sig.select(col("doc_id"), col("bits"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          xxhash64(b, concat_ws("_",
+            transform(slice(col("bits"), b * 16 + lit(1), lit(16)),
+              c => (c > 0).cast("int")))).as("bucket"))))
+        .as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hammingBits(col("a.bits"), col("b.bits")).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Embedding near-dup pairs by cosine ≥ threshold, brute force within
+    * label blocks (labels partition the space here; the unblocked scale
+    * path is SimilarityPack's LSH). Threshold 0.4 is calibrated to the
+    * testdata (max pairwise cosine ≈ 0.48) so the result is non-trivial.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val queries = Map(
+    "q65_dedup_exact" -> dedupExact _,
+    "q66_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccard(s, d)),
+    "q67_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
+    "q68_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "q69_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
+
+  val oracle = Map(
+    "q65_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "q66_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+        |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    // q67/q68: no oracle — probabilistic recall; verified vs q66 in DedupSpec.
+    "q69_dedup_embedding" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        |ORDER BY v1, v2""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.tokens
+
+/** Text-analysis pack over `documents` — the per-document statistics a
+  * training-data pipeline computes before filtering: token counts
+  * (whitespace + BPE-ish regex), quality signals (length / stopword /
+  * punctuation ratios), deterministic fingerprints, and a charset/stopword
+  * language-ID heuristic. All per-row expressions, no shuffle except the
+  * final rollups; at 100 TB this is a map-only pass over the corpus.
+  */
+object TextPack extends QueryPack {
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "for", "on",
+    "with", "as", "at", "by", "or", "be", "this", "that", "are")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+    * symbols — the classic GPT-2-style split, minus lookaheads so the
+    * pattern means the same thing in Java and RE2 regex engines.
+    */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def stats(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val stop = lit(stopwords.toArray)
+    Seq(
+      length(text).as("n_chars"),
+      nToks.as("n_tokens"),
+      size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).as("n_bpeish_tokens"),
+      (size(filter(toks, t => array_contains(stop, t))).cast("double") /
+        nToks).as("stopword_ratio"),
+      (size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") /
+        nToks).as("digit_token_ratio"),
+      (length(text).cast("double") / nToks).as("chars_per_token"))
+  }
+
+  /** Per-document stats + a simple keep/drop quality flag. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: stats(col("text")): _*)
+      .withColumn("is_quality",
+        (col("n_tokens") >= 5) && (col("stopword_ratio") <= 0.5) &&
+          (col("chars_per_token") >= 3) && (col("chars_per_token") <= 12))
+      .orderBy(col("doc_id"))
+
+  /** Corpus rollup of the quality signals by source. */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame =
+    textStats(spark, dir)
+      .join(t(spark, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_quality").cast("int")).as("n_quality"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_bpeish_tokens")).as("total_bpeish_tokens"))
+      .orderBy(col("source"))
+
+  /** Deterministic document fingerprints: full-text md5 (exact-dup key) and
+    * the lexicographic min/max of word-shingle md5s (a 2-hash sketch of
+    * content overlap — cheap rolling-hash stand-in).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.functions.shingles(tokens(col("text")), 3)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp_md5"),
+        array_min(transform(sh, s => md5(s))).as("fp_shingle_min"),
+        array_max(transform(sh, s => md5(s))).as("fp_shingle_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: CJK/Cyrillic/Arabic by charset, else best
+    * stopword-profile hit among Latin languages, else 'und'. The testdata's
+    * `lang` labels are random w.r.t. content (synthetic corpus), so accuracy
+    * is asserted on crafted fixtures in TextSpec, not against that column;
+    * here it demonstrates determinism + the rollup shape.
+    */
+  val latinProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "it", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+
+  def langScore(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(profile.toArray), t)))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = latinProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      struct(langScore(toks, prof).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs = argmax with lexicographic tiebreak
+    val best = array_max(array(scored: _*))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(text.rlike("[\\u0600-\\u06ff]"), "ar")
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  def langIdRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(langId(col("text")).as("pred_lang"))
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("pred_lang"))
+
+  val queries = Map(
+    "q60_text_stats" -> textStats _,
+    "q61_quality_by_source" -> qualityBySource _,
+    "q62_fingerprints" -> fingerprints _,
+    "q63_langid_rollup" -> langIdRollup _)
+
+  private val statsSql =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish_tokens,
+      |  len(list_filter(string_split(text, ' '),
+      |      t -> list_contains(['the','a','an','of','to','in','and','is','it','for','on','with','as','at','by','or','be','this','that','are'], t)))
+      |    * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
+      |  len(list_filter(string_split(text, ' '), t -> regexp_full_match(t, '[0-9]+')))
+      |    * 1.0 / len(string_split(text, ' ')) AS digit_token_ratio,
+      |  length(text) * 1.0 / len(string_split(text, ' ')) AS chars_per_token
+      |FROM documents""".stripMargin
+
+  val oracle = Map(
+    "q60_text_stats" ->
+      s"""SELECT *,
+         |  (n_tokens >= 5 AND stopword_ratio <= 0.5
+         |   AND chars_per_token >= 3 AND chars_per_token <= 12) AS is_quality
+         |FROM ($statsSql) s ORDER BY doc_id""".stripMargin,
+    "q61_quality_by_source" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN n_tokens >= 5 AND stopword_ratio <= 0.5
+         |           AND chars_per_token >= 3 AND chars_per_token <= 12
+         |      THEN 1 ELSE 0 END) AS n_quality,
+         |  sum(n_tokens) AS total_tokens,
+         |  sum(n_bpeish_tokens) AS total_bpeish_tokens
+         |FROM ($statsSql) s JOIN documents USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q62_fingerprints" ->
+      """SELECT doc_id, fp_md5,
+        |  list_min(sh) AS fp_shingle_min, list_max(sh) AS fp_shingle_max
+        |FROM (
+        |  SELECT doc_id, md5(text) AS fp_md5,
+        |    list_transform(
+        |      list_distinct(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |        ELSE [array_to_string(w, ' ')] END),
+        |      s -> md5(s)) AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) toks) t
+        |ORDER BY doc_id""".stripMargin)
+  // q63_langid_rollup: intentionally no oracle — heuristic verified on
+  // crafted fixtures in TextSpec (testdata lang labels are content-random).
+}

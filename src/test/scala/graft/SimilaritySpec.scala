@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityPack
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sfDir
+
+  test("ANN LSH top-k: reported neighbors are true cosines; recall@5 >= 0.5") {
+    val brute = SimilarityPack.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annRows = SimilarityPack.annTopK(spark, dir).collect()
+    val ann = annRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16-bit/2-band LSH on near-orthogonal synthetic vectors is a coarse
+    // filter; the guarantee asserted is non-trivial overlap + exact re-rank.
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // per query at most k results, ranked 1..k without gaps
+    annRows.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("cosine column matches a driver-side computation on a sample") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val Array((_, a), (_, b)) = rows.sortBy(_._1)
+    def cosLocal(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    import spark.implicits._
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - cosLocal(a, b)) < 1e-12)
+  }
+}
