@@ -1,0 +1,127 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct n-word shingling: array<string> tokens → array<string>
+  * of distinct space-joined n-grams (same semantics as the HOF
+  * graft.functions.shingles: docs shorter than n yield the whole doc as one
+  * shingle). One pass with an insertion-ordered set, versus the interpreted
+  * transform+slice+concat_ws+array_distinct chain.
+  */
+case class NGramShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"ngram_shingles needs array<string>, got ${dt.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NGramShingles {
+  val fnName = "graft_shingles"
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    val seen = new mutable.LinkedHashSet[UTF8String]
+    if (nTok < n) {
+      val parts = new Array[UTF8String](nTok)
+      var i = 0
+      while (i < nTok) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      seen += UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+    } else {
+      var i = 0
+      val space = UTF8String.fromString(" ")
+      while (i + n <= nTok) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        seen += UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnName, exprs => NGramShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+
+  def shinglesFast(tokens: Column, n: Int): Column =
+    call_function(fnName, tokens, org.apache.spark.sql.functions.lit(n))
+}
+
+/** Native k-hash MinHash signature: array<string> shingles → array<long>,
+  * element i = min over shingles of xxhash64 with seed i. One pass over
+  * k×|shingles| compiled hash calls (the HOF form pays interpreted lambda
+  * dispatch per hash).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs array<string>, got ${dt.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val fnName = "graft_minhash"
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), j.toLong)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box).toArray[Any])
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnName, exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+
+  def minhashFast(shingles: Column, k: Int): Column =
+    call_function(fnName, shingles, org.apache.spark.sql.functions.lit(k))
+}

@@ -44,25 +44,6 @@ package object functions {
         xxhash64(b, concat_ws("_", slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
           .as("bucket")))
 
-  /** 64-bit SimHash of a token array, as a 64-element ±count array (bit b
-    * set ⇔ element b > 0). Bit b of token t is the parity of xxhash64(b, t)
-    * — 64 independent hash functions, the random-projection formulation —
-    * which keeps everything in codegen'd built-ins (no variable bit shifts,
-    * which the Column DSL can't express).
-    */
-  def simhashBits(toks: Column): Column =
-    transform(sequence(lit(0), lit(63)),
-      b => aggregate(toks, lit(0),
-        (acc, t) => acc +
-          when(xxhash64(b, t).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
-
-  /** Hamming distance between two simhash bit-sign arrays. */
-  def hammingBits(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        when((x > 0) === (y > 0), 0).otherwise(1)),
-      lit(0), (acc, x) => acc + x)
-
   /** Cosine similarity of two float-array embeddings, computed in double
     * with sequential accumulation (index order) — the exact op sequence
     * DuckDB's list_cosine_similarity uses, for oracle parity.

@@ -35,8 +35,10 @@ object DedupPack extends QueryPack {
     * sketch variants approximate.
     */
   def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    NGramShingles.register(spark)
     val sh = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"),
+        explode(NGramShingles.shinglesFast(tokens(col("text")), 3)).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -60,10 +62,12 @@ object DedupPack extends QueryPack {
     * DedupSpec), precision is exact thanks to verification.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    NGramShingles.register(spark)
+    MinHashSig.register(spark)
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), NGramShingles.shinglesFast(tokens(col("text")), 3).as("sh"))
     val sig = docs.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh"), 16).as("sig"))
+      MinHashSig.minhashFast(col("sh"), 16).as("sig"))
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(lshBands(col("sig"), 4, 4)).as("band"))
     val candidates = banded.as("a").join(banded.as("b"),
@@ -79,24 +83,25 @@ object DedupPack extends QueryPack {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signatures, 4 bands of 16 bits as LSH
-    * keys (a ≤3-bit-different pair shares ≥1 exact band), verified by
-    * hamming distance ≤ maxHamming.
+  /** SimHash near-dup pairs: packed 64-bit signatures (native SimHash64
+    * expression — one hash pass per doc), 4 bands of 16 bits as LSH keys
+    * (a ≤3-bit-different pair shares ≥1 exact band), verified by
+    * bit_count(xor) hamming distance ≤ maxHamming.
     */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    SimHash64.register(spark)
     val sig = t(spark, dir, "documents")
-      .select(col("doc_id"), simhashBits(tokens(col("text"))).as("bits"))
-    val banded = sig.select(col("doc_id"), col("bits"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          xxhash64(b, concat_ws("_",
-            transform(slice(col("bits"), b * 16 + lit(1), lit(16)),
-              c => (c > 0).cast("int")))).as("bucket"))))
-        .as("band"))
+      .select(col("doc_id"), SimHash64.simhash64(tokens(col("text"))).as("sig"))
+    // 4 fixed 16-bit band keys — literal shifts, no per-row hashing
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+      }: _*)).as("bk"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        hammingBits(col("a.bits"), col("b.bits")).as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .dropDuplicates("d1", "d2")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("d1"), col("d2"))
@@ -108,11 +113,13 @@ object DedupPack extends QueryPack {
     * testdata (max pairwise cosine ≈ 0.48) so the result is non-trivial.
     */
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    CosineSimilarity.register(spark)
     val e = t(spark, dir, "embeddings")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        round(CosineSimilarity.cosineFast(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("v1"), col("v2"))
   }

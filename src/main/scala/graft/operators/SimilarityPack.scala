@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.functions.cosine
+import graft.functions.CosineSimilarity
 
 /** Similarity-search pack over `embeddings` (64-dim float vectors).
   *
@@ -29,11 +29,12 @@ object SimilarityPack extends QueryPack {
   /** Exact top-k neighbors (cosine) for the probe vectors. */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    CosineSimilarity.register(spark)
     val q = broadcast(queriesSide(spark, dir, nQueries))
     val corpus = t(spark, dir, "embeddings")
     val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -41,23 +42,26 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to [-0.5, 0.5). Generating planes from a hash family
-    * (not stored random vectors) keeps the signature computable anywhere
-    * without broadcasting plane matrices.
+  /** Deterministic pseudo-random hyperplanes, generated ONCE driver-side
+    * (seeded) and baked into the plan as literals. The first formulation
+    * derived each coefficient from xxhash64(plane, dim) per ROW — millions
+    * of redundant hash evaluations inside interpreted HOFs (6.5s on sf0.1);
+    * literal planes cost nothing at runtime.
     */
-  private def planeCoef(plane: Column, d: Column) =
-    (pmod(xxhash64(plane, d), lit(1000000)).cast("double") / 1000000.0) - 0.5
+  private def planes(nBits: Int, dims: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nBits)(Seq.fill(dims)(rnd.nextDouble() - 0.5))
+  }
 
-  /** nBits-bit sign signature of an embedding under the hash-derived
-    * hyperplanes.
-    */
-  def lshSignature(emb: Column, nBits: Int) =
-    transform(sequence(lit(0), lit(nBits - 1)),
-      p => (aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * planeCoef(p, i)),
-        lit(0.0), (acc, v) => acc + v) > 0).cast("int"))
+  /** nBits-bit sign signature of an embedding under the literal planes. */
+  def lshSignature(emb: Column, nBits: Int): Column = {
+    val p = planes(nBits, 64)
+    array(p.map { plane =>
+      (aggregate(
+        zip_with(emb, typedlit(plane), (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v) > 0).cast("int")
+    }: _*)
+  }
 
   /** ANN top-k: candidates = corpus vectors sharing any 4-bit signature
     * band with the probe (32 bits, 8 bands), exact cosine re-rank within
@@ -76,12 +80,12 @@ object SimilarityPack extends QueryPack {
     val bands = 8
     val rows = nBits / bands
     def banded(df: DataFrame, idCol: String, embCol: String) =
-      df.select(col(idCol), col(embCol),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            concat_ws("", slice(lshSignature(col(embCol), nBits), b * rows + lit(1), lit(rows)))
-              .as("sig"))))
-          .as("bk"))
+      df.withColumn("lsh_sig", lshSignature(col(embCol), nBits)) // computed once
+        .select(col(idCol), col(embCol),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              concat_ws("", slice(col("lsh_sig"), b * rows + 1, rows)).as("sig"))
+          }: _*)).as("bk"))
     val corpus = banded(t(spark, dir, "embeddings"), "vec_id", "embedding")
     val probes = banded(
       queriesSide(spark, dir, nQueries).withColumnRenamed("q_emb", "embedding"),
@@ -91,7 +95,7 @@ object SimilarityPack extends QueryPack {
         col("c.bk") === col("p.bk") && col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w))

@@ -66,11 +66,18 @@ object TextPack extends QueryPack {
     * content overlap — cheap rolling-hash stand-in).
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.functions.shingles(tokens(col("text")), 3)
+    // explode + min/max aggregation: each shingle is md5'd exactly once in
+    // codegen'd aggregates (the array_min(transform)/array_max(transform)
+    // form evaluated the interpreted md5 array twice per doc)
+    graft.functions.NGramShingles.register(spark)
     t(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("fp_md5"),
-        array_min(transform(sh, s => md5(s))).as("fp_shingle_min"),
-        array_max(transform(sh, s => md5(s))).as("fp_shingle_max"))
+        explode(graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 3))
+          .as("shingle"))
+      .groupBy(col("doc_id"), col("fp_md5"))
+      .agg(min(md5(col("shingle"))).as("fp_shingle_min"),
+        max(md5(col("shingle"))).as("fp_shingle_max"))
+      .select(col("doc_id"), col("fp_md5"), col("fp_shingle_min"), col("fp_shingle_max"))
       .orderBy(col("doc_id"))
   }
 

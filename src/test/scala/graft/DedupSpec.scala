@@ -25,22 +25,28 @@ class DedupSpec extends AnyFunSuite {
   test("simhash: near-identical docs collide; distant docs don't") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // craft a corpus with one known near-dup pair and unrelated docs
-    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    // near-dup pair: 88 varied words, 3 edited (E[hamming] ≈ 5 of 64);
+    // distant docs: disjoint vocabulary (E[hamming] = 32)
+    val words = (0 until 88).map(i => s"word$i")
+    val base = words.mkString(" ")
+    val edited = (words.take(40) ++ Seq("changedA", "changedB", "changedC") ++
+      words.drop(43)).mkString(" ")
     val docs = Seq(
-      (1L, base), (2L, base + "lambda"),
-      (3L, "totally different words here about other topics entirely " * 10),
-      (4L, "yet another unrelated document speaking of cabbages and kings " * 9))
+      (1L, base), (2L, edited),
+      (3L, (100 until 188).map(i => s"other$i").mkString(" ")),
+      (4L, (200 until 288).map(i => s"thing$i").mkString(" ")))
       .toDF("doc_id", "text")
+    graft.functions.SimHash64.register(spark)
     val sig = docs.select(col("doc_id"),
-      graft.functions.simhashBits(graft.functions.tokens(col("text"))).as("bits"))
+      graft.functions.SimHash64.simhash64(
+        graft.functions.tokens(col("text"))).as("bits"))
     val pairs = sig.as("a").crossJoin(sig.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
-        graft.functions.hammingBits(col("a.bits"), col("b.bits")).as("h"))
+        bit_count(col("a.bits").bitwiseXOR(col("b.bits"))).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    assert(pairs((1L, 2L)) <= 6, s"near-dup hamming ${pairs((1L, 2L))}")
-    assert(pairs((1L, 3L)) > 10 && pairs((1L, 4L)) > 10 && pairs((3L, 4L)) > 10,
+    assert(pairs((1L, 2L)) <= 12, s"near-dup hamming ${pairs((1L, 2L))}")
+    assert(pairs((1L, 3L)) > 16 && pairs((1L, 4L)) > 16 && pairs((3L, 4L)) > 16,
       s"distant pairs too close: $pairs")
   }
 

@@ -23,6 +23,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native CosineSimilarity expression == HOF cosine, bit-identical") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.t(spark, dir, "embeddings").limit(50)
+    val both = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.functions.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+        graft.functions.CosineSimilarity
+          .cosineFast(col("a.embedding"), col("b.embedding")).as("fast"))
+    val diff = both.filter(col("hof") =!= col("fast")).count()
+    assert(diff == 0, s"$diff pairs differ between HOF and native cosine")
+  }
+
   test("cosine column matches a driver-side computation on a sample") {
     import org.apache.spark.sql.functions._
     val rows = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < 2)
