@@ -61,6 +61,29 @@ object JoinsPack extends QueryPack {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** Full outer join: order count per nation key from two fact-derived
+    * sides, keeping keys present on either side only.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val f = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("n_f"))
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("ok")).agg(count(lit(1)).as("n_o"))
+    f.join(o, col("fk") === col("ok"), "full_outer")
+      .select(coalesce(col("fk"), col("ok")).as("custkey"),
+        coalesce(col("n_f"), lit(0L)).as("n_f"),
+        coalesce(col("n_o"), lit(0L)).as("n_o"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Right outer join (mirror of joinLeft, dim side preserved). */
+  def joinRight(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
   /** Explicit broadcast of the two genuinely-small dims (nation 25 rows,
     * region 5 rows at every SF) — no shuffle on the probe side.
     */
@@ -119,6 +142,8 @@ object JoinsPack extends QueryPack {
     "q22_join_semi" -> joinSemi _,
     "q23_join_anti" -> joinAnti _,
     "q24_join_broadcast" -> joinBroadcast _,
+    "q18_join_full_outer" -> joinFullOuter _,
+    "q19_join_right" -> joinRight _,
     "q25_cross_dims" -> crossSmall _,
     "q26_union_all" -> unionAll _,
     "q27_union_distinct" -> unionDistinct _,
@@ -148,6 +173,20 @@ object JoinsPack extends QueryPack {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q18_join_full_outer" ->
+      """SELECT coalesce(f.fk, o.ok) AS custkey,
+        |  coalesce(f.n_f, 0) AS n_f, coalesce(o.n_o, 0) AS n_o
+        |FROM (SELECT o_custkey AS fk, count(*) AS n_f FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY 1) f
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey AS ok, count(*) AS n_o FROM orders
+        |      WHERE o_orderstatus = 'O' GROUP BY 1) o
+        |  ON f.fk = o.ok
+        |ORDER BY custkey""".stripMargin,
+    "q19_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q24_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*))

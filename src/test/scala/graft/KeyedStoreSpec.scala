@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{KeyedStore, TsvIO}
+
+/** FIXTURES.md B3: the four reference student rows (HBaseClient.java:83-118)
+  * through the DDL → Put → versioned-read lifecycle.
+  */
+class KeyedStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def cellRows = {
+    import spark.implicits._
+    // rowkey G20200579010831..34: tome/jerry/jack/phoenix with their scores
+    Seq(
+      ("G20200579010831", "name", "name", "tome", 1L),
+      ("G20200579010831", "score", "understanding", "75", 1L),
+      ("G20200579010831", "score", "programming", "82", 1L),
+      ("G20200579010832", "name", "name", "jerry", 1L),
+      ("G20200579010832", "score", "understanding", "85", 1L),
+      ("G20200579010832", "score", "programming", "67", 1L),
+      ("G20200579010833", "name", "name", "jack", 1L),
+      ("G20200579010833", "score", "understanding", "80", 1L),
+      ("G20200579010833", "score", "programming", "80", 1L),
+      ("G20200579010834", "name", "name", "phoenix", 1L),
+      ("G20200579010834", "score", "understanding", "90", 1L),
+      ("G20200579010834", "score", "programming", "90", 1L),
+      // out-of-prefix rowkey so the prefix filter is observable
+      ("X9999", "name", "name", "other", 1L))
+      .toDF("rowkey", "family", "qualifier", "value", "version")
+  }
+
+  private def extraVersions = {
+    import spark.implicits._
+    // 4 more versions of one cell: maxVersions(3) must keep 5,4,3 only
+    (2L to 5L).map(v => ("G20200579010831", "score", "programming", s"v$v", v))
+      .toSeq.toDF("rowkey", "family", "qualifier", "value", "version")
+  }
+
+  test("DDL + Put + versioned scan reproduce the hw3 lifecycle") {
+    val loc = Files.createTempDirectory("keyed_store").toString
+    val table = "graft_student_cells"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    KeyedStore.create(spark, table, loc)
+    KeyedStore.put(spark, table, cellRows)
+    KeyedStore.put(spark, table, extraVersions)
+
+    // point Get: newest value per qualifier of row ...31
+    val got = KeyedStore.get(spark, table, "G20200579010831").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got(("name", "name")) == "tome")
+    assert(got(("score", "programming")) == "v5") // newest version wins
+    assert(got(("score", "understanding")) == "75")
+
+    // maxVersions(3): the programming cell keeps versions 5,4,3
+    val vers = KeyedStore.scan(spark, table)
+      .filter("rowkey = 'G20200579010831' AND qualifier = 'programming'")
+      .collect().map(_.getAs[Long]("version")).sorted
+    assert(vers.toSeq == Seq(3L, 4L, 5L))
+
+    // prefix + reversed scan excludes X9999 and descends
+    val scanned = KeyedStore.prefixScan(spark, table, "G202005790", reversed = true)
+      .collect().map(_.getString(0))
+    assert(!scanned.contains("X9999"))
+    assert(scanned.toSeq == scanned.sorted(Ordering[String].reverse).toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("TSV write/read roundtrip (hw1 TextOutputFormat parity)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("tsv_out").resolve("data").toString
+    val df = Seq(("13800000001", 15L, 27L, 42L), ("13900000002", 1L, 2L, 3L))
+      .toDF("phone", "up", "down", "total")
+    TsvIO.write(df, out)
+    val back = TsvIO.read(spark, out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(back.toSet == Set(
+      ("13800000001", "15", "27", "42"), ("13900000002", "1", "2", "3")))
+  }
+}
