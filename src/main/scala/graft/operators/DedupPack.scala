@@ -36,9 +36,14 @@ object DedupPack extends QueryPack {
     */
   def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     NGramShingles.register(spark)
+    // join on the 64-bit shingle hash, not the string: the self-join
+    // shuffle then moves 8-byte keys instead of ~20-byte text (collision
+    // probability over n shingles ≈ n²/2⁶⁵ — irrelevant at any corpus size
+    // that fits a cluster)
     val sh = t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(NGramShingles.shinglesFast(tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

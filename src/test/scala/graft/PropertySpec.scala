@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+
+import graft.operators.TrafficPack
+
+/** SURVEY.md §5.4 property tests: engine results ≡ sequential Scala folds
+  * on randomly generated inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** plain-scalacheck sampling (scalatestplus is not in the offline cache) */
+  private def forAll[T](gen: Gen[T], n: Int = 20)(body: T => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until n).foreach { i =>
+      gen(params, org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+  }
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+  lazy val spark = SparkTestSession.spark
+
+  private val docGen: Gen[List[(String, Int)]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n, Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "e"))
+      .map(_.mkString(" ")))
+  } yield docs.zipWithIndex
+
+  test("inverted index round-trip: every (word, doc) occurrence is indexed") {
+    forAll(docGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("text", "doc_id")
+      val got = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(collect_set(col("doc_id")).as("ds"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSet).toMap
+      val want = docs
+        .flatMap { case (text, id) => text.split(" ").filter(_.nonEmpty).map(_ -> id) }
+        .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).toSet }
+      assert(got == want)
+    }
+  }
+
+  private val trafficGen: Gen[List[(String, Long, Long)]] =
+    Gen.listOf(for {
+      key <- Gen.oneOf("k1", "k2", "k3")
+      up <- Gen.choose(0L, 1000L)
+      down <- Gen.choose(0L, 1000L)
+    } yield (key, up, down))
+
+  test("group-by sums ≡ sequential fold (hw1 semantics)") {
+    forAll(trafficGen) { rows =>
+      whenever(rows.nonEmpty) {
+        import spark.implicits._
+        val got = rows.toDF("phone", "up", "down")
+          .groupBy(col("phone"))
+          .agg(sum(col("up")).as("u"), sum(col("down")).as("d"),
+            sum(col("up") + col("down")).as("t"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        val want = rows.groupBy(_._1).map { case (k, rs) =>
+          val u = rs.map(_._2).sum; val d = rs.map(_._3).sum
+          k -> ((u, d, u + d))
+        }
+        assert(got == want)
+      }
+    }
+  }
+
+  private val pairGen: Gen[(List[Int], List[Int])] = for {
+    a <- Gen.listOf(Gen.choose(0, 20))
+    b <- Gen.listOf(Gen.choose(0, 20))
+  } yield (a, b)
+
+  test("EXCEPT ≡ set difference; INTERSECT ≡ set intersection") {
+    forAll(pairGen) { case (a, b) =>
+      import spark.implicits._
+      val da = a.toDF("v")
+      val db = b.toDF("v")
+      val ex = da.except(db).collect().map(_.getInt(0)).toSet
+      val in = da.intersect(db).collect().map(_.getInt(0)).toSet
+      assert(ex == (a.toSet -- b.toSet))
+      assert(in == (a.toSet intersect b.toSet))
+    }
+  }
+}
