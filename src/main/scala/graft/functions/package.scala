@@ -18,6 +18,9 @@ package object functions {
 
   /** Distinct n-word shingles of a token array: the unit of near-dup
     * comparison. `sequence` is empty when the doc is shorter than n.
+    * This is the REFERENCE SEMANTICS for the native NGramShingles
+    * expression (equivalence asserted in DedupSpec); production paths use
+    * the native form.
     */
   def shingles(toks: Column, n: Int): Column =
     array_distinct(
@@ -25,14 +28,6 @@ package object functions {
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
-
-  /** k-hash MinHash signature of a shingle array. Hash i of shingle s is
-    * xxhash64(i, s) — one 64-bit hash family indexed by the position column,
-    * no UDF, fully codegen'd.
-    */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
 
   /** LSH band keys for a minhash signature: bands of `rowsPerBand` hashes,
     * each band hashed to one bucket key. Docs sharing ANY band key are

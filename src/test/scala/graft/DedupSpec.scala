@@ -50,6 +50,18 @@ class DedupSpec extends AnyFunSuite {
       s"distant pairs too close: $pairs")
   }
 
+  test("native NGramShingles == reference HOF shingles semantics") {
+    import org.apache.spark.sql.functions._
+    graft.functions.NGramShingles.register(spark)
+    val docs = Tables.t(spark, dir, "documents").limit(100)
+    val diff = docs.select(
+        graft.functions.shingles(graft.functions.tokens(col("text")), 3).as("hof"),
+        graft.functions.NGramShingles
+          .shinglesFast(graft.functions.tokens(col("text")), 3).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = DedupPack.dedupExact(spark, dir).collect()
     val docs = Tables.t(spark, dir, "documents")
