@@ -21,6 +21,7 @@ object SparkEntry {
     WideColumnPack,
     LookupPack,
     EventsPack,
+    AsOfPack,
     TextPack,
     DedupPack,
     SimilarityPack,

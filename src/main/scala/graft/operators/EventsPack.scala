@@ -96,8 +96,8 @@ object EventsPack extends QueryPack {
         |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
         |FROM (
         |  SELECT user_id, event_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, event_id, ts,
         |      CASE WHEN prev_ts IS NULL
@@ -109,7 +109,8 @@ object EventsPack extends QueryPack {
         |          FROM events) l) f) s
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q58_json_extract" ->
-      """SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+      """SELECT event_type, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events) t

@@ -142,11 +142,11 @@ object TextPack extends QueryPack {
          |FROM ($statsSql) s ORDER BY doc_id""".stripMargin,
     "q61_quality_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
-         |  sum(CASE WHEN n_tokens >= 5 AND stopword_ratio <= 0.5
+         |  CAST(sum(CASE WHEN n_tokens >= 5 AND stopword_ratio <= 0.5
          |           AND chars_per_token >= 3 AND chars_per_token <= 12
-         |      THEN 1 ELSE 0 END) AS n_quality,
-         |  sum(n_tokens) AS total_tokens,
-         |  sum(n_bpeish_tokens) AS total_bpeish_tokens
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_bpeish_tokens) AS BIGINT) AS total_bpeish_tokens
          |FROM ($statsSql) s JOIN documents USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin,
     "q62_fingerprints" ->
