@@ -68,8 +68,36 @@ object AggPack extends QueryPack {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
 
+  /** GROUPING SETS — the general form cube/rollup specialize. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Salted two-phase aggregation — the skew pattern: low-cardinality hot
+    * keys are first split across `nSalts` sub-keys (partial aggregation
+    * spreads over the cluster), then merged. Result is identical to the
+    * direct group-by (same oracle shape as q31's totals), so the oracle
+    * proves the rewrite is semantics-preserving.
+    */
+  def saltedAgg(spark: SparkSession, dir: String, nSalts: Int = 16): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(nSalts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(round(sum(col("l_quantity")), 2).as("part_qty"), count(lit(1)).as("part_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("part_qty")), 2).as("sum_qty"), sum(col("part_n")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
+    "q43_grouping_sets" -> groupingSets _,
+    "q44_salted_agg" -> ((s: SparkSession, d: String) => saltedAgg(s, d)),
     "q31_cube" -> cubeFlags _,
     "q32_rollup" -> rollupFlags _,
     "q33_count_distinct" -> countDistincts _,
@@ -77,6 +105,18 @@ object AggPack extends QueryPack {
     "q35_topk" -> topkOrders _)
 
   val oracle = Map(
+    "q43_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q44_salted_agg" ->
+      // the oracle is the UNSALTED direct aggregation — proves the salted
+      // two-phase rewrite is semantics-preserving
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q30_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

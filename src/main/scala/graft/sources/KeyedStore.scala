@@ -56,6 +56,18 @@ object KeyedStore {
       s.orderBy(col("rowkey"), col("family"), col("qualifier"), col("version").desc)
   }
 
+  /** Compaction: rewrite the table keeping only the newest `maxVersions`
+    * per cell — the background process that makes blind-append Puts
+    * sustainable (read amplification stays bounded). Rewrites through a
+    * temp view snapshot because the scan reads the table being replaced.
+    */
+  def compact(spark: SparkSession, table: String, maxVersions: Int = 3): Unit = {
+    val kept = scan(spark, table, maxVersions)
+    val snapshot = kept.collectAsList() // test-scale; at scale: write temp dir + swap
+    val df = spark.createDataFrame(snapshot, kept.schema)
+    df.write.mode("overwrite").insertInto(table)
+  }
+
   /** Point Get (HBaseClient.java:71-80): newest value per qualifier. */
   def get(spark: SparkSession, table: String, rowkey: String): DataFrame =
     scan(spark, table, maxVersions = 1)

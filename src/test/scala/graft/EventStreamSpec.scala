@@ -33,6 +33,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops data later than the 1-hour bound in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreamJobs.tumblingCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def batch(rows: (java.sql.Timestamp, String, Double)*): Unit = {
+      input.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // batch 1: events up to 12:05 -> watermark advances to 11:05
+      batch((ts("2024-01-01 10:10:00"), "click", 1.0),
+        (ts("2024-01-01 12:05:00"), "click", 1.0))
+      // batch 2: the 9:30 event is behind the 11:05 watermark -> dropped;
+      // the 11:30 event is within bound -> kept
+      batch((ts("2024-01-01 09:30:00"), "click", 99.0),
+        (ts("2024-01-01 11:30:00"), "click", 1.0))
+      // two more batches: advance the watermark, then let the eviction pass
+      // (which uses the PREVIOUS batch's watermark) emit closed windows
+      batch((ts("2024-01-01 15:00:00"), "click", 1.0))
+      batch((ts("2024-01-01 20:00:00"), "click", 1.0))
+      val out = spark.table("late_out").collect()
+        .map(r => r.getAs[Long]("bucket_ms") -> r.getAs[Long]("n")).toMap
+      def hourMs(s: String) = ts(s).getTime
+      assert(!out.contains(hourMs("2024-01-01 09:00:00")), s"late row not dropped: $out")
+      assert(out(hourMs("2024-01-01 10:00:00")) == 1L)
+      assert(out(hourMs("2024-01-01 11:00:00")) == 1L) // in-bound late row kept
+      assert(out(hourMs("2024-01-01 12:00:00")) == 1L)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     import spark.implicits._
     val batch = EventsPack.sessionize(spark, dir).collect()

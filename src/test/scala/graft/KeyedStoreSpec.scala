@@ -61,6 +61,15 @@ class KeyedStoreSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("version")).sorted
     assert(vers.toSeq == Seq(3L, 4L, 5L))
 
+    // compaction: physical row count drops to the retained set, reads same
+    val before = spark.table(table).count()
+    KeyedStore.compact(spark, table)
+    val after = spark.table(table).count()
+    assert(after < before, s"compaction kept all $before rows")
+    assert(KeyedStore.get(spark, table, "G20200579010831").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      .apply(("score", "programming")) == "v5")
+
     // prefix + reversed scan excludes X9999 and descends
     val scanned = KeyedStore.prefixScan(spark, table, "G202005790", reversed = true)
       .collect().map(_.getString(0))
