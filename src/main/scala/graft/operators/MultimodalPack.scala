@@ -78,9 +78,46 @@ object MultimodalPack extends QueryPack {
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF().orderBy(col("media_id"))
 
+  case class MediaDerived(media_id: Long, thumb: Array[Byte], n_frames: Int,
+                          frame_bytes: Array[Byte])
+
+  /** STUB RESIZE + FRAME-SAMPLE — deterministic fakes for the other two
+    * codec-bound stages: "resize" keeps a fixed-size prefix (a thumbnail's
+    * bounded-size contract), "frame sampling" takes every k-th byte (the
+    * fixed-stride contract of video frame extraction). Bytes in,
+    * bounded bytes out, batched per partition — swap the body for a real
+    * codec without touching the pipeline.
+    */
+  def deriveMedia(spark: SparkSession, dir: String,
+                  thumbBytes: Int = 16, frameStride: Int = 64): Dataset[MediaDerived] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val thumb = bytes.take(thumbBytes)
+          val frames = bytes.indices.collect {
+            case i if i % frameStride == 0 => bytes(i)
+          }.toArray
+          MediaDerived(id, thumb, frames.length, frames)
+        }
+      }
+  }
+
+  /** Audit of the derived media (sizes are SQL-checkable even though the
+    * payload contract is opaque binary).
+    */
+  def mediaDerivedAudit(spark: SparkSession, dir: String): DataFrame =
+    deriveMedia(spark, dir).toDF()
+      .select(col("media_id"), length(col("thumb")).as("thumb_bytes"),
+        col("n_frames"), length(col("frame_bytes")).as("frame_payload_bytes"))
+      .orderBy(col("media_id"))
+
   val queries = Map(
     "q75_media_audit" -> mediaAudit _,
-    "q76_media_features" -> mediaFeatures _)
+    "q76_media_features" -> mediaFeatures _,
+    "q77_media_derived" -> ((s: SparkSession, d: String) => mediaDerivedAudit(s, d)))
 
   val oracle = Map(
     "q75_media_audit" ->
@@ -101,5 +138,14 @@ object MultimodalPack extends QueryPack {
         |        i -> ord(text[i])))) AS INT) AS distinct_bytes,
         |  CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ord(text[1]) END AS INT)
         |    AS first_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q77_media_derived" ->
+      // sizes of the stub resize/frame-sample stages: thumbnail = 16-byte
+      // prefix, frames = every 64th byte (ceil(n/64))
+      """SELECT doc_id AS media_id,
+        |  CAST(least(octet_length(encode(text)), 16) AS INT) AS thumb_bytes,
+        |  CAST(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS INT) AS n_frames,
+        |  CAST(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS INT)
+        |    AS frame_payload_bytes
         |FROM documents ORDER BY media_id""".stripMargin)
 }

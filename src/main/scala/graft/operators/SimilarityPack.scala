@@ -103,9 +103,76 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
+    * partitions the corpus; queries probe their `nProbe` nearest cells and
+    * re-rank exactly within them. Centroids come from one k-means-style
+    * refinement pass over a small seeded sample (driver-side, deterministic)
+    * and ship as literals — no iterative cluster-wide training job. At
+    * scale: corpus assignment is one map pass, the probe join touches
+    * nProbe/nCells of the data.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    CosineSimilarity.register(spark)
+    val emb = t(spark, dir, "embeddings")
+
+    // deterministic coarse quantizer: seed centroids = first nCells sample
+    // vectors; one assignment+mean refinement over a 256-vector sample
+    val sample = emb.orderBy(col("vec_id")).limit(256)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    var centroids = sample.take(nCells).map(_.map(_.toDouble))
+    def cosLocal(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val assigned = sample.map(v => (0 until nCells).maxBy(c => cosLocal(centroids(c), v)) -> v)
+    centroids = (0 until nCells).map { c =>
+      val members = assigned.filter(_._1 == c).map(_._2)
+      if (members.isEmpty) centroids(c)
+      else {
+        val m = new Array[Double](members.head.length)
+        members.foreach(v => (0 until m.length).foreach(i => m(i) += v(i)))
+        m.map(_ / members.length)
+      }
+    }.toArray
+
+    val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def cellRank(embCol: Column): Column =
+      // cells sorted by descending centroid similarity: element 0 = home cell
+      transform(
+        array_sort(transform(sequence(lit(0), lit(nCells - 1)),
+          c => struct(
+            (lit(-1.0) * aggregate(
+              zip_with(embCol, element_at(centroidLit, c + 1),
+                (x, w) => x.cast("double") * w),
+              lit(0.0), (acc, v) => acc + v)).as("negsim"),
+            c.as("cell")))),
+        s => s.getField("cell"))
+
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      element_at(cellRank(col("embedding")), 1).as("cell"))
+    val probes = queriesSide(spark, dir, nQueries)
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(cellRank(col("q_emb")), 1, nProbe)).as("cell"))
+    val cand = corpus.join(broadcast(probes),
+        corpus("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries = Map(
     "q70_ann_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
-    "q71_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)))
+    "q71_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
+    "q72_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   val oracle = Map(
     "q70_ann_bruteforce_topk" ->
