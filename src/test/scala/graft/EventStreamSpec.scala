@@ -70,6 +70,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases join errors within 30 minutes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(java.sql.Timestamp, Long)]
+    val errors = MemoryStream[(java.sql.Timestamp, Long)]
+    val p = purchases.toDF().toDF("p_ts", "user_id").withWatermark("p_ts", "1 hour")
+    val e = errors.toDF().toDF("e_ts", "e_user").withWatermark("e_ts", "1 hour")
+    val joined = p.join(e,
+      expr("""user_id = e_user AND e_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      errors.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 08:00:00"), 1L))
+      purchases.addData((ts("2024-01-01 10:20:00"), 1L), (ts("2024-01-01 10:20:00"), 2L))
+      q.processAllAvailable()
+      // flush: advance both watermarks past the join range
+      errors.addData((ts("2024-01-01 15:00:00"), 9L))
+      purchases.addData((ts("2024-01-01 15:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("ss_join_out")
+        .select(col("user_id"), col("e_ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+      // user 1's 10:00 error is within 30min of the 10:20 purchase; the
+      // 08:00 error is not; user 2 has no errors at all
+      assert(out.contains((1L, "2024-01-01 10:00:00.0")), s"missing join row: $out")
+      assert(!out.exists(_._2 == "2024-01-01 08:00:00.0"), s"out-of-range joined: $out")
+      assert(!out.exists(_._1 == 2L), s"user without errors joined: $out")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     import spark.implicits._
     val batch = EventsPack.sessionize(spark, dir).collect()

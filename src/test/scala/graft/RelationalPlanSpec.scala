@@ -53,6 +53,25 @@ class RelationalPlanSpec extends AnyFunSuite {
     assert(filters.head.condition.sql.toLowerCase.contains("and"))
   }
 
+  test("EliminateSorts: ORDER BY on a constant key removes the Sort (README.md:670-680)") {
+    prep()
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val opt = spark.sql(
+      "select id, (100 - 10) as score from student where age > 18 order by score")
+      .queryExecution.optimizedPlan
+    assert(opt.collect { case s: Sort => s }.isEmpty, s"Sort survived:\n$opt")
+  }
+
+  test("InferFiltersFromConstraints injects isnotnull on join keys (README.md:598-608)") {
+    prep()
+    val opt = spark.sql(
+      """select s1.name from student s1 join student s2 on s1.id = s2.id
+        |where s1.age > 18""".stripMargin).queryExecution.optimizedPlan
+    // the inferred isnotnull(id) is pushed through the student projection,
+    // rewriting the alias to its defining CASE expression
+    assert(opt.toString.contains("ELSE isnotnull("), s"no inferred isnotnull:\n$opt")
+  }
+
   test("column pruning reaches the parquet scan") {
     prep()
     val exec = spark.sql("select name from student where age > 18")
