@@ -112,6 +112,41 @@ object DedupPack extends QueryPack {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Near-dup clusters: connected components over the jaccard pair graph,
+    * each doc labeled with its component's smallest doc_id — the "keep one
+    * representative per duplicate cluster" output a pipeline actually
+    * consumes. Computed by iterative min-label propagation (each round one
+    * self-join on the pair edges) to a fixpoint — the standard scalable
+    * formulation; rounds ≤ graph diameter, edges stay partitioned by key.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = dedupJaccard(spark, dir, threshold)
+      .select(col("d1"), col("d2"))
+    // undirected edges, both directions
+    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 20) {
+      val propagated = edges
+        .join(labels, edges("d2") === labels("doc_id"))
+        .groupBy(edges("d1").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(propagated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
   /** Embedding near-dup pairs by cosine ≥ threshold, brute force within
     * label blocks (labels partition the space here; the unblocked scale
     * path is SimilarityPack's LSH). Threshold 0.4 is calibrated to the
@@ -134,7 +169,8 @@ object DedupPack extends QueryPack {
     "q66_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccard(s, d)),
     "q67_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "q68_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
-    "q69_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
+    "q69_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
+    "q64_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
 
   val oracle = Map(
     "q65_dedup_exact" ->
@@ -157,6 +193,31 @@ object DedupPack extends QueryPack {
         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    // connected components via transitive closure (recursive CTE) over the
+    // same jaccard pair graph; min reachable id = component label
+    "q64_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+        |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |walk AS (
+        |  SELECT DISTINCT d1 AS doc_id, d1 AS reach FROM edges
+        |  UNION
+        |  SELECT w.doc_id, e.d2 FROM walk w JOIN edges e ON w.reach = e.d1)
+        |SELECT doc_id, min(reach) AS label FROM walk
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q67/q68: no oracle — probabilistic recall; verified vs q66 in DedupSpec.
     "q69_dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -62,6 +62,18 @@ class DedupSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("near-dup clusters: every pair shares a label; labels are component minima") {
+    val labels = DedupPack.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    labels.foreach { case (doc, lab) => assert(lab <= doc) }
+    exactPairs.keys.foreach { case (d1, d2) =>
+      assert(labels(d1) == labels(d2), s"pair ($d1,$d2) split across clusters")
+    }
+    // each label is itself a member of its cluster
+    assert(labels.values.toSet.subsetOf(labels.keySet))
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = DedupPack.dedupExact(spark, dir).collect()
     val docs = Tables.t(spark, dir, "documents")
