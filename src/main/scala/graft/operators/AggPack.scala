@@ -94,8 +94,68 @@ object AggPack extends QueryPack {
       .agg(round(sum(col("part_qty")), 2).as("sum_qty"), sum(col("part_n")).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact percentiles/median. Computed over integer-valued quantity and
+    * integer cents: the interpolation fractions for p ∈ {¼,½,¾,0.95} over
+    * integers are exactly representable doubles, so Spark's percentile()
+    * and DuckDB's quantile_cont agree bit-for-bit (raw float percentiles
+    * would diverge at half-boundaries like every other derived float).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+        expr("percentile(l_quantity, 0.95)").as("qty_p95"),
+        expr("percentile(price_cents, 0.5)").as("price_cents_p50"),
+        expr("percentile(price_cents, 0.95)").as("price_cents_p95"))
+
+  /** Sample stddev + Pearson correlation, assembled from exact integer-cent
+    * power sums with one deterministic float finish — builtin stddev/corr
+    * use Welford-style streaming accumulation whose float error is
+    * merge-order-dependent and can't hash-match another engine (AggSpec
+    * ties the builtins to these values within 1e-9).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val pd = round(col("l_extendedprice")).cast("long") // integer dollars
+    t(spark, dir, "lineitem")
+      .select(q.as("q"), pd.as("pd"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"), sum(col("pd")).as("sp"),
+        sum(col("pd") * col("pd")).as("spp"), sum(col("q") * col("pd")).as("sqp"))
+      // exact integer sums cast to double FIRST, then one shared float
+      // formula — cross products like sq² overflow BIGINT at larger SFs
+      .select(col("n").as("n"), col("n").cast("double").as("nd"),
+        col("sq").cast("double").as("sq"), col("sqq").cast("double").as("sqq"),
+        col("sp").cast("double").as("sp"), col("spp").cast("double").as("spp"),
+        col("sqp").cast("double").as("sqp"))
+      .select(
+        col("n"),
+        sqrt((col("sqq") * col("nd") - col("sq") * col("sq")) /
+          (col("nd") * (col("nd") - 1))).as("stddev_qty"),
+        ((col("sqp") * col("nd") - col("sq") * col("sp")) /
+          (sqrt(col("sqq") * col("nd") - col("sq") * col("sq")) *
+            sqrt(col("spp") * col("nd") - col("sp") * col("sp"))))
+          .as("corr_qty_price"))
+  }
+
+  /** Fixed-width histogram of order totals (12 × 50k buckets) — one pass,
+    * bucket id from identical IEEE division on both engines.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(11)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
+    "q85_percentiles" -> percentiles _,
+    "q86_stats" -> stats _,
+    "q87_histogram" -> histogram _,
     "q43_grouping_sets" -> groupingSets _,
     "q44_salted_agg" -> ((s: SparkSession, d: String) => saltedAgg(s, d)),
     "q31_cube" -> cubeFlags _,
@@ -105,6 +165,34 @@ object AggPack extends QueryPack {
     "q35_topk" -> topkOrders _)
 
   val oracle = Map(
+    "q85_percentiles" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+        |  quantile_cont(l_quantity, 0.95) AS qty_p95,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS price_cents_p50,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95) AS price_cents_p95
+        |FROM lineitem""".stripMargin,
+    "q86_stats" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) AS sq,
+        |    CAST(CAST(sum(q*q) AS BIGINT) AS DOUBLE) AS sqq,
+        |    CAST(CAST(sum(pd) AS BIGINT) AS DOUBLE) AS sp,
+        |    CAST(CAST(sum(pd*pd) AS BIGINT) AS DOUBLE) AS spp,
+        |    CAST(CAST(sum(q*pd) AS BIGINT) AS DOUBLE) AS sqp
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |          CAST(round(l_extendedprice) AS BIGINT) AS pd
+        |        FROM lineitem) t)
+        |SELECT n,
+        |  sqrt((sqq*nd - sq*sq) / (nd * (nd - 1))) AS stddev_qty,
+        |  (sqp*nd - sq*sp) /
+        |    (sqrt(sqq*nd - sq*sq) * sqrt(spp*nd - sp*sp)) AS corr_qty_price
+        |FROM s""".stripMargin,
+    "q87_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q43_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

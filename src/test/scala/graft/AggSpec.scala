@@ -20,6 +20,17 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-sum stddev/corr agree with the streaming builtins within 1e-9") {
+    import org.apache.spark.sql.functions._
+    val formula = AggPack.stats(spark, dir).head()
+    val builtin = Tables.t(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice")).cast("long").as("pd"))
+      .agg(stddev_samp(col("q")), corr(col("q"), col("pd"))).head()
+    assert(math.abs(formula.getDouble(1) - builtin.getDouble(0)) < 1e-9)
+    assert(math.abs(formula.getDouble(2) - builtin.getDouble(1)) < 1e-9)
+  }
+
   test("topk limit plans as TakeOrderedAndProject, not a global sort") {
     val plan = AggPack.topkOrders(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
