@@ -151,11 +151,36 @@ object AggPack extends QueryPack {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** Built-in pivot: line statuses become columns, one row per return
+    * flag. Pivot values are enumerated explicitly — at scale an implicit
+    * pivot would first run a distinct scan to discover them.
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("l_returnflag"))
+
+  /** Deterministic 10% sample: rows whose md5(key) starts below a fixed
+    * hex threshold. Unlike RNG sampling this is reproducible on any
+    * engine/cluster/partitioning — the sampling pattern that survives
+    * distribution (and the oracle can replay it exactly).
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "1a")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
     "q85_percentiles" -> percentiles _,
     "q86_stats" -> stats _,
     "q87_histogram" -> histogram _,
+    "q88_pivot" -> pivotStatus _,
+    "q91_hash_sample" -> hashSample _,
     "q43_grouping_sets" -> groupingSets _,
     "q44_salted_agg" -> ((s: SparkSession, d: String) => saltedAgg(s, d)),
     "q31_cube" -> cubeFlags _,
@@ -193,6 +218,15 @@ object AggPack extends QueryPack {
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) AS bucket,
         |  count(*) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q88_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q91_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY o_orderkey""".stripMargin,
     "q43_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

@@ -116,8 +116,24 @@ object TextPack extends QueryPack {
       .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("pred_lang"))
 
+  /** Text normalization — the cleaning stage before tokenize/dedup:
+    * lowercase, strip non-alphanumerics to spaces, collapse whitespace
+    * runs, trim. Pure codegen'd string expressions, one map pass.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  def normalizeDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), normalize(col("text")).as("norm_text"),
+        size(tokens(normalize(col("text")))).as("n_norm_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
+    "q59_normalize" -> normalizeDocs _,
     "q61_quality_by_source" -> qualityBySource _,
     "q62_fingerprints" -> fingerprints _,
     "q63_langid_rollup" -> langIdRollup _)
@@ -135,6 +151,15 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q59_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(len(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')), ' ')) AS INT) AS n_norm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_text_stats" ->
       s"""SELECT *,
          |  (n_tokens >= 5 AND stopword_ratio <= 0.5
