@@ -54,9 +54,22 @@ object TrafficPack extends QueryPack {
         round(sum(col("l_quantity")), 2).as("sum_up"),
         round(sum(col("l_extendedprice")), 2).as("sum_down"))
 
+  /** Exact money aggregation in DECIMAL(18,2) — the type-system answer to
+    * float-sum nondeterminism: decimal addition is exact and associative,
+    * so ANY partial-aggregation order gives the same result (results cast
+    * back to DECIMAL(18,2) so both engines dump the identical type).
+    */
+  def decimalAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("sum_price_dec"))
+      .orderBy(col("l_returnflag"))
+
   val queries = Map(
     "q01_traffic_rollup" -> trafficRollup _,
-    "q02_traffic_total" -> trafficTotal _)
+    "q02_traffic_total" -> trafficTotal _,
+    "q03_decimal_agg" -> decimalAgg _)
 
   val oracle = Map(
     "q01_traffic_rollup" ->
@@ -69,5 +82,10 @@ object TrafficPack extends QueryPack {
       """SELECT count(*) AS n_rows,
         |  round(sum(l_quantity), 2) AS sum_up,
         |  round(sum(l_extendedprice), 2) AS sum_down
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q03_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS sum_price_dec
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

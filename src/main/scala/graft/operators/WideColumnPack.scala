@@ -65,8 +65,24 @@ object WideColumnPack extends QueryPack {
           col("value"))).as("priority"))
       .orderBy(col("rowkey"))
 
+  /** Family-map view: the reference's `getNoVersionMap` shape — family →
+    * (qualifier → newest value) — one row per (rowkey, family), the map
+    * dumped as a sorted qualifier=value string (map iteration order is not
+    * semantics).
+    */
+  def familyMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.cells(spark, dir)
+      .withColumn("rn", row_number().over(verWin))
+      .filter(col("rn") === 1)
+      .groupBy(col("rowkey"), col("family"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(concat(col("qualifier"), lit("="), col("value")))))
+        .as("qualifiers"))
+      .orderBy(col("rowkey"), col("family"))
+
   val queries = Map(
     "q45_widecol_prefix_scan" -> prefixScan _,
+    "q51_widecol_family_map" -> familyMap _,
     "q46_widecol_point_get" -> pointGet _,
     "q47_widecol_latest_pivot" -> latestPivot _)
 
@@ -74,6 +90,16 @@ object WideColumnPack extends QueryPack {
     s"WITH cells AS (\n${Tables.cellsSql}\n)\n$body"
 
   val oracle = Map(
+    "q51_widecol_family_map" -> withCells(
+      """SELECT rowkey, family,
+        |  array_to_string(list_sort(list(qualifier || '=' || value)), ',')
+        |    AS qualifiers
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                               ORDER BY version DESC) AS rn
+        |  FROM cells) t
+        |WHERE rn = 1 GROUP BY rowkey, family
+        |ORDER BY rowkey, family""".stripMargin),
     "q45_widecol_prefix_scan" -> withCells(
       """SELECT rowkey, family, qualifier, value, version FROM (
         |  SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier

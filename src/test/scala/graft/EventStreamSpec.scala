@@ -70,6 +70,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermarked dropDuplicates suppresses replays across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "fp")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp", "ts")
+    val q = docs.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), "docA"), (ts("2024-01-01 10:00:00"), "docB"))
+      q.processAllAvailable()
+      // replay of docA in a later batch (same fp+ts) must be suppressed by
+      // the dedup state, which the watermark keeps bounded
+      input.addData((ts("2024-01-01 10:00:00"), "docA"), (ts("2024-01-01 10:30:00"), "docC"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect().map(_.getString(1))
+      assert(out.sorted.toSeq == Seq("docA", "docB", "docC"), out.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases join errors within 30 minutes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
