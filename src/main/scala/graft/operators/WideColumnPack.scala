@@ -25,6 +25,15 @@ object WideColumnPack extends QueryPack {
     Window.partitionBy(col("rowkey"), col("family"), col("qualifier"))
       .orderBy(col("version").desc)
 
+  /** Newest-version cell per (rowkey, family, qualifier) — the retention
+    * rule in ONE place (the rn<=N scan variants parameterize the same
+    * window in prefixScan/pointGet).
+    */
+  private def latestCells(spark: SparkSession, dir: String): DataFrame =
+    Tables.cells(spark, dir)
+      .withColumn("rn", row_number().over(verWin))
+      .filter(col("rn") === 1)
+
   /** Prefix + reversed scan with maxVersions(3) retention — the literal
     * hw3 scan (PrefixFilter("G202005790") + setReversed + 3 versions).
     */
@@ -52,9 +61,7 @@ object WideColumnPack extends QueryPack {
     * (family→qualifier→newest value) as columns.
     */
   def latestPivot(spark: SparkSession, dir: String): DataFrame =
-    Tables.cells(spark, dir)
-      .withColumn("rn", row_number().over(verWin))
-      .filter(col("rn") === 1)
+    latestCells(spark, dir)
       .groupBy(col("rowkey"))
       .agg(
         max(when(col("family") === "order" && col("qualifier") === "status",
@@ -71,9 +78,7 @@ object WideColumnPack extends QueryPack {
     * semantics).
     */
   def familyMap(spark: SparkSession, dir: String): DataFrame =
-    Tables.cells(spark, dir)
-      .withColumn("rn", row_number().over(verWin))
-      .filter(col("rn") === 1)
+    latestCells(spark, dir)
       .groupBy(col("rowkey"), col("family"))
       .agg(concat_ws(",",
         sort_array(collect_list(concat(col("qualifier"), lit("="), col("value")))))
