@@ -125,8 +125,12 @@ object DedupPack extends QueryPack {
     // undirected edges, both directions
     val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed round for free: label = min(self, direct neighbors) — one hop
+    // of propagation without a convergence check
+    var labels = edges
+      .groupBy(col("d1").as("doc_id"))
+      .agg(least(min(col("d2")), first(col("d1"))).as("label"))
+      .cache()
     var changed = true
     var rounds = 0
     while (changed && rounds < 20) {
@@ -140,6 +144,7 @@ object DedupPack extends QueryPack {
         .cache()
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist() // superseded round — don't accumulate cached frames
       labels = next
       rounds += 1
     }
