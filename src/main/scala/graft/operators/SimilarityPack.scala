@@ -37,7 +37,7 @@ object SimilarityPack extends QueryPack {
         round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("q_id"), col("rk"))
   }
@@ -98,7 +98,7 @@ object SimilarityPack extends QueryPack {
         round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rk", row_number().over(w))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("q_id"), col("rk"))
   }
@@ -164,7 +164,7 @@ object SimilarityPack extends QueryPack {
         round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rk", row_number().over(w))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("q_id"), col("rk"))
   }

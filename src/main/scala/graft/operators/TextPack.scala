@@ -30,9 +30,9 @@ object TextPack extends QueryPack {
     val nToks = size(toks)
     val stop = lit(stopwords.toArray)
     Seq(
-      length(text).as("n_chars"),
-      nToks.as("n_tokens"),
-      size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).as("n_bpeish_tokens"),
+      length(text).cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long").as("n_bpeish_tokens"),
       (size(filter(toks, t => array_contains(stop, t))).cast("double") /
         nToks).as("stopword_ratio"),
       (size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") /

@@ -24,7 +24,7 @@ object WindowPack extends QueryPack {
       .orderBy(col("o_orderdate").desc, col("o_orderkey"))
     t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
         tsMillis(col("o_orderdate")).as("ts_ms"))
@@ -36,8 +36,8 @@ object WindowPack extends QueryPack {
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
     t(spark, dir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
   }

@@ -19,7 +19,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
     // per query at most k results, ranked 1..k without gaps
     annRows.groupBy(_.getLong(0)).foreach { case (_, rows) =>
-      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length.toLong))
     }
   }
 
@@ -34,7 +34,7 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (ivf intersect brute).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall=$recall")
     ivfRows.groupBy(_.getLong(0)).foreach { case (_, rows) =>
-      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length.toLong))
     }
   }
 

@@ -57,6 +57,10 @@ def main(sf_dir, out_dir):
                   f"{list(want.columns)}")
             n_fail += 1
             continue
+        dt_diff = [(c, str(got[c].dtype), str(want[c].dtype))
+                   for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_diff:
+            print(f"WARN {name}: dtype drift {dt_diff}")
         g_rows = [tuple(canon(v) for v in r)
                   for r in got.itertuples(index=False)]
         w_rows = [tuple(canon(v) for v in r)
