@@ -67,7 +67,47 @@ object RelationalPack extends QueryPack {
         |where id > 100 and age < 20 order by cast(id as int)""".stripMargin)
   }
 
+  /** Literal IN-subquery — Catalyst decorrelates to a left-semi join. */
+  def inSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "customer").createOrReplaceTempView("customer_rel")
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_rel")
+    spark.sql(
+      """select c_custkey, c_mktsegment from customer_rel
+        |where c_custkey in (select o_custkey from orders_rel
+        |                    where o_orderstatus = 'F')
+        |order by c_custkey""".stripMargin)
+  }
+
+  /** NOT IN against a subquery containing NULLs: three-valued logic makes
+    * the whole predicate never-true, so the result is EMPTY — the classic
+    * SQL trap, asserted equal across engines (mirrors the reference's
+    * `id <> null` study at the subquery level).
+    */
+  def notInWithNulls(spark: SparkSession, dir: String): DataFrame = {
+    Tables.studentView(spark, dir)
+    spark.sql(
+      """select id, name from student
+        |where id not in (select id from student where sex = 'm')
+        |order by cast(id as int)""".stripMargin)
+  }
+
+  /** Correlated scalar subquery — decorrelated to an aggregate + left
+    * outer join (the §4 "subquery decorrelation" batch, exercised).
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "customer").createOrReplaceTempView("customer_rel")
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_rel")
+    spark.sql(
+      """select c_custkey,
+        |  (select round(max(o_totalprice), 2) from orders_rel
+        |   where o_custkey = c_custkey) as max_order
+        |from customer_rel order by c_custkey""".stripMargin)
+  }
+
   val queries = Map(
+    "q14_in_subquery" -> inSubquery _,
+    "q15_not_in_nulls" -> notInWithNulls _,
+    "q16_scalar_subquery" -> scalarSubquery _,
     "q10_hw5_q1" -> hw5Q1 _,
     "q11_hw5_q2" -> hw5Q2 _,
     "q12_filter_merge" -> filterMerge _,
@@ -77,6 +117,20 @@ object RelationalPack extends QueryPack {
     s"WITH student AS (\n${Tables.studentSql}\n)\n$body"
 
   val oracle = Map(
+    "q14_in_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_not_in_nulls" -> withStudent(
+      """SELECT id, name FROM student
+        |WHERE id NOT IN (SELECT id FROM student WHERE sex = 'm')
+        |ORDER BY CAST(id AS INT)""".stripMargin),
+    "q16_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT round(max(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q10_hw5_q1" -> withStudent(
       "SELECT name FROM (SELECT id, name, age FROM student WHERE age > 18 AND id <> NULL) t WHERE age < 35"),
     "q11_hw5_q2" -> withStudent(

@@ -72,6 +72,23 @@ class RelationalPlanSpec extends AnyFunSuite {
     assert(opt.toString.contains("ELSE isnotnull("), s"no inferred isnotnull:\n$opt")
   }
 
+  test("subquery decorrelation: IN -> semi join, scalar subquery -> outer join + agg") {
+    import org.apache.spark.sql.catalyst.plans.{LeftOuter, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val in = operators.RelationalPack.inSubquery(spark, SparkTestSession.sfDir)
+      .queryExecution.optimizedPlan
+    assert(in.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty, in.toString)
+    val sc = operators.RelationalPack.scalarSubquery(spark, SparkTestSession.sfDir)
+      .queryExecution.optimizedPlan
+    assert(sc.collect { case j: Join if j.joinType == LeftOuter => j }.nonEmpty, sc.toString)
+    assert(sc.collect { case a: Aggregate => a }.nonEmpty)
+  }
+
+  test("NOT IN over a null-bearing subquery yields the empty result (3VL)") {
+    val rows = operators.RelationalPack.notInWithNulls(spark, SparkTestSession.sfDir)
+    assert(rows.collect().isEmpty)
+  }
+
   test("column pruning reaches the parquet scan") {
     prep()
     val exec = spark.sql("select name from student where age > 18")
