@@ -66,10 +66,26 @@ object TrafficPack extends QueryPack {
         .cast("decimal(18,2)").as("sum_price_dec"))
       .orderBy(col("l_returnflag"))
 
+  /** The reference's literal output shape: key + tab-joined "%d\t%d\t%d"
+    * value line (MyReduce.java:30) — format_string over integer-quantity
+    * sums.
+    */
+  def formattedOutput(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("up"),
+        sum(col("l_linenumber").cast("long")).as("down"))
+      .select(col("l_orderkey"),
+        format_string("%d\t%d\t%d", col("up"), col("down"), col("up") + col("down"))
+          .as("line"))
+      .orderBy(col("l_orderkey"))
+
   val queries = Map(
     "q01_traffic_rollup" -> trafficRollup _,
     "q02_traffic_total" -> trafficTotal _,
-    "q03_decimal_agg" -> decimalAgg _)
+    "q03_decimal_agg" -> decimalAgg _,
+    "q04_formatted_output" -> formattedOutput _)
 
   val oracle = Map(
     "q01_traffic_rollup" ->
@@ -87,5 +103,15 @@ object TrafficPack extends QueryPack {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
         |    AS sum_price_dec
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q04_formatted_output" ->
+      // DuckDB literals don't process \t — chr(9) builds the real tab
+      """SELECT l_orderkey,
+        |  CAST(up AS VARCHAR) || chr(9) || CAST(down AS VARCHAR) || chr(9)
+        |    || CAST(up + down AS VARCHAR) AS line
+        |FROM (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS up,
+        |        CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS down
+        |      FROM lineitem GROUP BY l_orderkey) t
+        |ORDER BY l_orderkey""".stripMargin)
 }
