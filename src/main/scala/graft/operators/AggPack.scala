@@ -30,11 +30,16 @@ object AggPack extends QueryPack {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
-  /** ROLLUP (hierarchical subset of CUBE). */
+  /** ROLLUP (hierarchical subset of CUBE). Price summed in exact integer
+    * cents: the global rollup row sums ~1e10 of cent-grid doubles, where
+    * accumulation-order float error (~1e-6) gives a small but real chance
+    * of landing across a half-cent rounding boundary per round.
+    */
   def rollupFlags(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+        .as("sum_price"), count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Exact multi-column COUNT(DISTINCT) — Catalyst plans the expand +
@@ -249,7 +254,9 @@ object AggPack extends QueryPack {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_price,
+        |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q33_count_distinct" ->

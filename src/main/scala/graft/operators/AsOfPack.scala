@@ -36,6 +36,10 @@ object AsOfPack extends QueryPack {
     val payload = struct((rightTime +: rightCols.filterNot(_ == rightTime))
       .map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType.catalogString
+    // a NULL right time can never satisfy time >= rightTime (ASOF semantics),
+    // but its payload STRUCT is non-null and would sort NULLS-first and be
+    // carried by last(ignoreNulls) — drop such rows up front
+    val rightClean = right.filter(col(rightTime).isNotNull)
     // side 0 (right) sorts before side 1 (left) at equal time, so an
     // equal-timestamp right row matches (>= semantics)
     val rightSide = Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
@@ -43,7 +47,7 @@ object AsOfPack extends QueryPack {
       payload.as("__match")
     val leftSide = Seq(col(key), col(leftTime).as("__t"), lit(1).as("__side")) ++
       leftCols.map(col) :+ lit(null).cast(payloadType).as("__match")
-    val tagged = right.select(rightSide: _*).unionAll(left.select(leftSide: _*))
+    val tagged = rightClean.select(rightSide: _*).unionAll(left.select(leftSide: _*))
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = (col(key) +: leftCols.map(col)) ++

@@ -71,16 +71,19 @@ object DedupPack extends QueryPack {
     MinHashSig.register(spark)
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), NGramShingles.shinglesFast(tokens(col("text")), 3).as("sh"))
-    val sig = docs.select(col("doc_id"), col("sh"),
+    val sig = docs.select(col("doc_id"),
       MinHashSig.minhashFast(col("sh"), 16).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sh"),
+    // only (doc_id, band key) crosses the candidate-join shuffle — the
+    // shingle arrays are fetched AFTER dedup, for candidate pairs only
+    val banded = sig.select(col("doc_id"),
       explode(lshBands(col("sig"), 4, 4)).as("band"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
     candidates
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
@@ -149,6 +152,10 @@ object DedupPack extends QueryPack {
       rounds += 1
     }
     edges.unpersist()
+    if (changed)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $rounds rounds " +
+          "(component diameter exceeds the cap) — raise the round limit")
     labels.orderBy(col("doc_id"))
   }
 

@@ -26,6 +26,16 @@ object SimilarityPack extends QueryPack {
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Shared top-k tail: rank scored candidates per query, keep k, with the
+    * bigint-rank dtype contract in one place.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Exact top-k neighbors (cosine) for the probe vectors. */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
@@ -35,11 +45,7 @@ object SimilarityPack extends QueryPack {
     val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy(col("q_id"), col("rk"))
+    topK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes, generated ONCE driver-side
@@ -76,6 +82,7 @@ object SimilarityPack extends QueryPack {
     */
   def annTopK(spark: SparkSession, dir: String,
               nQueries: Int = 8, k: Int = 5): DataFrame = {
+    CosineSimilarity.register(spark) // cosineFast below needs the registry
     val nBits = 32
     val bands = 8
     val rows = nBits / bands
@@ -96,11 +103,7 @@ object SimilarityPack extends QueryPack {
       .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id"),
         round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy(col("q_id"), col("rk"))
+    topK(cand, k)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
@@ -139,6 +142,13 @@ object SimilarityPack extends QueryPack {
         m.map(_ / members.length)
       }
     }.toArray
+    // normalize to unit length so the runtime dot-product cell ranking is
+    // the same cosine metric the refinement assigned by (mean centroids
+    // have unequal norms, which would bias cells toward large-norm means)
+    centroids = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
 
     val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
     def cellRank(embCol: Column): Column =
@@ -160,13 +170,10 @@ object SimilarityPack extends QueryPack {
         explode(slice(cellRank(col("q_emb")), 1, nProbe)).as("cell"))
     val cand = corpus.join(broadcast(probes),
         corpus("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
       .select(col("q_id"), col("vec_id"),
         round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy(col("q_id"), col("rk"))
+    topK(cand, k)
   }
 
   val queries = Map(

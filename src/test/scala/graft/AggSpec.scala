@@ -8,6 +8,12 @@ class AggSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = SparkTestSession.sfDir
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key has a matching query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("approx_count_distinct within 5% of exact per group") {
     val exact = AggPack.countDistincts(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
