@@ -23,6 +23,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null (not a garbage number) for malformed inputs: mismatched lengths
+  // and zero-norm vectors — DuckDB's list_cosine_similarity errors on the
+  // former; silently truncating would let a bad embedding pass unnoticed
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -40,7 +45,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var dot = 0.0
@@ -55,7 +61,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ny += yv * yv
       i += 1
     }
-    dot / math.sqrt(nx * ny)
+    if (nx == 0.0 || ny == 0.0) null else dot / math.sqrt(nx * ny)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -70,16 +76,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.$lGet($i);
-         |  double $yv = (double) $b.$rGet($i);
-         |  $dot += $xv * $yv;
-         |  $nx += $xv * $xv;
-         |  $ny += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $a.$lGet($i);
+         |    double $yv = (double) $b.$rGet($i);
+         |    $dot += $xv * $yv;
+         |    $nx += $xv * $xv;
+         |    $ny += $yv * $yv;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
        """.stripMargin
     })
   }

@@ -41,12 +41,21 @@ object NGramShingles {
   val fnName = "graft_shingles"
 
   def compute(tokens: ArrayData, n: Int): ArrayData = {
-    val nTok = tokens.numElements()
+    // drop null elements up front: the function is SQL-registered and
+    // callable on array<string> with containsNull=true; concatWs would NPE
+    val nRaw = tokens.numElements()
+    val toks = new Array[UTF8String](nRaw)
+    var nTok = 0
+    var r = 0
+    while (r < nRaw) {
+      if (!tokens.isNullAt(r)) { toks(nTok) = tokens.getUTF8String(r); nTok += 1 }
+      r += 1
+    }
     val seen = new mutable.LinkedHashSet[UTF8String]
     if (nTok < n) {
       val parts = new Array[UTF8String](nTok)
       var i = 0
-      while (i < nTok) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      while (i < nTok) { parts(i) = toks(i); i += 1 }
       seen += UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
     } else {
       var i = 0
@@ -54,7 +63,7 @@ object NGramShingles {
       while (i + n <= nTok) {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
         seen += UTF8String.concatWs(space, parts: _*)
         i += 1
       }
@@ -104,13 +113,16 @@ object MinHashSig {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val s = shingles.getUTF8String(i)
-      var j = 0
-      while (j < k) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), j.toLong)
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      // skip null elements — SQL-registered, callable with containsNull=true
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }

@@ -46,18 +46,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHash64 {
   val fnName = "graft_simhash64"
 
-  /** Shared kernel for eval and codegen. */
+  /** Shared kernel for eval and codegen. Null elements are skipped — the
+    * function is SQL-registered and callable on arbitrary array<string>
+    * with containsNull=true; a null token carries no signal.
+    */
   def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val t = tokens.getUTF8String(i)
-      val h = hashToken(t)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        val h = hashToken(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

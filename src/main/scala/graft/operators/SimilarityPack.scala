@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HyperplaneSignature}
 
 /** Similarity-search pack over `embeddings` (64-dim float vectors).
   *
@@ -48,20 +48,24 @@ object SimilarityPack extends QueryPack {
     topK(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplanes, generated ONCE driver-side
-    * (seeded) and baked into the plan as literals. The first formulation
-    * derived each coefficient from xxhash64(plane, dim) per ROW — millions
-    * of redundant hash evaluations inside interpreted HOFs (6.5s on sf0.1);
-    * literal planes cost nothing at runtime.
+  /** nBits-bit sign signature under seeded deterministic hyperplanes —
+    * native codegen expression (one fused pass per row). The planes derive
+    * from (nBits, dims, seed) on every JVM identically, so nothing ships
+    * with the plan. See HyperplaneSignature for the history: this was
+    * first per-row hashing in interpreted HOFs, then literal planes still
+    * inside 32 interpreted aggregate/zip_with walks (13.1s on sf0.1 as the
+    * bench's slowest query), now generated Java.
     */
-  private def planes(nBits: Int, dims: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(nBits)(Seq.fill(dims)(rnd.nextDouble() - 0.5))
-  }
+  def lshSignature(emb: Column, nBits: Int): Column =
+    HyperplaneSignature.signature(emb, nBits, dims = 64, seed = 42)
 
-  /** nBits-bit sign signature of an embedding under the literal planes. */
-  def lshSignature(emb: Column, nBits: Int): Column = {
-    val p = planes(nBits, 64)
+  /** The original HOF formulation — REFERENCE SEMANTICS for the native
+    * expression (bit-equivalence asserted in SimilaritySpec); not on any
+    * production path.
+    */
+  def lshSignatureRef(emb: Column, nBits: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val p = Seq.fill(nBits)(Seq.fill(64)(rnd.nextDouble() - 0.5))
     array(p.map { plane =>
       (aggregate(
         zip_with(emb, typedlit(plane), (x, c) => x.cast("double") * c),
@@ -83,6 +87,7 @@ object SimilarityPack extends QueryPack {
   def annTopK(spark: SparkSession, dir: String,
               nQueries: Int = 8, k: Int = 5): DataFrame = {
     CosineSimilarity.register(spark) // cosineFast below needs the registry
+    HyperplaneSignature.register(spark)
     val nBits = 32
     val bands = 8
     val rows = nBits / bands

@@ -38,6 +38,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native HyperplaneSignature == HOF reference signature, bit-identical") {
+    import org.apache.spark.sql.functions._
+    graft.functions.HyperplaneSignature.register(spark)
+    val e = Tables.t(spark, dir, "embeddings")
+    val diff = e.select(
+        SimilarityPack.lshSignature(col("embedding"), 32).as("native"),
+        SimilarityPack.lshSignatureRef(col("embedding"), 32).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0, s"$diff rows differ between native and HOF signatures")
+  }
+
   test("native CosineSimilarity expression == HOF cosine, bit-identical") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSimilarity.register(spark)
