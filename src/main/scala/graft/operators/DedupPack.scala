@@ -33,17 +33,34 @@ object DedupPack extends QueryPack {
     * explode distinct shingles → self-join on shingle → count intersections
     * → |A∩B| / (|A|+|B|-|A∩B|). This is the ground-truth near-dup set the
     * sketch variants approximate.
+    *
+    * Hot-shingle cap: a shingle shared by f docs contributes f²/2 rows to
+    * the self-join, so one stop-word-like shingle with f=10⁶ yields 10¹²
+    * candidate pairs at corpus scale. Shingles with document frequency
+    * above `dfCap` are dropped from the shingle universe (sizes AND
+    * intersections — jaccard stays internally consistent, now over the
+    * discriminative shingles only), bounding every shingle's join fan-out
+    * at dfCap²/2. The DuckDB oracle applies the identical cap; at the test
+    * SFs no shingle comes near it (max df: 7 at sf0.01, 25 at sf0.1 —
+    * DedupSpec proves cap-insensitivity), so the cap only changes behavior
+    * where the uncapped join would melt down anyway.
     */
-  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   dfCap: Int = 100): DataFrame = {
     NGramShingles.register(spark)
     // join on the 64-bit shingle hash, not the string: the self-join
     // shuffle then moves 8-byte keys instead of ~20-byte text (collision
     // probability over n shingles ≈ n²/2⁶⁵ — irrelevant at any corpus size
     // that fits a cluster)
-    val sh = t(spark, dir, "documents")
+    val raw = t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(NGramShingles.shinglesFast(tokens(col("text")), 3)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // the hot list is small by construction (few shingles exceed the cap)
+    // → broadcast anti-join, no second shuffle of the postings
+    val hot = raw.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val sh = raw.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -118,40 +135,52 @@ object DedupPack extends QueryPack {
   /** Near-dup clusters: connected components over the jaccard pair graph,
     * each doc labeled with its component's smallest doc_id — the "keep one
     * representative per duplicate cluster" output a pipeline actually
-    * consumes. Computed by iterative min-label propagation (each round one
-    * self-join on the pair edges) to a fixpoint — the standard scalable
-    * formulation; rounds ≤ graph diameter, edges stay partitioned by key.
+    * consumes. Computed by iterative min-label propagation to a fixpoint —
+    * rounds ≤ graph diameter, edges stay partitioned by key.
+    *
+    * Scale shape: ONE Spark job per round. The changed-row count is folded
+    * into the propagation aggregate (each doc carries its old label through
+    * the round), so the convergence probe is the same action that
+    * materializes the round — no separate driver job. Every round's result
+    * is localCheckpoint'ed, truncating lineage so round N's plan never
+    * re-derives rounds 1..N-1 (superseded checkpoint blocks are released by
+    * the ContextCleaner once the driver drops the reference).
     */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val pairs = dedupJaccard(spark, dir, threshold)
       .select(col("d1"), col("d2"))
-    // undirected edges, both directions
+    // undirected edges, both directions; checkpoint so the jaccard job
+    // (shingle self-join) runs exactly once, not once per round
     val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .cache()
+      .localCheckpoint()
     // seed round for free: label = min(self, direct neighbors) — one hop
     // of propagation without a convergence check
     var labels = edges
       .groupBy(col("d1").as("doc_id"))
       .agg(least(min(col("d2")), first(col("d1"))).as("label"))
-      .cache()
+      .localCheckpoint()
     var changed = true
     var rounds = 0
     while (changed && rounds < 20) {
-      val propagated = edges
-        .join(labels, edges("d2") === labels("doc_id"))
-        .groupBy(edges("d1").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(propagated, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels.unpersist() // superseded round — don't accumulate cached frames
-      labels = next
+      // one aggregate computes the new label AND recovers the old one:
+      // neighbor candidates carry old=null, the self row carries
+      // cand=old=label; min(cand) propagates, max(old) picks the unique
+      // non-null old label. The count() action below both materializes the
+      // lazy checkpoint and returns the convergence flag — one job total.
+      val next = edges.join(labels, edges("d2") === labels("doc_id"))
+        .select(edges("d1").as("doc_id"), col("label").as("cand"),
+          lit(null).cast("long").as("old"))
+        .unionAll(labels.select(col("doc_id"), col("label").as("cand"),
+          col("label").as("old")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("cand")).as("label"), max(col("old")).as("old"))
+        .localCheckpoint(eager = false)
+      changed = next
+        .select(coalesce(sum(when(col("label") =!= col("old"), 1L)), lit(0L)).as("c"))
+        .head().getLong(0) > 0
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
-    edges.unpersist()
     if (changed)
       throw new IllegalStateException(
         s"dedupClusters did not converge after $rounds rounds " +
@@ -189,13 +218,18 @@ object DedupPack extends QueryPack {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
     "q66_dedup_jaccard" ->
+      // hot-shingle df cap (> 100 dropped) mirrors the Spark side exactly;
+      // no test-SF shingle comes near it, so output is cap-insensitive here
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
         |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
         |    ELSE [array_to_string(w, ' ')] END) AS shingle
         |  FROM toks),
+        |sh AS (
+        |  SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -210,11 +244,14 @@ object DedupPack extends QueryPack {
     "q64_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
         |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
         |    ELSE [array_to_string(w, ' ')] END) AS shingle
         |  FROM toks),
+        |sh AS (
+        |  SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT d1, d2 FROM (

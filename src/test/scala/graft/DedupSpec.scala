@@ -74,6 +74,22 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.toSet.subsetOf(labels.keySet))
   }
 
+  test("hot-shingle df cap is output-neutral at test scale") {
+    // max shingle df is 7 at sf0.01 / 25 at sf0.1, far under the default
+    // cap of 100 — so capped and effectively-uncapped runs must agree
+    // exactly. (The cap only changes behavior where the uncapped self-join
+    // would be quadratic in a hot shingle's postings.)
+    val capped = DedupPack.dedupJaccard(spark, dir, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = DedupPack.dedupJaccard(spark, dir, 0.5, dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    // a cap of 1 drops every shared shingle, so no pair can intersect —
+    // sanity that the cap is actually wired into the join input
+    val tight = DedupPack.dedupJaccard(spark, dir, 0.5, dfCap = 1).collect()
+    assert(tight.isEmpty)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = DedupPack.dedupExact(spark, dir).collect()
     val docs = Tables.t(spark, dir, "documents")
