@@ -4,9 +4,9 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
@@ -14,18 +14,28 @@ import org.apache.spark.sql.types._
   * bit p = (dot(embedding, plane_p) > 0).
   *
   * The hyperplanes are seeded pseudo-random (driver/executor both derive
-  * the identical matrix from (nBits, dims, seed) — no data shipped) and
-  * cached per-JVM. Replaces the interpreted formulation that ran nBits
-  * aggregate/zip_with higher-order functions per row (nBits array walks
-  * with per-element lambda dispatch); this is one fused pass in generated
-  * Java, the same fix CosineSimilarity/SimHash64/MinHashSig got.
-  * Bit-identical to the HOF reference (index-order double accumulation) —
-  * asserted in SimilaritySpec.
+  * the identical matrix from (nBits, dims, seed) — no data shipped),
+  * cached per-JVM and hoisted into per-operator codegen state (no per-row
+  * map lookup). Replaces the interpreted formulation that ran nBits
+  * aggregate/zip_with higher-order functions per row; this is one fused
+  * pass in generated Java building an UnsafeArrayData directly, the same
+  * fix CosineSimilarity/SimHash64/MinHashSig got. Bit-identical to the
+  * HOF reference (index-order double accumulation; a NaN dot yields bit 1
+  * exactly like Spark SQL's `NaN > 0` ordering) — asserted in
+  * SimilaritySpec.
+  *
+  * An embedding whose length differs from `dims` yields NULL — silently
+  * truncating/zero-padding would let a malformed embedding produce a
+  * plausible-but-wrong signature (and the HOF reference null-propagates on
+  * length mismatch too, via zip_with).
   */
 case class HyperplaneSignature(child: Expression, nBits: Int, dims: Int, seed: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // null input OR wrong-length input → null output
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -37,13 +47,24 @@ case class HyperplaneSignature(child: Expression, nBits: Int, dims: Int, seed: L
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  @transient private lazy val planes =
+    HyperplaneSignature.planesFlat(nBits, dims, seed)
+
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneSignature.compute(
-      input.asInstanceOf[ArrayData], nBits, dims, seed, elemIsFloat)
+      input.asInstanceOf[ArrayData], planes, nBits, dims, elemIsFloat)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneSignature.compute($c, $nBits, $dims, ${seed}L, $elemIsFloat)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // per-operator plane matrix, resolved once at codegen-object init —
+    // the per-row cost is a field read, not a ConcurrentHashMap lookup
+    val planesVar = ctx.addMutableState("double[]", "hyperplanes",
+      v => s"$v = graft.functions.HyperplaneSignature.planesFlat($nBits, $dims, ${seed}L);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HyperplaneSignature.compute(
+        $c, $planesVar, $nBits, $dims, $elemIsFloat);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -68,35 +89,37 @@ object HyperplaneSignature {
     })
 
   /** Shared kernel for eval and codegen: one pass per plane, index-order
-    * double accumulation (bit-identical to the HOF aggregate/zip_with).
+    * double accumulation. NaN dots produce bit 1, matching Spark SQL's
+    * `dot > 0` under its NaN-greatest ordering, so the native expression
+    * stays bit-identical to the HOF reference even on non-finite input.
+    * Returns null when the embedding length doesn't equal `dims`.
     */
-  def compute(emb: ArrayData, nBits: Int, dims: Int, seed: Long,
+  def compute(emb: ArrayData, flat: Array[Double], nBits: Int, dims: Int,
               isFloat: Boolean): ArrayData = {
-    val flat = planesFlat(nBits, dims, seed)
-    val n = math.min(emb.numElements(), dims)
-    val out = new Array[Any](nBits)
+    if (emb.numElements() != dims) return null
+    val out = new Array[Int](nBits)
     var p = 0
     while (p < nBits) {
       val base = p * dims
       var dot = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dims) {
         val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
         dot += x * flat(base + i)
         i += 1
       }
-      out(p) = if (dot > 0.0) 1 else 0
+      out(p) = if (dot > 0.0 || java.lang.Double.isNaN(dot)) 1 else 0
       p += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => HyperplaneSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int].toLong), "scala_udf")
+        intLiteralArg(exprs(1), fnName, "nBits"),
+        intLiteralArg(exprs(2), fnName, "dims"),
+        intLiteralArg(exprs(3), fnName, "seed").toLong), "scala_udf")
 
   /** Column builder (requires register(spark) once per session). */
   def signature(emb: Column, nBits: Int, dims: Int = 64, seed: Int = 42): Column =

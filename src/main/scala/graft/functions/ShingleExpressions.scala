@@ -74,7 +74,7 @@ object NGramShingles {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => NGramShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        intLiteralArg(exprs(1), fnName, "n")), "scala_udf")
 
   def shinglesFast(tokens: Column, n: Int): Column =
     call_function(fnName, tokens, org.apache.spark.sql.functions.lit(n))
@@ -132,7 +132,7 @@ object MinHashSig {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        intLiteralArg(exprs(1), fnName, "k")), "scala_udf")
 
   def minhashFast(shingles: Column, k: Int): Column =
     call_function(fnName, shingles, org.apache.spark.sql.functions.lit(k))

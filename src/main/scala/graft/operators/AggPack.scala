@@ -117,6 +117,25 @@ object AggPack extends QueryPack {
         expr("percentile(price_cents, 0.5)").as("price_cents_p50"),
         expr("percentile(price_cents, 0.95)").as("price_cents_p95"))
 
+  /** Approximate percentiles — the 100 TB path q85 specializes. Exact
+    * percentile() buffers every group value in memory; approx_percentile
+    * (KLL-style sketch) is bounded-memory, mergeable map-side, and within
+    * 1/accuracy relative rank error. No DuckDB oracle (engine-specific
+    * sketch); AggSpec bounds |approx − exact| on the same columns, the
+    * q33/q34 exact-vs-approx pattern.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.25, 10000)").as("qty_p25"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_p50"),
+        expr("approx_percentile(l_quantity, 0.75, 10000)").as("qty_p75"),
+        expr("approx_percentile(l_quantity, 0.95, 10000)").as("qty_p95"),
+        expr("approx_percentile(price_cents, 0.5, 10000)").as("price_cents_p50"),
+        expr("approx_percentile(price_cents, 0.95, 10000)").as("price_cents_p95"))
+
   /** Sample stddev + Pearson correlation, assembled from exact integer-cent
     * power sums with one deterministic float finish — builtin stddev/corr
     * use Welford-style streaming accumulation whose float error is
@@ -182,6 +201,7 @@ object AggPack extends QueryPack {
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
     "q85_percentiles" -> percentiles _,
+    "q89_approx_percentiles" -> approxPercentiles _,
     "q86_stats" -> stats _,
     "q87_histogram" -> histogram _,
     "q88_pivot" -> pivotStatus _,

@@ -128,6 +128,9 @@ object MultimodalPack extends QueryPack {
         |  'text/plain' AS mime
         |FROM documents ORDER BY media_id""".stripMargin,
     "q76_media_features" ->
+      // NOTE: this oracle iterates CODEPOINTS (ord per char); the Spark side
+      // sums UTF-8 BYTES. Equal iff the fixture is pure ASCII — asserted per
+      // testdata dir in TextSpec ("q76 oracle precondition").
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CASE WHEN length(text) = 0 THEN 0.0

@@ -85,8 +85,27 @@ object WideColumnPack extends QueryPack {
         .as("qualifiers"))
       .orderBy(col("rowkey"), col("family"))
 
+  /** Byte-level cell fidelity (F9): every reference cell is a byte[] that
+    * strings pass through via Bytes.toBytes / Bytes.toString
+    * (HBaseClient.java:40-48, :72-77). This query performs that exact
+    * round-trip on the latest cells — value → UTF-8 bytes (stored as a
+    * BINARY column, dumped as raw bytes) → decoded string — with the byte
+    * length alongside, oracle-compared byte-for-byte.
+    */
+  def binaryRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    latestCells(spark, dir)
+      .select(col("rowkey"), col("family"), col("qualifier"),
+        encode(col("value"), "UTF-8").as("value_bin"), col("value"))
+      .select(col("rowkey"), col("family"), col("qualifier"),
+        col("value_bin"),
+        length(col("value_bin")).as("n_bytes"),
+        decode(col("value_bin"), "UTF-8").as("value_rt"),
+        (decode(col("value_bin"), "UTF-8") === col("value")).as("rt_ok"))
+      .orderBy(col("rowkey"), col("family"), col("qualifier"))
+
   val queries = Map(
     "q45_widecol_prefix_scan" -> prefixScan _,
+    "q52_widecol_binary_roundtrip" -> binaryRoundtrip _,
     "q51_widecol_family_map" -> familyMap _,
     "q46_widecol_point_get" -> pointGet _,
     "q47_widecol_latest_pivot" -> latestPivot _)
@@ -95,6 +114,18 @@ object WideColumnPack extends QueryPack {
     s"WITH cells AS (\n${Tables.cellsSql}\n)\n$body"
 
   val oracle = Map(
+    "q52_widecol_binary_roundtrip" -> withCells(
+      """SELECT rowkey, family, qualifier,
+        |  encode(value) AS value_bin,
+        |  CAST(octet_length(encode(value)) AS INT) AS n_bytes,
+        |  decode(encode(value)) AS value_rt,
+        |  decode(encode(value)) = value AS rt_ok
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                               ORDER BY version DESC) AS rn
+        |  FROM cells) t
+        |WHERE rn = 1
+        |ORDER BY rowkey, family, qualifier""".stripMargin),
     "q51_widecol_family_map" -> withCells(
       """SELECT rowkey, family,
         |  array_to_string(list_sort(list(qualifier || '=' || value)), ',')

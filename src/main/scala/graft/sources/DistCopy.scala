@@ -78,11 +78,16 @@ object DistCopy {
           }
         }
       }
+    // materialize the copies exactly ONCE, eagerly: the report Dataset is
+    // side-effecting, and returning it lazy would re-copy every file on
+    // each downstream action. localCheckpoint truncates the lineage, so no
+    // later recomputation can re-run the copy stage.
+    val report = results.localCheckpoint(eager = true)
     if (!ignoreFailures) {
-      val failed = results.filter(!_.ok).take(1)
+      val failed = report.filter(!_.ok).take(1)
       if (failed.nonEmpty)
         throw new RuntimeException(s"copy failed: ${failed.head.src}: ${failed.head.error}")
     }
-    results
+    report
   }
 }

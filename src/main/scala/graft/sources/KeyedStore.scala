@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,25 +16,41 @@ import org.apache.spark.sql.functions._
   * exactly like HBase's read-side version filtering. At scale: appends are
   * blind writes (no read-modify-write), version resolution happens once
   * per read and can be compacted by rewriting the latest-N per cell.
+  *
+  * Cell values are STRING by default; `binaryValues = true` stores
+  * `value BINARY` — the reference's actual cell type (HBaseClient.java:
+  * 40-48 round-trips every value through Bytes.toBytes/Bytes.toString,
+  * i.e. cells are byte[] and strings are one encoding of them). All read
+  * ops are value-type-agnostic (version resolution never touches the
+  * value), and `put` casts to whatever value type the table declares.
   */
 object KeyedStore {
 
   val schemaDdl = "rowkey STRING, family STRING, qualifier STRING, value STRING, version BIGINT"
+  val schemaDdlBinary = "rowkey STRING, family STRING, qualifier STRING, value BINARY, version BIGINT"
 
   /** DDL: create the cell table over a parquet location
     * (HBaseClient.java:122-144 createTable parity).
     */
-  def create(spark: SparkSession, table: String, location: String): Unit =
+  def create(spark: SparkSession, table: String, location: String,
+             binaryValues: Boolean = false): Unit = {
+    val ddl = if (binaryValues) schemaDdlBinary else schemaDdl
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $table ($schemaDdl) USING parquet LOCATION '$location'")
+      s"CREATE TABLE IF NOT EXISTS $table ($ddl) USING parquet LOCATION '$location'")
+  }
 
   /** Put: append cells (HBaseClient.java:83-120). Accepts any DataFrame
-    * with the cell schema; a single Put row is a 1-row DataFrame.
+    * with the cell schema; a single Put row is a 1-row DataFrame. The
+    * value column is cast to the table's declared value type (string or
+    * binary — a string Put into a binary table stores its UTF-8 bytes,
+    * exactly Bytes.toBytes).
     */
-  def put(spark: SparkSession, table: String, cells: DataFrame): Unit =
+  def put(spark: SparkSession, table: String, cells: DataFrame): Unit = {
+    val valueType = spark.table(table).schema("value").dataType
     cells.select(col("rowkey"), col("family"), col("qualifier"),
-      col("value").cast("string"), col("version").cast("long"))
+      col("value").cast(valueType), col("version").cast("long"))
       .write.mode("append").insertInto(table)
+  }
 
   private val verWin =
     Window.partitionBy(col("rowkey"), col("family"), col("qualifier"))
@@ -58,14 +75,27 @@ object KeyedStore {
 
   /** Compaction: rewrite the table keeping only the newest `maxVersions`
     * per cell — the background process that makes blind-append Puts
-    * sustainable (read amplification stays bounded). Rewrites through a
-    * temp view snapshot because the scan reads the table being replaced.
+    * sustainable (read amplification stays bounded). Fully distributed:
+    * the kept cells are written to a sibling temp directory by the
+    * executors, then swapped into the table location with two metadata
+    * renames — the driver never holds a row. A crash between the renames
+    * leaves the previous data recoverable in the `_old` dir.
     */
   def compact(spark: SparkSession, table: String, maxVersions: Int = 3): Unit = {
-    val kept = scan(spark, table, maxVersions)
-    val snapshot = kept.collectAsList() // test-scale; at scale: write temp dir + swap
-    val df = spark.createDataFrame(snapshot, kept.schema)
-    df.write.mode("overwrite").insertInto(table)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(loc.getParent, s".${loc.getName}_compact_tmp")
+    val old = new Path(loc.getParent, s".${loc.getName}_compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    // distributed snapshot of the kept cells (reads the live table once)
+    scan(spark, table, maxVersions).write.mode("overwrite").parquet(tmp.toString)
+    // swap: live -> old, compacted -> live, drop old
+    if (!fs.rename(loc, old) || !fs.rename(tmp, loc))
+      throw new java.io.IOException(s"compact swap failed for $table at $loc")
+    fs.delete(old, true)
+    spark.catalog.refreshTable(table) // drop cached file listings for the old files
   }
 
   /** Point Get (HBaseClient.java:71-80): newest value per qualifier. */

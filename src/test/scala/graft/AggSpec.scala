@@ -26,6 +26,28 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within 1% relative rank error of exact") {
+    // accuracy=10000 guarantees rank error <= n/10000; on value scales this
+    // means each approx quantile must sit between the exact quantiles one
+    // percentile-point either side (columns are identically ordered)
+    val exact = AggPack.percentiles(spark, dir).collect().head
+    val approx = AggPack.approxPercentiles(spark, dir).collect().head
+    assert(exact.schema.fieldNames.sameElements(approx.schema.fieldNames))
+    // qty percentiles: integer-valued 1..50 — 1% rank error can move the
+    // value by at most one integer step here
+    (0 until 4).foreach { i =>
+      assert(math.abs(approx.getDouble(i) - exact.getDouble(i)) <= 1.0,
+        s"${exact.schema.fieldNames(i)}: exact=${exact.getDouble(i)} approx=${approx.getDouble(i)}")
+    }
+    // price cents: wide range — bound relatively
+    (4 until 6).foreach { i =>
+      val ex = exact.getDouble(i)
+      val ap = approx.getLong(i).toDouble
+      assert(math.abs(ap - ex) / ex < 0.02,
+        s"${exact.schema.fieldNames(i)}: exact=$ex approx=$ap")
+    }
+  }
+
   test("exact-sum stddev/corr agree with the streaming builtins within 1e-9") {
     import org.apache.spark.sql.functions._
     val formula = AggPack.stats(spark, dir).head()

@@ -78,6 +78,50 @@ class KeyedStoreSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("binary-value cells: byte[] fidelity incl. non-UTF8 bytes (HBaseClient Bytes parity)") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("keyed_store_bin").toString
+    val table = "graft_student_cells_bin"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    KeyedStore.create(spark, table, loc, binaryValues = true)
+    assert(spark.table(table).schema("value").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+
+    // raw byte values: a UTF-8 string's bytes AND bytes that are NOT valid
+    // UTF-8 (0xFF 0xFE ...) — a string-typed store would corrupt the latter
+    val rawBytes = Array[Byte](-1, -2, 0, 127, -128)
+    val binCells = Seq(
+      ("G1", "name", "name", "tome".getBytes("UTF-8"), 1L),
+      ("G1", "blob", "raw", rawBytes, 1L),
+      ("G1", "blob", "raw", Array[Byte](1, 2, 3), 2L))
+      .toDF("rowkey", "family", "qualifier", "value", "version")
+    KeyedStore.put(spark, table, binCells)
+
+    val got = KeyedStore.get(spark, table, "G1").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]]("value")).toMap
+    assert(got(("name", "name")).sameElements("tome".getBytes("UTF-8")))
+    assert(got(("blob", "raw")).sameElements(Array[Byte](1, 2, 3))) // newest version
+    // all versions retained under maxVersions, bytes exact
+    val vers = KeyedStore.scan(spark, table)
+      .filter("qualifier = 'raw'").collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Array[Byte]]("value")).toMap
+    assert(vers(1L).sameElements(rawBytes))
+
+    // string Puts into a binary table store UTF-8 bytes (Bytes.toBytes)
+    KeyedStore.put(spark, table, Seq(("G2", "name", "name", "héllo", 1L))
+      .toDF("rowkey", "family", "qualifier", "value", "version"))
+    val g2 = KeyedStore.get(spark, table, "G2").collect().head.getAs[Array[Byte]]("value")
+    assert(g2.sameElements("héllo".getBytes("UTF-8")))
+
+    // compaction preserves bytes exactly on the binary table too
+    KeyedStore.compact(spark, table, maxVersions = 1)
+    assert(spark.table(table).filter("qualifier = 'raw'").count() == 1)
+    assert(KeyedStore.get(spark, table, "G1").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]]("value")).toMap
+      .apply(("blob", "raw")).sameElements(Array[Byte](1, 2, 3)))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("TSV write/read roundtrip (hw1 TextOutputFormat parity)") {
     import spark.implicits._
     val out = Files.createTempDirectory("tsv_out").resolve("data").toString

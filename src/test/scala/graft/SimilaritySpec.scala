@@ -49,6 +49,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows differ between native and HOF signatures")
   }
 
+  test("hyperplane signature: wrong-dims embedding yields NULL, not a truncated signature") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.HyperplaneSignature.register(spark)
+    val rows = Seq(
+      (1L, Array.fill(64)(0.5f)),             // correct dims
+      (2L, Array.fill(10)(0.5f)),             // too short — would zero-pad
+      (3L, Array.fill(100)(0.5f)),            // too long — would truncate
+      (4L, null.asInstanceOf[Array[Float]]))  // null propagates
+      .toDF("id", "emb")
+      .select(col("id"), graft.functions.HyperplaneSignature
+        .signature(col("emb"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L))
+    assert(rows(2L) && rows(3L) && rows(4L),
+      "length-mismatched or null embeddings must produce NULL signatures")
+  }
+
+  test("graft_* SQL registration: bigint literals widen; non-literals fail clearly") {
+    import spark.implicits._
+    graft.functions.HyperplaneSignature.register(spark)
+    graft.functions.MinHashSig.register(spark)
+    Seq((1L, Array.fill(64)(0.25f))).toDF("id", "emb")
+      .createOrReplaceTempView("hp_arg_check")
+    // bigint literal (8L) used to throw ClassCastException at analysis
+    val viaSql = spark.sql(
+      "SELECT graft_hyperplane_sig(emb, 8L, 64, 42) AS sig FROM hp_arg_check")
+      .collect().head.getSeq[Int](0)
+    assert(viaSql.length == 8)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), id) FROM hp_arg_check").collect()
+    }
+    assert(err.getMessage.contains("must be an integer literal"),
+      s"unexpected failure mode: ${err.getMessage}")
+  }
+
   test("native CosineSimilarity expression == HOF cosine, bit-identical") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSimilarity.register(spark)

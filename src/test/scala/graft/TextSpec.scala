@@ -32,6 +32,24 @@ class TextSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("q76 oracle precondition: fixture text is pure ASCII at every test SF") {
+    // the q76 DuckDB oracle iterates CODEPOINTS (ord per char) while the
+    // Spark side sums UTF-8 BYTES — they agree iff every char is single-byte
+    // ASCII. This pins that invariant for each testdata dir so a future
+    // non-ASCII fixture fails HERE with a clear message, not as an opaque
+    // oracle hash mismatch.
+    import org.apache.spark.sql.functions.{length => strlen, octet_length}
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d, "documents.parquet").exists()).foreach { d =>
+        val nonAscii = Tables.t(spark, d, "documents")
+          .filter(strlen(col("text")) =!= octet_length(col("text"))).count()
+        assert(nonAscii == 0,
+          s"$d has $nonAscii non-ASCII documents — q76's oracle (codepoint " +
+            "stats) no longer matches the Spark side (byte stats); derive the " +
+            "oracle from the encoded blob before regenerating fixtures")
+      }
+  }
+
   test("media features: fake decode matches a local recompute") {
     val feats = MultimodalPack.mediaFeatures(spark, dir)
       .filter(col("media_id") < 3).collect()
