@@ -109,13 +109,20 @@ object AggPack extends QueryPack {
     t(spark, dir, "lineitem")
       .select(col("l_quantity"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      // one percentile() call per COLUMN, not per requested quantile: each
+      // call is a TypedImperativeAggregate buffering the whole column, so
+      // the array form does 2 buffer passes instead of 6 (same math,
+      // values read out of the result arrays)
       .agg(
-        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
-        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
-        expr("percentile(l_quantity, 0.75)").as("qty_p75"),
-        expr("percentile(l_quantity, 0.95)").as("qty_p95"),
-        expr("percentile(price_cents, 0.5)").as("price_cents_p50"),
-        expr("percentile(price_cents, 0.95)").as("price_cents_p95"))
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("qty_ps"),
+        expr("percentile(price_cents, array(0.5, 0.95))").as("price_ps"))
+      .select(
+        element_at(col("qty_ps"), 1).as("qty_p25"),
+        element_at(col("qty_ps"), 2).as("qty_p50"),
+        element_at(col("qty_ps"), 3).as("qty_p75"),
+        element_at(col("qty_ps"), 4).as("qty_p95"),
+        element_at(col("price_ps"), 1).as("price_cents_p50"),
+        element_at(col("price_ps"), 2).as("price_cents_p95"))
 
   /** Approximate percentiles — the 100 TB path q85 specializes. Exact
     * percentile() buffers every group value in memory; approx_percentile
@@ -128,13 +135,18 @@ object AggPack extends QueryPack {
     t(spark, dir, "lineitem")
       .select(col("l_quantity"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      // one sketch per column (array form), mirroring q85's buffer shape
       .agg(
-        expr("approx_percentile(l_quantity, 0.25, 10000)").as("qty_p25"),
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_p50"),
-        expr("approx_percentile(l_quantity, 0.75, 10000)").as("qty_p75"),
-        expr("approx_percentile(l_quantity, 0.95, 10000)").as("qty_p95"),
-        expr("approx_percentile(price_cents, 0.5, 10000)").as("price_cents_p50"),
-        expr("approx_percentile(price_cents, 0.95, 10000)").as("price_cents_p95"))
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)")
+          .as("qty_ps"),
+        expr("approx_percentile(price_cents, array(0.5, 0.95), 10000)").as("price_ps"))
+      .select(
+        element_at(col("qty_ps"), 1).as("qty_p25"),
+        element_at(col("qty_ps"), 2).as("qty_p50"),
+        element_at(col("qty_ps"), 3).as("qty_p75"),
+        element_at(col("qty_ps"), 4).as("qty_p95"),
+        element_at(col("price_ps"), 1).as("price_cents_p50"),
+        element_at(col("price_ps"), 2).as("price_cents_p95"))
 
   /** Sample stddev + Pearson correlation, assembled from exact integer-cent
     * power sums with one deterministic float finish — builtin stddev/corr

@@ -74,6 +74,33 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.toSet.subsetOf(labels.keySet))
   }
 
+  test("embedding LSH dedup: exact precision, recall >= 0.4 vs unblocked brute force") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // unblocked ground truth: every pair with cosine >= 0.4 (test-scale
+    // brute force — the thing q73 approximates without label crutches)
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(graft.functions.CosineSimilarity
+          .cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = DedupPack.dedupEmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision is exact: every reported pair is in the ground truth with
+    // the identical verified cosine
+    lsh.foreach { case (k, c) =>
+      assert(truth.get(k).contains(c), s"false positive or cosine drift: $k -> $c")
+    }
+    // recall on near-orthogonal fixtures (sign-LSH's worst case): the
+    // planes are seeded, so this is deterministic — bound set well under
+    // the measured value but high enough to catch a broken blocking join
+    assert(truth.nonEmpty)
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.4, s"recall=$recall (${lsh.size}/${truth.size})")
+  }
+
   test("hot-shingle df cap is output-neutral at test scale") {
     // max shingle df is 7 at sf0.01 / 25 at sf0.1, far under the default
     // cap of 100 — so capped and effectively-uncapped runs must agree
