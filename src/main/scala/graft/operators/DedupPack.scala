@@ -220,6 +220,9 @@ object DedupPack extends QueryPack {
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
                         nBits: Int = 32, bands: Int = 8): DataFrame = {
+    require(nBits % bands == 0,
+      s"nBits=$nBits must divide evenly into bands=$bands (trailing signature " +
+        "bits would silently never participate in blocking)")
     CosineSimilarity.register(spark)
     HyperplaneSignature.register(spark)
     val rows = nBits / bands

@@ -131,8 +131,37 @@ object TextPack extends QueryPack {
         size(tokens(normalize(col("text")))).as("n_norm_tokens"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end corpus filter — the C4-style pipeline composition a
+    * training run actually consumes: per-doc quality stats → quality gate →
+    * exact-dedup representative (smallest doc_id per md5) among the
+    * SURVIVORS (gate before dedup: no point hashing docs that get dropped).
+    * One map pass for stats + one narrow shuffle on the 16-byte fingerprint
+    * for the ranking window; text never crosses the wire. Filter order and
+    * the representative rule are part of the contract, mirrored in the
+    * DuckDB oracle. Thresholds are calibrated to the synthetic corpus
+    * (stopword_ratio p80 ≈ 0.09, n_tokens p10 ≈ 19 at every SF) so the
+    * gate observably drops ~30% here — q61's generic thresholds keep 100%
+    * of this word-soup fixture, which would make the composition a no-op.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val quality = docs
+      .select(Seq(col("doc_id"), col("source"),
+        md5(col("text")).as("fp")) ++ stats(col("text")): _*)
+      .filter((col("n_tokens") >= 15) && (col("stopword_ratio") <= 0.08) &&
+        (col("chars_per_token") >= 3) && (col("chars_per_token") <= 12))
+    val byFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    quality
+      .withColumn("rn", row_number().over(byFp))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_bpeish_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
+    "q92_corpus_filter" -> corpusFilter _,
     "q59_normalize" -> normalizeDocs _,
     "q61_quality_by_source" -> qualityBySource _,
     "q62_fingerprints" -> fingerprints _,
@@ -174,6 +203,24 @@ object TextPack extends QueryPack {
          |  CAST(sum(n_bpeish_tokens) AS BIGINT) AS total_bpeish_tokens
          |FROM ($statsSql) s JOIN documents USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q92_corpus_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, md5(text) AS fp,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','an','of','to','in','and','is','it','for','on','with','as','at','by','or','be','this','that','are'], t)))
+        |      * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
+        |    length(text) * 1.0 / len(string_split(text, ' ')) AS chars_per_token
+        |  FROM documents),
+        |q AS (
+        |  SELECT * FROM s
+        |  WHERE n_tokens >= 15 AND stopword_ratio <= 0.08
+        |    AND chars_per_token >= 3 AND chars_per_token <= 12)
+        |SELECT doc_id, source, n_tokens, n_bpeish_tokens FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM q) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q62_fingerprints" ->
       """SELECT doc_id, fp_md5,
         |  list_min(sh) AS fp_shingle_min, list_max(sh) AS fp_shingle_max
