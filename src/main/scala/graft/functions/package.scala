@@ -11,24 +11,27 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  /** Analysis-time extraction of an integer literal argument for the
+  /** Analysis-time extraction of a constant integer argument for the
     * SQL-registered graft_* function builders. Raw `expr.eval()` threw
     * ClassCastException on a bigint literal (`graft_minhash(sh, 16L)`) and
     * UnsupportedOperationException on any non-foldable argument; this
-    * pattern-matches Literal, widens the integral types, and fails with a
-    * clear message otherwise.
+    * accepts any FOLDABLE integral expression (bare literals, `8+8`,
+    * `CAST(3 AS BIGINT)` — builders run before ConstantFolding, so
+    * restricting to bare Literal nodes would reject constant arithmetic
+    * that used to work), widens the integral types, and fails with a clear
+    * message otherwise.
     */
   private[functions] def intLiteralArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
                                        fn: String, arg: String): Int = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types._
-    e match {
-      case Literal(v: Byte, ByteType) => v.toInt
-      case Literal(v: Short, ShortType) => v.toInt
-      case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
-      case _ => throw new IllegalArgumentException(
-        s"$fn: argument '$arg' must be an integer literal, got ${e.sql}")
+    def fail() = throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got ${e.sql}")
+    if (!e.foldable) fail()
+    e.eval() match {
+      case v: Byte => v.toInt
+      case v: Short => v.toInt
+      case v: Int => v
+      case v: Long if v.isValidInt => v.toInt
+      case _ => fail()
     }
   }
 

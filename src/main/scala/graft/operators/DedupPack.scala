@@ -56,11 +56,18 @@ object DedupPack extends QueryPack {
       .select(col("doc_id"),
         explode(NGramShingles.shinglesFast(tokens(col("text")), 3)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    // the hot list is small by construction (few shingles exceed the cap)
-    // → broadcast anti-join, no second shuffle of the postings
-    val hot = raw.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("shingle"))
-    val sh = raw.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // document frequency via a window over the SAME shingle-partitioned
+    // exchange the self-join needs: every consumer of `sh` (both join
+    // sides, the sizes aggregate) canonicalizes to an identical subplan,
+    // so ReuseExchange materializes the scan→tokenize→shingle→explode
+    // subtree exactly once and the window/filter re-read its shuffle
+    // output (a separate hot-list aggregation would be one more full pass
+    // over every document). Plan-asserted in DedupSpec.
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val sh = raw
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= dfCap)
+      .drop("df")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -141,46 +148,57 @@ object DedupPack extends QueryPack {
     * Scale shape: ONE Spark job per round. The changed-row count is folded
     * into the propagation aggregate (each doc carries its old label through
     * the round), so the convergence probe is the same action that
-    * materializes the round — no separate driver job. Every round's result
-    * is localCheckpoint'ed, truncating lineage so round N's plan never
-    * re-derives rounds 1..N-1 (superseded checkpoint blocks are released by
-    * the ContextCleaner once the driver drops the reference).
+    * materializes the round — no separate driver job. Rounds are cached
+    * and the superseded round is unpersisted DETERMINISTICALLY as soon as
+    * the next one materializes (leaked blocks tax every later query's GC
+    * in a shared session); every 3rd round localCheckpoints instead,
+    * truncating lineage so no round's plan nests more than 3 rounds of
+    * joins (the checkpoint blocks themselves are label-table-sized and are
+    * reclaimed by the ContextCleaner when the reference drops).
     */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val pairs = dedupJaccard(spark, dir, threshold)
       .select(col("d1"), col("d2"))
-    // undirected edges, both directions; checkpoint so the jaccard job
+    // undirected edges, both directions; cached so the jaccard job
     // (shingle self-join) runs exactly once, not once per round
     val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
+      .cache()
     // seed round for free: label = min(self, direct neighbors) — one hop
     // of propagation without a convergence check
-    var labels = edges
+    var backing = edges
       .groupBy(col("d1").as("doc_id"))
       .agg(least(min(col("d2")), first(col("d1"))).as("label"))
-      .localCheckpoint()
+      .cache()
+    var backingUnpersistable = true
+    var labels = backing
     var changed = true
     var rounds = 0
     while (changed && rounds < 20) {
       // one aggregate computes the new label AND recovers the old one:
       // neighbor candidates carry old=null, the self row carries
       // cand=old=label; min(cand) propagates, max(old) picks the unique
-      // non-null old label. The count() action below both materializes the
-      // lazy checkpoint and returns the convergence flag — one job total.
-      val next = edges.join(labels, edges("d2") === labels("doc_id"))
+      // non-null old label. The count() action below both materializes
+      // cache/checkpoint and returns the convergence flag — one job total.
+      val merged = edges.join(labels, edges("d2") === labels("doc_id"))
         .select(edges("d1").as("doc_id"), col("label").as("cand"),
           lit(null).cast("long").as("old"))
         .unionAll(labels.select(col("doc_id"), col("label").as("cand"),
           col("label").as("old")))
         .groupBy(col("doc_id"))
         .agg(min(col("cand")).as("label"), max(col("old")).as("old"))
-        .localCheckpoint(eager = false)
+      val checkpointRound = rounds % 3 == 2
+      val next =
+        if (checkpointRound) merged.localCheckpoint(eager = false) else merged.cache()
       changed = next
         .select(coalesce(sum(when(col("label") =!= col("old"), 1L)), lit(0L)).as("c"))
         .head().getLong(0) > 0
+      if (backingUnpersistable) backing.unpersist() // superseded round, free now
+      backing = next
+      backingUnpersistable = !checkpointRound
       labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
+    edges.unpersist()
     if (changed)
       throw new IllegalStateException(
         s"dedupClusters did not converge after $rounds rounds " +

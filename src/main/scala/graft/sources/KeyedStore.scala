@@ -78,8 +78,14 @@ object KeyedStore {
     * sustainable (read amplification stays bounded). Fully distributed:
     * the kept cells are written to a sibling temp directory by the
     * executors, then swapped into the table location with two metadata
-    * renames — the driver never holds a row. A crash between the renames
-    * leaves the previous data recoverable in the `_old` dir.
+    * renames — the driver never holds a row.
+    *
+    * Crash safety: a crash between the two renames leaves the previous
+    * data in the `_old` dir; the next compact() (or any retry) detects
+    * that state — live dir missing, `_old` present — and restores it
+    * before doing anything destructive. `_old` is only deleted while the
+    * live dir verifiably exists. If the second rename fails, the first is
+    * rolled back so the table is never left missing.
     */
   def compact(spark: SparkSession, table: String, maxVersions: Int = 3): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -87,13 +93,23 @@ object KeyedStore {
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(loc.getParent, s".${loc.getName}_compact_tmp")
     val old = new Path(loc.getParent, s".${loc.getName}_compact_old")
+    // recover from a previous crash mid-swap: the only copy of the table
+    // is in _old — restore it, never delete it
+    if (!fs.exists(loc) && fs.exists(old) && !fs.rename(old, loc))
+      throw new java.io.IOException(
+        s"compact recovery failed for $table: could not restore $old to $loc")
     fs.delete(tmp, true)
-    fs.delete(old, true)
     // distributed snapshot of the kept cells (reads the live table once)
     scan(spark, table, maxVersions).write.mode("overwrite").parquet(tmp.toString)
-    // swap: live -> old, compacted -> live, drop old
-    if (!fs.rename(loc, old) || !fs.rename(tmp, loc))
+    // the live dir exists here (we just read it), so a leftover _old is
+    // stale output of a COMPLETED prior swap — safe to drop now
+    fs.delete(old, true)
+    if (!fs.rename(loc, old))
       throw new java.io.IOException(s"compact swap failed for $table at $loc")
+    if (!fs.rename(tmp, loc)) {
+      fs.rename(old, loc) // roll back so the table is never left missing
+      throw new java.io.IOException(s"compact swap failed for $table at $loc (rolled back)")
+    }
     fs.delete(old, true)
     spark.catalog.refreshTable(table) // drop cached file listings for the old files
   }

@@ -117,6 +117,23 @@ class DedupSpec extends AnyFunSuite {
     assert(tight.isEmpty)
   }
 
+  test("dedupJaccard plan reuses the shingle exchange (explode subtree runs once)") {
+    // the df-cap window, both self-join sides, and the sizes aggregate all
+    // consume the same shingle-partitioned shuffle — ReuseExchange must
+    // collapse them onto one materialization of the scan→shingle→explode
+    // subtree, or the query pays full extra corpus passes at scale.
+    // (AQE pinned off for the assertion: it hides reuse behind lazy query
+    // stages in the pre-execution plan string; Verify/Bench run AQE-on,
+    // where stage-level reuse applies the same dedup.)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = DedupPack.dedupJaccard(spark, dir).queryExecution.executedPlan.toString
+      val reused = "ReusedExchange".r.findAllIn(plan).length
+      assert(reused >= 2, s"expected >=2 ReusedExchange nodes, got $reused in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = DedupPack.dedupExact(spark, dir).collect()
     val docs = Tables.t(spark, dir, "documents")

@@ -73,11 +73,15 @@ class SimilaritySpec extends AnyFunSuite {
     graft.functions.MinHashSig.register(spark)
     Seq((1L, Array.fill(64)(0.25f))).toDF("id", "emb")
       .createOrReplaceTempView("hp_arg_check")
-    // bigint literal (8L) used to throw ClassCastException at analysis
-    val viaSql = spark.sql(
-      "SELECT graft_hyperplane_sig(emb, 8L, 64, 42) AS sig FROM hp_arg_check")
-      .collect().head.getSeq[Int](0)
-    assert(viaSql.length == 8)
+    // bigint literal (8L) used to throw ClassCastException at analysis;
+    // foldable constant expressions (4+4, CAST) resolve before
+    // ConstantFolding runs, so the builder folds them itself
+    Seq("8L", "4 + 4", "CAST(8 AS BIGINT)").foreach { arg =>
+      val viaSql = spark.sql(
+        s"SELECT graft_hyperplane_sig(emb, $arg, 64, 42) AS sig FROM hp_arg_check")
+        .collect().head.getSeq[Int](0)
+      assert(viaSql.length == 8, s"arg form '$arg'")
+    }
     val err = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a'), id) FROM hp_arg_check").collect()
     }
