@@ -181,10 +181,34 @@ object SimilarityPack extends QueryPack {
     topK(cand, k)
   }
 
+  /** Int8 min-max scalar quantization of embeddings — the storage-
+    * reduction pass a training pipeline runs before archiving vectors
+    * (4 bytes/dim → 1). Per-vector affine map to [0,255]; `floor` (never
+    * `round`) so no cross-engine round-half-tie semantics can bite, and
+    * every element is cast to double BEFORE the map so Spark and DuckDB run
+    * the identical IEEE op sequence. Map-only, no shuffle; at 100 TB a
+    * native Expression would fuse the per-element loop (transform is
+    * CodegenFallback), the q71 HyperplaneSignature pattern.
+    */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding")
+    val lo = array_min(emb).cast("double")
+    val hi = array_max(emb).cast("double")
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(lo, 6).as("lo"), round(hi, 6).as("hi"),
+        transform(emb, x =>
+          when(hi === lo, 0L).otherwise(
+            least(lit(255L), floor((x.cast("double") - lo) / (hi - lo) * 255.0)))
+            .cast("int")).as("q"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries = Map(
     "q70_ann_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q71_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
-    "q72_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
+    "q72_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "q74_embedding_quantize" -> quantizeEmbeddings _)
 
   val oracle = Map(
     "q70_ann_bruteforce_topk" ->
@@ -197,6 +221,16 @@ object SimilarityPack extends QueryPack {
         |                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos
         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |    WHERE q.vec_id < 8) s) t
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q74_embedding_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_min(CAST(embedding AS DOUBLE[])) AS lo,
+        |    list_max(CAST(embedding AS DOUBLE[])) AS hi
+        |  FROM embeddings)
+        |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |  list_transform(emb, x -> CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE least(255, floor((x - lo) / (hi - lo) * 255.0)) END AS INT)) AS q
+        |FROM m ORDER BY vec_id""".stripMargin)
   // q71: no oracle — approximate; recall vs q70 asserted in SimilaritySpec.
 }

@@ -159,9 +159,48 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level n-gram statistics: the top-20 2-gram shingles by
+    * document frequency — the "most common phrases" table a pipeline
+    * inspects for boilerplate and uses as a decontamination probe list
+    * (q94). explode → distinct per doc (NGramShingles dedups) → count →
+    * top-k via TakeOrderedAndProject; ties broken lexicographically so
+    * the cut is deterministic on any engine.
+    */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.NGramShingles.register(spark)
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 2))
+          .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Benchmark decontamination — flag documents containing any probe
+    * phrase. The probe list here is the q93 top-bigram set (self-contained
+    * and deterministic); in production it is the eval-benchmark n-grams.
+    * Scale shape: the probe list is tiny by construction → broadcast to a
+    * per-doc `exists` over the shingle array; the corpus is scanned once,
+    * nothing shuffles except the final rollup-free projection.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NGramShingles.register(spark)
+    val probes = broadcast(topBigrams(spark, dir).select(col("bigram")))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 2).as("bigrams"))
+    docs.join(probes,
+        array_contains(col("bigrams"), col("bigram")), "left_semi")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
     "q92_corpus_filter" -> corpusFilter _,
+    "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
+    "q94_decontaminate" -> decontaminate _,
     "q59_normalize" -> normalizeDocs _,
     "q61_quality_by_source" -> qualityBySource _,
     "q62_fingerprints" -> fingerprints _,
@@ -203,6 +242,25 @@ object TextPack extends QueryPack {
          |  CAST(sum(n_bpeish_tokens) AS BIGINT) AS total_bpeish_tokens
          |FROM ($statsSql) s JOIN documents USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q93_top_bigrams" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM sh
+        |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
+    "q94_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        |top AS (
+        |  SELECT bigram FROM sh GROUP BY bigram
+        |  ORDER BY count(*) DESC, bigram LIMIT 20)
+        |SELECT DISTINCT doc_id FROM sh JOIN top USING (bigram)
+        |ORDER BY doc_id""".stripMargin,
     "q92_corpus_filter" ->
       """WITH s AS (
         |  SELECT doc_id, source, md5(text) AS fp,
