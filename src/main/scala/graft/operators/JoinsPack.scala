@@ -136,7 +136,79 @@ object JoinsPack extends QueryPack {
       .orderBy(col("o_custkey"))
   }
 
+  /** TPC-H Q3 shape — shipping priority: the classic 3-way fact join with
+    * selective filters on every input, per-order revenue, top-10. What the
+    * plan must do at 100 TB: push all three filters to the scans, join the
+    * two facts on orderkey, let Catalyst/AQE pick broadcast for the
+    * filtered customer side, two-phase the aggregate, and take the top 10
+    * via TakeOrderedAndProject — never a global sort. Revenue is exact
+    * integer 1e-4 dollars (price cents × integer discount points) summed
+    * as BIGINT, divided once at the end.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(col("rev_e4")) / 10000.0).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        // o_orderdate parquet-reads as TIMESTAMP_NTZ; cast (identity on the
+        // wall clock under the pinned-UTC session) before unix_millis
+        unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape — local-supplier volume: a 6-way join (two facts, four
+    * dims) with a region filter and the local-supplier condition
+    * (customer and supplier in the same nation) expressed as a second
+    * equi-key on the join. The optimizer surface this exercises: join
+    * REORDERING (region→nation prunes before the facts join), broadcast of
+    * every dim side, and filter transitivity. Revenue exact as in Q3.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asia = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nations = t(spark, dir, "nation")
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+    li
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey")) // local supplier
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev_e4")) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val queries = Map(
+    "q17_shipping_priority" -> shippingPriority _,
+    "q54_local_volume" -> localSupplierVolume _,
     "q20_join_inner" -> joinInner _,
     "q21_join_left" -> joinLeft _,
     "q22_join_semi" -> joinSemi _,
@@ -151,6 +223,34 @@ object JoinsPack extends QueryPack {
     "q29_except" -> exceptKeys _)
 
   val oracle = Map(
+    "q17_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    / 10000.0 AS revenue,
+        |  epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q54_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q20_join_inner" ->
       """SELECT c_mktsegment,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *

@@ -64,6 +64,17 @@ class AggSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("TPC-H-shaped flagships: top-k avoids global sort; dims broadcast in the 6-way join") {
+    // q17 (Q3 shape): orderBy+limit must compile to TakeOrderedAndProject
+    val q3plan = JoinsPack.shippingPriority(spark, dir).queryExecution.executedPlan.toString
+    assert(q3plan.contains("TakeOrderedAndProject"), s"q17 global-sorts:\n$q3plan")
+    // q54 (Q5 shape): every dim side joins as a broadcast — the 100 TB plan
+    // shuffles only the two fact tables
+    val q5plan = JoinsPack.localSupplierVolume(spark, dir).queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(q5plan).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins in q54, got $bhj:\n$q5plan")
+  }
+
   test("broadcast hint produces BroadcastHashJoin for dim joins") {
     val plan = JoinsPack.joinBroadcast(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
