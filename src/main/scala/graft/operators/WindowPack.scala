@@ -69,13 +69,48 @@ object WindowPack extends QueryPack {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** RANGE-frame window (value-based, vs q39's ROWS frame): 7-day trailing
+    * revenue over daily totals. The frame is expressed on integer day
+    * numbers (epoch-ms div 86400000 — integer `div`, never `/`, which
+    * would go through double) so both engines bound the identical value
+    * range; days with no orders correctly DON'T extend the window, which a
+    * ROWS frame would get wrong. The global (unpartitioned) window is safe
+    * because it runs over the per-day rollup — one row per day regardless
+    * of corpus size.
+    */
+  def movingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("day_cents"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("trailing_7d_cents", sum(col("day_cents")).over(w))
+      .select(col("day"),
+        (col("day_cents") / 100.0).as("day_revenue"),
+        (col("trailing_7d_cents") / 100.0).as("trailing_7d_revenue"))
+      .orderBy(col("day"))
+  }
+
   val queries = Map(
+    "q90_window_range_frame" -> movingRevenue _,
     "q36_window_topn" -> topOrdersPerCustomer _,
     "q37_window_rank" -> rankOrders _,
     "q38_window_lag" -> lagDeltas _,
     "q39_window_running" -> runningSum _)
 
   val oracle = Map(
+    "q90_window_range_frame" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, day_cents / 100.0 AS day_revenue,
+        |  CAST(sum(day_cents) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        |    AS trailing_7d_revenue
+        |FROM daily ORDER BY day""".stripMargin,
     "q36_window_topn" ->
       """SELECT o_custkey, rn, o_orderkey, epoch_ms(o_orderdate) AS ts_ms FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate,
