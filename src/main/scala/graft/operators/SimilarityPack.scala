@@ -186,22 +186,33 @@ object SimilarityPack extends QueryPack {
     * (4 bytes/dim → 1). Per-vector affine map to [0,255]; `floor` (never
     * `round`) so no cross-engine round-half-tie semantics can bite, and
     * every element is cast to double BEFORE the map so Spark and DuckDB run
-    * the identical IEEE op sequence. Map-only, no shuffle; at 100 TB a
-    * native Expression would fuse the per-element loop (transform is
-    * CodegenFallback), the q71 HyperplaneSignature pattern.
+    * the identical IEEE op sequence. Map-only, no shuffle; the per-element
+    * loop is the native Int8Quantize expression (one fused codegen pass —
+    * the declarative transform chain is CodegenFallback in Spark 4);
+    * lo/hi ride along from codegen'd array_min/array_max.
     */
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Int8Quantize.register(spark)
     val emb = col("embedding")
-    val lo = array_min(emb).cast("double")
-    val hi = array_max(emb).cast("double")
     t(spark, dir, "embeddings")
       .select(col("vec_id"),
-        round(lo, 6).as("lo"), round(hi, 6).as("hi"),
-        transform(emb, x =>
-          when(hi === lo, 0L).otherwise(
-            least(lit(255L), floor((x.cast("double") - lo) / (hi - lo) * 255.0)))
-            .cast("int")).as("q"))
+        round(array_min(emb).cast("double"), 6).as("lo"),
+        round(array_max(emb).cast("double"), 6).as("hi"),
+        graft.functions.Int8Quantize.quantize(emb).as("q"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The declarative HOF formulation — REFERENCE SEMANTICS for the native
+    * Int8Quantize expression (bit-equivalence asserted in SimilaritySpec);
+    * not on any production path.
+    */
+  def quantizeRef(emb: Column): Column = {
+    val lo = array_min(emb).cast("double")
+    val hi = array_max(emb).cast("double")
+    transform(emb, x =>
+      when(hi === lo, 0L).otherwise(
+        least(lit(255L), floor((x.cast("double") - lo) / (hi - lo) * 255.0)))
+        .cast("int"))
   }
 
   val queries = Map(

@@ -89,6 +89,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"unexpected failure mode: ${err.getMessage}")
   }
 
+  test("native Int8Quantize == declarative HOF quantization, bit-identical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.Int8Quantize.register(spark)
+    val e = Tables.t(spark, dir, "embeddings")
+    val diff = e.select(
+        graft.functions.Int8Quantize.quantize(col("embedding")).as("native"),
+        SimilarityPack.quantizeRef(col("embedding")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0, s"$diff rows differ between native and HOF quantization")
+    // degenerate constant vector -> all-zero codes, full range -> 0 and 255
+    val edge = Seq(
+      (1L, Array(2.5f, 2.5f, 2.5f)),
+      (2L, Array(0.0f, 0.5f, 1.0f)))
+      .toDF("id", "emb")
+      .select(col("id"), graft.functions.Int8Quantize.quantize(col("emb")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(edge(1L) == Seq(0, 0, 0))
+    assert(edge(2L) == Seq(0, 127, 255))
+  }
+
   test("native CosineSimilarity expression == HOF cosine, bit-identical") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSimilarity.register(spark)
