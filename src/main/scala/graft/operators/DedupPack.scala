@@ -139,15 +139,17 @@ object DedupPack extends QueryPack {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Near-dup clusters: connected components over the jaccard pair graph,
-    * each doc labeled with its component's smallest doc_id — the "keep one
-    * representative per duplicate cluster" output a pipeline actually
-    * consumes. Computed by iterative min-label propagation to a fixpoint —
-    * rounds ≤ graph diameter, edges stay partitioned by key.
+  /** Connected components over an undirected pair list `(d1, d2)`: every
+    * node labeled with its component's minimum id. Min-label propagation
+    * WITH POINTER JUMPING — each round a node adopts the min of its own
+    * label, its neighbors' labels, and its label's label (path-halving on
+    * the label forest), so rounds are O(log diameter), not O(diameter):
+    * a 1000-link near-dup chain converges in ~10 rounds where plain
+    * propagation needs 1000. Proven on crafted path graphs in DedupSpec.
     *
     * Scale shape: ONE Spark job per round. The changed-row count is folded
-    * into the propagation aggregate (each doc carries its old label through
-    * the round), so the convergence probe is the same action that
+    * into the propagation aggregate (each node carries its old label
+    * through the round), so the convergence probe is the same action that
     * materializes the round — no separate driver job. Rounds are cached
     * and the superseded round is unpersisted DETERMINISTICALLY as soon as
     * the next one materializes (leaked blocks tax every later query's GC
@@ -156,12 +158,12 @@ object DedupPack extends QueryPack {
     * joins (the checkpoint blocks themselves are label-table-sized and are
     * reclaimed by the ContextCleaner when the reference drops).
     */
-  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = dedupJaccard(spark, dir, threshold)
-      .select(col("d1"), col("d2"))
-    // undirected edges, both directions; cached so the jaccard job
-    // (shingle self-join) runs exactly once, not once per round
-    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+                          maxRounds: Int = 30): DataFrame = {
+    // undirected edges, both directions; cached so the (possibly
+    // expensive) pair-producing job runs exactly once, not once per round
+    val edges = pairs.select(col("d1"), col("d2"))
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .cache()
     // seed round for free: label = min(self, direct neighbors) — one hop
     // of propagation without a convergence check
@@ -173,15 +175,22 @@ object DedupPack extends QueryPack {
     var labels = backing
     var changed = true
     var rounds = 0
-    while (changed && rounds < 20) {
+    while (changed && rounds < maxRounds) {
       // one aggregate computes the new label AND recovers the old one:
-      // neighbor candidates carry old=null, the self row carries
+      // neighbor/jump candidates carry old=null, the self row carries
       // cand=old=label; min(cand) propagates, max(old) picks the unique
-      // non-null old label. The count() action below both materializes
+      // non-null old label. The action below both materializes the
       // cache/checkpoint and returns the convergence flag — one job total.
-      val merged = edges.join(labels, edges("d2") === labels("doc_id"))
-        .select(edges("d1").as("doc_id"), col("label").as("cand"),
-          lit(null).cast("long").as("old"))
+      val nullOld = lit(null).cast("long").as("old")
+      val nbr = edges.join(labels, edges("d2") === labels("doc_id"))
+        .select(edges("d1").as("doc_id"), col("label").as("cand"), nullOld)
+      // pointer jump: adopt label(label(doc)) — every label is itself a
+      // node of the same component, so it has a row in `labels`
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.label").as("cand"), nullOld)
+      val merged = nbr
+        .unionAll(jump)
         .unionAll(labels.select(col("doc_id"), col("label").as("cand"),
           col("label").as("old")))
         .groupBy(col("doc_id"))
@@ -201,10 +210,19 @@ object DedupPack extends QueryPack {
     edges.unpersist()
     if (changed)
       throw new IllegalStateException(
-        s"dedupClusters did not converge after $rounds rounds " +
-          "(component diameter exceeds the cap) — raise the round limit")
-    labels.orderBy(col("doc_id"))
+        s"connectedComponents did not converge after $rounds rounds " +
+          s"(log₂ of the component diameter exceeds $maxRounds) — raise maxRounds")
+    labels
   }
+
+  /** Near-dup clusters: connected components over the jaccard pair graph,
+    * each doc labeled with its component's smallest doc_id — the "keep one
+    * representative per duplicate cluster" output a pipeline actually
+    * consumes.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    connectedComponents(spark, dedupJaccard(spark, dir, threshold).select(col("d1"), col("d2")))
+      .orderBy(col("doc_id"))
 
   /** Embedding near-dup pairs by cosine ≥ threshold, brute force within
     * label blocks (labels partition the space here; the unblocked scale
