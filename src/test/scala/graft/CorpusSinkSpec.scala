@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CorpusSink
+
+/** Partitioned-output contract: directory layout, file-size bounding,
+  * round-trip equality, and partition pruning on read.
+  */
+class CorpusSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sfDir
+
+  test("partitioned write: layout, bounded files, exact round-trip, pruning") {
+    val out = Files.createTempDirectory("corpus_sink").resolve("docs").toString
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    CorpusSink.writePartitioned(docs, out, Seq("source"), maxRecordsPerFile = 10)
+
+    // one directory per source value
+    val sources = docs.select(col("source")).distinct().collect().map(_.getString(0))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == sources.map(s => s"source=$s").toSet)
+
+    // maxRecordsPerFile=10 means every data file holds <= 10 rows
+    val files = dirs.flatMap(d => new java.io.File(s"$out/$d").listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 10, s"${f.getName} has $n rows")
+    }
+
+    // byte-faithful round trip (partition column recovered from dir names)
+    val back = CorpusSink.read(spark, out)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+
+    // partition pruning: a source filter must reach the scan as a
+    // partition filter, not a data filter
+    val plan = CorpusSink.read(spark, out)
+      .filter(col("source") === sources.head)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("source"),
+      s"source filter did not prune partitions:\n$plan")
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("corpus_evolve").toString
+    // generation 1: (doc_id, text); generation 2 adds a quality column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$out/g=1")
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.4)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$out/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality", "g"))
+    val rows = merged.select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).isEmpty && rows(3L).contains(0.9))
+  }
+}
