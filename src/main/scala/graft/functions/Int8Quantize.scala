@@ -18,13 +18,23 @@ import org.apache.spark.sql.types._
   * array_min/array_max/transform chain, which runs three interpreted
   * CodegenFallback walks per row in Spark 4 — the same migration
   * CosineSimilarity/SimHash64/NGramShingles/MinHashSig/HyperplaneSignature
-  * got. Bit-identical to the declarative form (identical IEEE op
-  * sequence, elements widened to double first) — asserted in
+  * got. Bit-identical to the declarative form on FINITE inputs (identical
+  * IEEE op sequence, elements widened to double first) — asserted in
   * SimilaritySpec.
+  *
+  * A vector containing NaN or null elements yields NULL: quantizing a
+  * malformed embedding to plausible codes would let it pass unnoticed
+  * (the HyperplaneSignature wrong-dims contract), and the declarative
+  * engines genuinely disagree with each other on those inputs (Spark's
+  * NaN-greatest ordering vs DuckDB's NULL handling in least()), so no
+  * bit-identical definition exists to match.
   */
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // null input OR NaN/null-element input → null output
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -40,7 +50,10 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
     Int8Quantize.compute(input.asInstanceOf[ArrayData], elemIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Int8Quantize.compute($c, $elemIsFloat)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Int8Quantize.compute($c, $elemIsFloat);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -49,9 +62,8 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
 object Int8Quantize {
   val fnName = "graft_int8_quantize"
 
-  /** Shared kernel for eval and codegen. Null array elements are treated
-    * as absent for min/max and quantize to 0 (the function is
-    * SQL-registered and callable on containsNull=true arrays).
+  /** Shared kernel for eval and codegen. Returns null when any element is
+    * null or NaN (malformed embedding — see class doc).
     */
   def compute(emb: ArrayData, isFloat: Boolean): ArrayData = {
     val n = emb.numElements()
@@ -59,11 +71,11 @@ object Int8Quantize {
     var hi = Double.NegativeInfinity
     var i = 0
     while (i < n) {
-      if (!emb.isNullAt(i)) {
-        val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
-        if (x < lo) lo = x
-        if (x > hi) hi = x
-      }
+      if (emb.isNullAt(i)) return null
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      if (java.lang.Double.isNaN(x)) return null
+      if (x < lo) lo = x
+      if (x > hi) hi = x
       i += 1
     }
     val out = new Array[Int](n)
@@ -71,13 +83,11 @@ object Int8Quantize {
       val range = hi - lo
       i = 0
       while (i < n) {
-        if (!emb.isNullAt(i)) {
-          val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
-          // identical op sequence to the declarative form:
-          // floor((x - lo) / range * 255), clamped to 255
-          val q = math.floor((x - lo) / range * 255.0)
-          out(i) = if (q > 255.0) 255 else q.toInt
-        }
+        val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+        // identical op sequence to the declarative form:
+        // floor((x - lo) / range * 255), clamped to 255
+        val q = math.floor((x - lo) / range * 255.0)
+        out(i) = if (q > 255.0) 255 else q.toInt
         i += 1
       }
     }

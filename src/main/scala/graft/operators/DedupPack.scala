@@ -208,11 +208,23 @@ object DedupPack extends QueryPack {
       rounds += 1
     }
     edges.unpersist()
-    if (changed)
+    if (changed) {
+      if (backingUnpersistable) backing.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge after $rounds rounds " +
           s"(log₂ of the component diameter exceeds $maxRounds) — raise maxRounds")
-    labels
+    }
+    // don't leak the final round's cache() into the shared session:
+    // CacheManager pins cache entries until explicit unpersist, so snapshot
+    // the result as a localCheckpoint (one cheap job off the cache; its
+    // blocks ARE reclaimed by the ContextCleaner once the caller drops the
+    // reference) and free the cache deterministically. A checkpoint-round
+    // final result has nothing pinned and returns as-is.
+    if (backingUnpersistable) {
+      val result = labels.localCheckpoint(eager = true)
+      backing.unpersist()
+      result
+    } else labels
   }
 
   /** Near-dup clusters: connected components over the jaccard pair graph,

@@ -14,21 +14,29 @@ import org.apache.spark.sql.functions.col
   * - `maxRecordsPerFile` caps file size without an extra repartition job
   *   (the writer rolls files mid-task); without it one fat task writes one
   *   fat unsplittable-row-group file.
-  * - `repartition(partitionCols)` before the write lines task boundaries
-  *   up with directory keys so each partition directory is written by few
-  *   tasks (default hash layout sprays every task across every directory
-  *   → small-file explosion, the classic 100 TB output bug).
+  * - repartitioning on the directory keys PLUS a bounded content salt
+  *   lines task boundaries up with directories without serializing them:
+  *   bare `repartition(partitionCols)` hashes each partition VALUE onto
+  *   exactly one task, so one skewed `source` worth half the corpus would
+  *   be written by a single core; the salt spreads every directory over
+  *   up to `tasksPerPartition` tasks. (The default no-repartition layout
+  *   fails the other way — every task writes into every directory →
+  *   small-file explosion, the classic 100 TB output bug.)
   */
 object CorpusSink {
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-                       maxRecordsPerFile: Long = 1000000L): Unit =
-    df.repartition(partitionCols.map(col): _*)
+                       maxRecordsPerFile: Long = 1000000L,
+                       tasksPerPartition: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition))
+    df.repartition(partitionCols.map(col) :+ salt: _*)
       .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** Read back with partition-column recovery (values come from directory
     * names, typed by inference).

@@ -107,8 +107,14 @@ object KeyedStore {
     if (!fs.rename(loc, old))
       throw new java.io.IOException(s"compact swap failed for $table at $loc")
     if (!fs.rename(tmp, loc)) {
-      fs.rename(old, loc) // roll back so the table is never left missing
-      throw new java.io.IOException(s"compact swap failed for $table at $loc (rolled back)")
+      // roll back so the table is never left missing — and say so honestly
+      // if even the rollback fails (data then sits in _old; the recovery
+      // branch above restores it on the next compact)
+      val restored = fs.rename(old, loc)
+      throw new java.io.IOException(
+        s"compact swap failed for $table at $loc " +
+          (if (restored) "(rolled back)"
+           else s"(ROLLBACK ALSO FAILED — table data preserved at $old; rerun compact to recover)"))
     }
     fs.delete(old, true)
     spark.catalog.refreshTable(table) // drop cached file listings for the old files

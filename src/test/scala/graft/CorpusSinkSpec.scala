@@ -18,7 +18,14 @@ class CorpusSinkSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("corpus_sink").resolve("docs").toString
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-    CorpusSink.writePartitioned(docs, out, Seq("source"), maxRecordsPerFile = 10)
+    // AQE pinned off for the write: on 500 rows it (correctly) coalesces
+    // the salted shuffle to one partition, hiding the multi-task layout
+    // this spec observes; at real partition sizes AQE leaves the salt's
+    // task spread intact.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try CorpusSink.writePartitioned(docs, out, Seq("source"), maxRecordsPerFile = 10)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
 
     // one directory per source value
     val sources = docs.select(col("source")).distinct().collect().map(_.getString(0))
@@ -29,6 +36,16 @@ class CorpusSinkSpec extends AnyFunSuite {
     val files = dirs.flatMap(d => new java.io.File(s"$out/$d").listFiles())
       .filter(_.getName.endsWith(".parquet"))
     assert(files.nonEmpty)
+    // the content salt spreads each directory over multiple write tasks
+    // (bare repartition(partitionCols) would serialize each onto ONE task
+    // → one part file per task before maxRecordsPerFile rolling; with 500
+    // docs over few sources, a salted dir must show >1 task's files)
+    val tasksInBiggestDir = dirs.map(d =>
+      new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getName.replaceAll("part-(\\d+)-.*", "$1")).distinct.length).max
+    assert(tasksInBiggestDir > 1,
+      s"skewed partition written by a single task (salt not applied)")
     files.foreach { f =>
       val n = spark.read.parquet(f.getPath).count()
       assert(n <= 10, s"${f.getName} has $n rows")

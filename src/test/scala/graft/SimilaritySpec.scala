@@ -108,6 +108,16 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(edge(1L) == Seq(0, 0, 0))
     assert(edge(2L) == Seq(0, 127, 255))
+    // malformed embeddings (NaN element, null element, null array) -> NULL,
+    // never plausible-but-wrong codes; the engines genuinely disagree on
+    // these inputs so no bit-identical definition exists to match
+    val bad = Seq(
+      (3L, Array(1.0f, Float.NaN)),
+      (4L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "emb")
+      .select(col("id"), graft.functions.Int8Quantize.quantize(col("emb")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(bad(3L) && bad(4L), s"malformed embeddings must quantize to NULL: $bad")
   }
 
   test("native CosineSimilarity expression == HOF cosine, bit-identical") {
