@@ -93,6 +93,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch ingest: streaming events land in the keyed store as versioned cells") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    val table = "graft_stream_cells"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.sources.KeyedStore.create(spark, table, loc)
+
+    // the production sink pattern: foreachBatch bridges a stream to any
+    // batch writer — here each micro-batch appends cells (blind Put, LSM
+    // style), version = micro-batch id, read path resolves newest-N.
+    // Inside the closure the writer MUST use batch.sparkSession (the
+    // micro-batch's session clone) — going through the outer session from
+    // the streaming thread silently writes nothing.
+    val input = MemoryStream[(String, String, Double)]
+    val q = input.toDF().toDF("user", "event_type", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.sources.KeyedStore.put(batch.sparkSession, table,
+          batch.select(col("user").as("rowkey"),
+            lit("events").as("family"),
+            col("event_type").as("qualifier"),
+            col("value").cast("string").as("value"),
+            lit(batchId).as("version")))
+      }
+      .start()
+    try {
+      input.addData(("u1", "click", 1.0), ("u2", "view", 2.0))
+      q.processAllAvailable()
+      input.addData(("u1", "click", 7.0)) // newer version of the same cell
+      q.processAllAvailable()
+      // Get resolves the newest version per cell across micro-batches
+      val got = graft.sources.KeyedStore.get(spark, table, "u1").collect()
+        .map(r => r.getString(1) -> r.getString(2)).toMap
+      assert(got("click") == "7.0", s"newest version must win: $got")
+      assert(graft.sources.KeyedStore.scan(spark, table)
+        .filter("rowkey = 'u1' AND qualifier = 'click'").count() == 2)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("stream-stream interval join: purchases join errors within 30 minutes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
