@@ -199,6 +199,20 @@ object AggPack extends QueryPack {
       .na.fill(0L)
       .orderBy(col("l_returnflag"))
 
+  /** Calendar rollup — monthly revenue via date_trunc: the date-function
+    * surface (SURVEY §2.8 notes the reference has none; any real pipeline
+    * does). Exact integer cents; month emitted as epoch ms of the
+    * truncated timestamp (the cross-engine-stable date representation).
+    */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(unix_millis(col("month").cast("timestamp")).as("month_ms"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("month_ms"))
+
   /** Deterministic 10% sample: rows whose md5(key) starts below a fixed
     * hex threshold. Unlike RNG sampling this is reproducible on any
     * engine/cluster/partitioning — the sampling pattern that survives
@@ -218,6 +232,7 @@ object AggPack extends QueryPack {
     "q87_histogram" -> histogram _,
     "q88_pivot" -> pivotStatus _,
     "q91_hash_sample" -> hashSample _,
+    "q95_monthly_revenue" -> monthlyRevenue _,
     "q43_grouping_sets" -> groupingSets _,
     "q44_salted_agg" -> ((s: SparkSession, d: String) => saltedAgg(s, d)),
     "q31_cube" -> cubeFlags _,
@@ -264,6 +279,12 @@ object AggPack extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
         |ORDER BY o_orderkey""".stripMargin,
+    "q95_monthly_revenue" ->
+      """SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month_ms""".stripMargin,
     "q43_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
