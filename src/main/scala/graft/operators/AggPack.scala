@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.t
+import graft.Tables.{t, tsMillis}
 
 /** Aggregation surface beyond the hw1 rollup: DISTINCT (the hw5
   * ReplaceDistinctWithAggregate subject, homework-5/README.md:410-422),
@@ -209,7 +209,7 @@ object AggPack extends QueryPack {
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"),
         count(lit(1)).as("n_orders"))
-      .select(unix_millis(col("month").cast("timestamp")).as("month_ms"),
+      .select(tsMillis(col("month")).as("month_ms"),
         col("revenue"), col("n_orders"))
       .orderBy(col("month_ms"))
 
