@@ -14,6 +14,26 @@ class AggSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every query has an oracle unless it is on the documented no-oracle list") {
+    // the driver's correctness gate only checks queries WITH oracle SQL; a
+    // query that silently loses its oracle would look green while being
+    // unverified. Pin the exact allowed set (each member is probabilistic/
+    // engine-specific and spec-bounded elsewhere — SURVEY §8).
+    val allowedNoOracle = Set(
+      "q34_approx_distinct",    // HLL sketch (AggSpec bound vs exact)
+      "q63_langid_rollup",      // heuristic (TextSpec crafted fixtures)
+      "q67_dedup_minhash_lsh",  // recall vs q66 (DedupSpec)
+      "q68_dedup_simhash",      // DedupSpec
+      "q71_ann_lsh_topk",       // recall vs q70 (SimilaritySpec)
+      "q72_ann_ivf_topk",       // recall vs q70 (SimilaritySpec)
+      "q73_dedup_embedding_lsh",// recall vs brute force (DedupSpec)
+      "q89_approx_percentiles") // sketch (AggSpec bound vs exact q85)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == allowedNoOracle,
+      s"unexpected oracle coverage drift: missing=${missing -- allowedNoOracle}, " +
+        s"newly-covered=${allowedNoOracle -- missing}")
+  }
+
   test("approx_count_distinct within 5% of exact per group") {
     val exact = AggPack.countDistincts(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
