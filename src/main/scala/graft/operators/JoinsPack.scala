@@ -206,9 +206,38 @@ object JoinsPack extends QueryPack {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** MERGE / SCD-1 upsert as a full-outer join — the operation plain-
+    * parquet Spark users hand-roll (no MERGE INTO without a table format):
+    * matched rows take the update (here: account balance bumped by the
+    * finished-order count), unmatched target rows pass through, unmatched
+    * update rows insert with defaults. One shuffle on the merge key; at
+    * scale the updates side is typically small → broadcast, and the
+    * rewritten partition set is bounded by partitionBy (CorpusSink).
+    * Balances stay on the cent grid (integer increments) so round(.,2) is
+    * engine-stable.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val updates = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      // one synthetic brand-new key exercises the insert branch
+      .unionAll(spark.range(1).select(lit(-1L).as("o_custkey"), lit(5L).as("n_orders")))
+    target.as("t")
+      .join(updates.as("u"), col("t.c_custkey") === col("u.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("t.c_custkey"), col("u.o_custkey")).as("c_custkey"),
+        coalesce(col("t.c_mktsegment"), lit("NEW")).as("c_mktsegment"),
+        round(coalesce(col("t.c_acctbal"), lit(0.0)) +
+          coalesce(col("u.n_orders").cast("double"), lit(0.0)), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries = Map(
     "q17_shipping_priority" -> shippingPriority _,
     "q54_local_volume" -> localSupplierVolume _,
+    "q96_merge_upsert" -> mergeUpsert _,
     "q20_join_inner" -> joinInner _,
     "q21_join_left" -> joinLeft _,
     "q22_join_semi" -> joinSemi _,
@@ -251,6 +280,16 @@ object JoinsPack extends QueryPack {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q96_merge_upsert" ->
+      """WITH u AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(5 AS BIGINT))
+        |SELECT coalesce(t.c_custkey, u.o_custkey) AS c_custkey,
+        |  coalesce(t.c_mktsegment, 'NEW') AS c_mktsegment,
+        |  round(coalesce(t.c_acctbal, 0) + coalesce(u.n_orders, 0), 2) AS c_acctbal
+        |FROM customer t FULL OUTER JOIN u ON t.c_custkey = u.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q20_join_inner" ->
       """SELECT c_mktsegment,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
