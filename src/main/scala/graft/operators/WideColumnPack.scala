@@ -103,9 +103,27 @@ object WideColumnPack extends QueryPack {
         (decode(col("value_bin"), "UTF-8") === col("value")).as("rt_ok"))
       .orderBy(col("rowkey"), col("family"), col("qualifier"))
 
+  /** SCD-2 validity intervals from the versioned cell history: each cell
+    * version becomes a [valid_from, valid_to) row, the newest open-ended
+    * (is_current) — the warehouse-history view of the same data whose
+    * newest-N view the scans serve. One window pass; versions are unique
+    * per cell so lead() is deterministic.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("rowkey"), col("family"), col("qualifier"))
+      .orderBy(col("version"))
+    Tables.cells(spark, dir)
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .select(col("rowkey"), col("family"), col("qualifier"), col("value"),
+        col("version").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("rowkey"), col("family"), col("qualifier"), col("valid_from"))
+  }
+
   val queries = Map(
     "q45_widecol_prefix_scan" -> prefixScan _,
     "q52_widecol_binary_roundtrip" -> binaryRoundtrip _,
+    "q97_widecol_scd2" -> scd2Intervals _,
     "q51_widecol_family_map" -> familyMap _,
     "q46_widecol_point_get" -> pointGet _,
     "q47_widecol_latest_pivot" -> latestPivot _)
@@ -114,6 +132,15 @@ object WideColumnPack extends QueryPack {
     s"WITH cells AS (\n${Tables.cellsSql}\n)\n$body"
 
   val oracle = Map(
+    "q97_widecol_scd2" -> withCells(
+      """SELECT rowkey, family, qualifier, value,
+        |  version AS valid_from,
+        |  lead(version) OVER (PARTITION BY rowkey, family, qualifier
+        |                      ORDER BY version) AS valid_to,
+        |  lead(version) OVER (PARTITION BY rowkey, family, qualifier
+        |                      ORDER BY version) IS NULL AS is_current
+        |FROM cells
+        |ORDER BY rowkey, family, qualifier, valid_from""".stripMargin),
     "q52_widecol_binary_roundtrip" -> withCells(
       """SELECT rowkey, family, qualifier,
         |  encode(value) AS value_bin,
