@@ -199,6 +199,23 @@ object AggPack extends QueryPack {
       .na.fill(0L)
       .orderBy(col("l_returnflag"))
 
+  /** Per-group top-k via the custom TopKLongs Aggregator (§2.11 UDAF
+    * extension point): the aggregation buffer is bounded at k values, so
+    * partial aggregation ships k longs per group per partition — the
+    * window row_number() formulation (q36's shape) shuffles every row.
+    * Oracle = the ordered-list slice, proving the bounded-buffer rewrite
+    * is semantics-preserving (the q44 salted-agg pattern).
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val top3 = udaf(graft.functions.TopKLongs(3))
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .groupBy(col("l_returnflag"))
+      .agg(top3(col("pc")).as("top3_price_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Calendar rollup — monthly revenue via date_trunc: the date-function
     * surface (SURVEY §2.8 notes the reference has none; any real pipeline
     * does). Exact integer cents; month emitted as epoch ms of the
@@ -233,6 +250,7 @@ object AggPack extends QueryPack {
     "q88_pivot" -> pivotStatus _,
     "q91_hash_sample" -> hashSample _,
     "q95_monthly_revenue" -> monthlyRevenue _,
+    "q98_topk_agg" -> topkPerGroup _,
     "q43_grouping_sets" -> groupingSets _,
     "q44_salted_agg" -> ((s: SparkSession, d: String) => saltedAgg(s, d)),
     "q31_cube" -> cubeFlags _,
@@ -279,6 +297,12 @@ object AggPack extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
         |ORDER BY o_orderkey""".stripMargin,
+    "q98_topk_agg" ->
+      """SELECT l_returnflag,
+        |  (list(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC))[1:3]
+        |    AS top3_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q95_monthly_revenue" ->
       """SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0

@@ -68,6 +68,24 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKLongs aggregator == window row_number top-k formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val src = Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val viaWindow = src
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("pc").desc)))
+      .filter(col("rn") <= 3)
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("pc")), asc = false).as("top3"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = AggPack.topkPerGroup(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaWindow)
+  }
+
   test("exact-sum stddev/corr agree with the streaming builtins within 1e-9") {
     import org.apache.spark.sql.functions._
     val formula = AggPack.stats(spark, dir).head()
