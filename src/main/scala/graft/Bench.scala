@@ -15,11 +15,15 @@ import org.apache.spark.sql.SparkSession
   * The first query of the first pass is preceded by one untimed warmup so
   * JVM/codegen startup lands on no query's number.
   *
-  * The JSON line is printed to stdout (last line) AND written to
-  * BENCH_LOCAL.json next to the repo (env SPARK_GRAFT_BENCH_OUT to move
-  * it) — log-tail scraping truncates long lines, the file never does.
-  * `loadavg` records /proc/loadavg at start+end so a contended sample is
-  * identifiable after the fact.
+  * Output goes to two places. The FULL report (full query names, full
+  * precision) is written to BENCH_LOCAL.json (env SPARK_GRAFT_BENCH_OUT to
+  * move it) and printed first. The LAST stdout line is a compact variant —
+  * short `qNN` keys, 3-decimal seconds — sized to fit entirely inside the
+  * driver's 2000-char stdout tail (the full line is ~3 KB and was arriving
+  * head-truncated, hence `parsed: null` three rounds running). Queries
+  * that fail every run are listed under "failed" (and excluded from the
+  * total) instead of being silently dropped. `loadavg` records
+  * /proc/loadavg at start+end so a contended sample is identifiable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -60,17 +64,32 @@ object Bench {
     val samples = (1 to runs).flatMap(_ => names.map(n => n -> exec(n)))
       .groupBy(_._1).view.mapValues(_.map(_._2).filter(_ >= 0.0).sorted).toMap
     def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0 else xs(xs.size / 2)
+      if (xs.isEmpty) -1.0
+      else if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
     val medians = names.map(n => n -> median(samples.getOrElse(n, Nil)))
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = medians.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","runs":$runs,"loadavg_start":"$load0","loadavg_end":"${loadavg()}"}"""
-    try Files.writeString(Paths.get(outPath), json + "\n")
+    val failed = medians.collect { case (n, v) if v < 0 => n }
+    val ok = medians.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonLine(qs: Seq[(String, String)], extra: String): String =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+        s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")},"sf":"$sfDir","runs":$runs,""" +
+        s""""failed":$failedJson$extra}"""
+    val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
+      s""","loadavg_start":"$load0","loadavg_end":"${loadavg()}"""")
+    try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-    println(json)
+    println(full)
+    // compact twin LAST: qNN keys, 3-decimal values — must fit the 2000-char
+    // stdout tail the driver parses (full names live in the file/line above)
+    val shortKeys = ok.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val short =
+      if (shortKeys.map(_._1).distinct.size == shortKeys.size) shortKeys
+      else ok // prefix collision: fall back to full names rather than lose queries
+    println(jsonLine(short.map { case (k, v) => k -> "%.3f".format(v) },
+      s""","full":"$outPath""""))
     spark.stop()
   }
 }

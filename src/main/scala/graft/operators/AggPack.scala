@@ -212,7 +212,11 @@ object AggPack extends QueryPack {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("pc"))
       .groupBy(col("l_returnflag"))
-      .agg(top3(col("pc")).as("top3_price_cents"))
+      // comma-joined, not a raw array<bigint>: the oracle compare handles
+      // only scalar columns (the aggregator emits descending order, so the
+      // join is lossless and deterministic)
+      .agg(array_join(top3(col("pc")).cast("array<string>"), ",")
+        .as("top3_price_cents"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -299,8 +303,8 @@ object AggPack extends QueryPack {
         |ORDER BY o_orderkey""".stripMargin,
     "q98_topk_agg" ->
       """SELECT l_returnflag,
-        |  (list(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |        ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC))[1:3]
+        |  array_to_string((list(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC))[1:3], ',')
         |    AS top3_price_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q95_monthly_revenue" ->

@@ -198,7 +198,11 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"),
         round(array_min(emb).cast("double"), 6).as("lo"),
         round(array_max(emb).cast("double"), 6).as("hi"),
-        graft.functions.Int8Quantize.quantize(emb).as("q"))
+        // comma-joined, not a raw array<int>: the oracle compare handles
+        // only scalar columns (element order is positional, so the join
+        // is lossless)
+        array_join(graft.functions.Int8Quantize.quantize(emb)
+          .cast("array<string>"), ",").as("q_csv"))
       .orderBy(col("vec_id"))
   }
 
@@ -240,8 +244,9 @@ object SimilarityPack extends QueryPack {
         |    list_max(CAST(embedding AS DOUBLE[])) AS hi
         |  FROM embeddings)
         |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
-        |  list_transform(emb, x -> CAST(CASE WHEN hi = lo THEN 0
-        |    ELSE least(255, floor((x - lo) / (hi - lo) * 255.0)) END AS INT)) AS q
+        |  array_to_string(list_transform(emb, x -> CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE least(255, floor((x - lo) / (hi - lo) * 255.0)) END AS INT)), ',')
+        |    AS q_csv
         |FROM m ORDER BY vec_id""".stripMargin)
   // q71: no oracle — approximate; recall vs q70 asserted in SimilaritySpec.
 }

@@ -88,16 +88,17 @@ object WideColumnPack extends QueryPack {
   /** Byte-level cell fidelity (F9): every reference cell is a byte[] that
     * strings pass through via Bytes.toBytes / Bytes.toString
     * (HBaseClient.java:40-48, :72-77). This query performs that exact
-    * round-trip on the latest cells — value → UTF-8 bytes (stored as a
-    * BINARY column, dumped as raw bytes) → decoded string — with the byte
-    * length alongside, oracle-compared byte-for-byte.
+    * round-trip on the latest cells — value → UTF-8 bytes (a BINARY
+    * column, dumped as its hex projection: the oracle compare handles
+    * only scalar columns) → decoded string — with the byte length
+    * alongside, oracle-compared byte-for-byte via the hex form.
     */
   def binaryRoundtrip(spark: SparkSession, dir: String): DataFrame =
     latestCells(spark, dir)
       .select(col("rowkey"), col("family"), col("qualifier"),
         encode(col("value"), "UTF-8").as("value_bin"), col("value"))
       .select(col("rowkey"), col("family"), col("qualifier"),
-        col("value_bin"),
+        hex(col("value_bin")).as("value_hex"),
         length(col("value_bin")).as("n_bytes"),
         decode(col("value_bin"), "UTF-8").as("value_rt"),
         (decode(col("value_bin"), "UTF-8") === col("value")).as("rt_ok"))
@@ -143,7 +144,7 @@ object WideColumnPack extends QueryPack {
         |ORDER BY rowkey, family, qualifier, valid_from""".stripMargin),
     "q52_widecol_binary_roundtrip" -> withCells(
       """SELECT rowkey, family, qualifier,
-        |  encode(value) AS value_bin,
+        |  hex(encode(value)) AS value_hex,
         |  CAST(octet_length(encode(value)) AS INT) AS n_bytes,
         |  decode(encode(value)) AS value_rt,
         |  decode(encode(value)) = value AS rt_ok

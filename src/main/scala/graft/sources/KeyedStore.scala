@@ -86,6 +86,18 @@ object KeyedStore {
     * before doing anything destructive. `_old` is only deleted while the
     * live dir verifiably exists. If the second rename fails, the first is
     * rolled back so the table is never left missing.
+    *
+    * Concurrency contract: SINGLE WRITER. Like an HBase major compaction,
+    * exactly one compact() may run per table at a time — two concurrent
+    * compacts race on the same `_tmp`/`_old` paths and their delete/rename
+    * interleavings are destructive. The crash recovery above is
+    * single-process recovery, not mutual exclusion (this store has no
+    * coordination service to host a lock; a deployment would serialize
+    * compactions per table the way HBase's master does). Readers during
+    * the swap window — between the two renames the live dir briefly does
+    * not exist — get a transient file-not-found and must retry; `scan`
+    * calls that already resolved their file listing are unaffected reads
+    * of immutable parquet until `refreshTable`.
     */
   def compact(spark: SparkSession, table: String, maxVersions: Int = 3): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)

@@ -79,10 +79,11 @@ class AggSpec extends AnyFunSuite {
         Window.partitionBy(col("l_returnflag")).orderBy(col("pc").desc)))
       .filter(col("rn") <= 3)
       .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_list(col("pc")), asc = false).as("top3"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .agg(array_join(sort_array(collect_list(col("pc")), asc = false)
+        .cast("array<string>"), ",").as("top3"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val viaAgg = AggPack.topkPerGroup(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(viaAgg == viaWindow)
   }
 

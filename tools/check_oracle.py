@@ -61,6 +61,20 @@ def main(sf_dir, out_dir):
                    for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
         if dt_diff:
             print(f"WARN {name}: dtype drift {dt_diff}")
+        # The driver's pandas sort_values/hash compare crashes on binary and
+        # list cells ("unhashable type") — fail HERE so it never ships.
+        # Project arrays to comma-joined strings and binaries to hex on BOTH
+        # sides (round-3 lesson: q52/q74/q98).
+        nonscalar = [
+            c for df in (got, want) for c in df.columns
+            if df[c].map(lambda v: isinstance(v, (bytes, bytearray, list))
+                         or type(v).__name__ == "ndarray").any()]
+        if nonscalar:
+            print(f"FAIL {name}: non-scalar result columns "
+                  f"{sorted(set(nonscalar))} — the driver compare cannot "
+                  f"hash these; emit hex/comma-joined projections")
+            n_fail += 1
+            continue
         g_rows = [tuple(canon(v) for v in r)
                   for r in got.itertuples(index=False)]
         w_rows = [tuple(canon(v) for v in r)
