@@ -75,11 +75,37 @@ object EventsPack extends QueryPack {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Click→purchase attribution: every (purchase, click) pair for the same
+    * user where the click happened within the hour before the purchase —
+    * the batch twin of the stream-stream interval join (EventStreamSpec).
+    * Plan shape at scale: ONE equi-join shuffle on user_id; the time band
+    * is a post-join filter whose fan-out is bounded by events-per-user-
+    * per-hour, never a cross product. gap_ms is a difference of epoch-ms
+    * longs — identical integer arithmetic on both engines.
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        tsMillis(col("ts")).as("purchase_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        tsMillis(col("ts")).as("click_ms"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ms") <= col("purchase_ms") &&
+          col("click_ms") >= col("purchase_ms") - lit(3600L * 1000))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (col("purchase_ms") - col("click_ms")).as("gap_ms"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val queries = Map(
     "q55_tumbling_window" -> tumbling _,
     "q56_sliding_window" -> sliding _,
     "q57_sessionize" -> sessionize _,
-    "q58_json_extract" -> jsonExtract _)
+    "q58_json_extract" -> jsonExtract _,
+    "q99_click_attribution" -> clickAttribution _)
 
   val oracle = Map(
     "q55_tumbling_window" ->
@@ -114,5 +140,14 @@ object EventsPack extends QueryPack {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events) t
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q99_click_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id AS user_id, epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+        | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600 * 1000
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }
