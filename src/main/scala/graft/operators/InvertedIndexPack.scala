@@ -58,12 +58,88 @@ object InvertedIndexPack extends QueryPack {
         .as("postings"))
       .orderBy(col("word"))
 
+  /** BM25 relevance top-k — what the v2 postings index exists FOR: score
+    * every document containing a query term and return the best k.
+    * idf = ln((N − df + ½)/(df + ½) + 1), tf-saturated with k1=1.2, b=0.75
+    * length normalization (the standard Robertson/Spärck Jones form).
+    *
+    * Scale shape: one explode pass over the corpus filtered to the probe
+    * terms (the filter prunes the exploded stream immediately — only query-
+    * term hits reach the (doc, term) aggregation); df and the 1-row corpus
+    * stats (N, avg doc length) are broadcast; top-k is
+    * TakeOrderedAndProject, never a global sort. Per-term scores are summed
+    * in a FIXED order (one conditional sum per probe term) so the float
+    * result is bit-stable across engines and partitionings; round(…, 6)
+    * absorbs the 1-ulp cross-engine `ln` difference.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "query", "vector"),
+               k: Int = 20): DataFrame =
+    bm25Of(t(spark, dir, "documents"), terms, k)
+
+  /** Core of q101 over any (doc_id, text) frame (crafted fixtures in
+    * TextSpec assert the idf/tf monotonicity properties).
+    */
+  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val k1 = 1.2
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val score =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val termSum = terms.map(t =>
+        coalesce(sum(when(col("tok") === t, col("s"))), lit(0.0)))
+      .reduce(_ + _)
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("tok"), score.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(termSum, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries = Map(
     "q40_inverted_v1" -> invertedV1 _,
     "q41_inverted_v2" -> invertedV2 _,
-    "q42_inverted_v2_nested" -> invertedV2Nested _)
+    "q42_inverted_v2_nested" -> invertedV2Nested _,
+    "q101_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)))
 
   val oracle = Map(
+    "q101_bm25_topk" ->
+      // mirrors the Spark formula token-for-token (same literals, same
+      // association, same fixed-order per-term sum) so every float op is
+      // the identical IEEE sequence; round(…,6) absorbs ln()'s 1-ulp play
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |  WHERE tok IN ('spark', 'query', 'vector')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |s AS (
+        |  SELECT doc_id, tok,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus)
+        |SELECT doc_id, round(
+        |    coalesce(sum(CASE WHEN tok = 'spark' THEN s END), 0.0) +
+        |    coalesce(sum(CASE WHEN tok = 'query' THEN s END), 0.0) +
+        |    coalesce(sum(CASE WHEN tok = 'vector' THEN s END), 0.0), 6) AS bm25
+        |FROM s GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q40_inverted_v1" ->
       """SELECT word,
         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings

@@ -196,8 +196,70 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals — the quality filters that catch
+    * degenerate/boilerplate text which length and stopword ratios miss:
+    * top-token concentration (max single-token frequency / tokens) and
+    * duplicate-bigram fraction (1 − distinct bigrams / total bigrams).
+    * Scale shape: the distinct counts are map-only per-row expressions
+    * (native NGramShingles dedups in one pass); the top-token count is a
+    * two-phase hash aggregation on (doc_id, token) then (doc_id) — never a
+    * per-row O(n²) loop — and the final join is doc_id-to-doc_id.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NGramShingles.register(spark)
+    repetitionSignalsOf(t(spark, dir, "documents"))
+  }
+
+  /** Core of q100 over any (doc_id, text) frame (crafted fixtures in
+    * TextSpec). Caller must have NGramShingles registered.
+    */
+  def repetitionSignalsOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      size(graft.functions.NGramShingles.shinglesFast(toks, 2)).cast("long")
+        .as("n_distinct_bigrams"))
+    val top = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_distinct_bigrams"), col("top_token_n"),
+        (col("top_token_n").cast("double") / col("n_tokens")).as("top_token_ratio"),
+        when(col("n_tokens") >= 2,
+          lit(1.0) - col("n_distinct_bigrams").cast("double") / (col("n_tokens") - 1))
+          .as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing — assign each document to a fixed-size context-window
+    * bin (the batch-construction step before training): within each source,
+    * docs in doc_id order fill consecutive `ctxTokens`-token windows;
+    * bin = exclusive-running-token-count div window size. Pure integer
+    * window arithmetic, one shuffle on `source`; at 100 TB the partition
+    * key is (source, shard) so no single window sort exceeds a task.
+    */
+  def sequencePacking(spark: SparkSession, dir: String, ctxTokens: Int = 512): DataFrame =
+    sequencePackingOf(t(spark, dir, "documents"), ctxTokens)
+
+  /** Core of q102 over any (doc_id, source, text) frame. */
+  def sequencePackingOf(docs: DataFrame, ctxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $ctxTokens").as("bin"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
+    "q100_repetition_signals" -> repetitionSignals _,
+    "q102_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "q92_corpus_filter" -> corpusFilter _,
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
     "q94_decontaminate" -> decontaminate _,
@@ -219,6 +281,38 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q100_repetition_signals" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_token_n FROM (
+        |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |    FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u
+        |    GROUP BY doc_id, tok) g
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(len(list_distinct(CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |      ELSE [array_to_string(w, ' ')] END)) AS BIGINT) AS n_distinct_bigrams
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, n_distinct_bigrams, top_token_n,
+        |  top_token_n * 1.0 / n_tokens AS top_token_ratio,
+        |  CASE WHEN n_tokens >= 2
+        |    THEN 1.0 - n_distinct_bigrams * 1.0 / (n_tokens - 1) END AS dup_bigram_ratio
+        |FROM base JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q102_sequence_packing" ->
+      """SELECT doc_id, source, n_tokens, cum_before, cum_before // 512 AS bin
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |        PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - len(string_split(text, ' ')) AS BIGINT) AS cum_before
+        |  FROM documents) t
+        |ORDER BY source, doc_id""".stripMargin,
     "q59_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

@@ -50,6 +50,66 @@ class TextSpec extends AnyFunSuite {
       }
   }
 
+  test("repetition signals: crafted docs give exact ratios, 1-token doc gives null bigram ratio") {
+    import spark.implicits._
+    graft.functions.NGramShingles.register(spark)
+    val docs = Seq(
+      (1L, "a a a b"),    // top a×3/4; bigrams: [a a, a a, a b] → 2 distinct of 3
+      (2L, "w x y z"),    // no repetition: top 1/4, 3 distinct bigrams of 3
+      (3L, "solo"))       // 1 token: bigram ratio undefined → null
+      .toDF("doc_id", "text")
+    val got = TextPack.repetitionSignalsOf(docs).collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 2 && r1.getLong(3) == 2 &&
+      r1.getLong(4) == 3)
+    assert(math.abs(r1.getDouble(5) - 0.75) < 1e-15)
+    assert(math.abs(r1.getDouble(6) - (1.0 - 2.0 / 3)) < 1e-15)
+    val r2 = got(1)
+    assert(math.abs(r2.getDouble(5) - 0.25) < 1e-15 && r2.getDouble(6) == 0.0)
+    assert(got(2).isNullAt(6), "1-token doc must yield null dup_bigram_ratio, not a div-by-zero artifact")
+  }
+
+  test("sequence packing: bins advance exactly at context boundaries, per source") {
+    import spark.implicits._
+    // 300-token docs, ctx 512: cum_before 0/300/600/900 → bins 0,0,1,1;
+    // second source restarts at bin 0
+    val doc300 = Seq.fill(300)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", doc300), (2L, "s1", doc300), (3L, "s1", doc300), (4L, "s1", doc300),
+      (10L, "s2", doc300))
+      .toDF("doc_id", "source", "text")
+    val got = TextPack.sequencePackingOf(docs, 512).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "s1", 0L, 0L), (2L, "s1", 300L, 0L), (3L, "s1", 600L, 1L),
+      (4L, "s1", 900L, 1L), (10L, "s2", 0L, 0L)))
+    // invariant on the real table: bins per source start at 0 and never skip
+    val real = TextPack.sequencePacking(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val bad = real
+      .withColumn("prev_bin", lag(col("bin"), 1, 0L).over(bySrc))
+      .filter(col("bin") < col("prev_bin") || col("bin") > col("prev_bin") + 1)
+      .count()
+    assert(bad == 0, "bins must be non-decreasing and gap-free within a source")
+  }
+
+  test("bm25: rarer term outscores commoner term at equal tf; more hits outscore fewer") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark pad"), // tf=3 on spark
+      (2L, "spark pad pad pad"),     // tf=1 on spark (df=2)
+      (3L, "query pad pad pad"),     // tf=1 on query (df=1 — rarer)
+      (4L, "pad pad pad pad"))       // no hit → absent from output
+      .toDF("doc_id", "text")
+    val got = graft.operators.InvertedIndexPack
+      .bm25Of(docs, Seq("spark", "query"), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(4L), "doc without any query term must not be scored")
+    assert(got(1L) > got(2L), "higher tf must outscore at equal df and length")
+    assert(got(3L) > got(2L), "rarer term (lower df) must outscore at equal tf and length")
+  }
+
   test("media features: fake decode matches a local recompute") {
     val feats = MultimodalPack.mediaFeatures(spark, dir)
       .filter(col("media_id") < 3).collect()
