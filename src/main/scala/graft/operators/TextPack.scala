@@ -256,9 +256,35 @@ object TextPack extends QueryPack {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Domain-mix resampling — reweight the corpus toward a target source
+    * mixture (the data-mixture step of training-set construction): each
+    * source gets an acceptance rate; a doc is kept iff its deterministic
+    * hash-uniform u = int(md5(doc_id)[0:4]) / 2¹⁶ falls below the rate.
+    * Like q91, reproducible on any engine/cluster/partitioning — and the
+    * per-source rates ride a broadcast join, so the corpus pass stays
+    * map-only (at 100 TB the rates table is thousands of rows, never a
+    * shuffle). u's divisor is a power of two, so u is exact and the
+    * keep/drop comparison is the identical IEEE compare on both engines.
+    */
+  def domainMixSample(spark: SparkSession, dir: String,
+                      boosted: Seq[String] = Seq("src0", "src1", "src2", "src3", "src4"),
+                      boostRate: Double = 0.5, baseRate: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val rates = boosted.map(_ -> boostRate).toDF("source", "rate")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+    t(spark, dir, "documents")
+      .join(broadcast(rates), Seq("source"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(baseRate)))
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("source"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
     "q100_repetition_signals" -> repetitionSignals _,
+    "q103_domain_mix_sample" -> ((s: SparkSession, d: String) => domainMixSample(s, d)),
     "q102_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "q92_corpus_filter" -> corpusFilter _,
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
@@ -281,6 +307,18 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q103_domain_mix_sample" ->
+      // DuckDB casts '0x….' hex strings natively; Spark's conv(…,16,10)
+      // computes the same integer, so u and the compare are bit-identical
+      """SELECT doc_id, source,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |    THEN 0.5 ELSE 0.1 END AS DOUBLE) AS rate
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      / 65536.0
+        |    < CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |        THEN 0.5 ELSE 0.1 END AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
     "q100_repetition_signals" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |top AS (

@@ -110,6 +110,38 @@ class TextSpec extends AnyFunSuite {
     assert(got(3L) > got(2L), "rarer term (lower df) must outscore at equal tf and length")
   }
 
+  test("domain mix: boosted sources sample at ~5x the base-rate sources") {
+    val got = TextPack.domainMixSample(spark, dir)
+    val bySource = got.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val boosted = (0 until 5).map(i => bySource.getOrElse(s"src$i", 0L)).sum
+    val base = bySource.filterNot(kv => (0 until 5).map(i => s"src$i").contains(kv._1))
+      .values.sum
+    // 20 sources × 25 docs each at sf0.01: boosted ≈ 5×25×0.5 ≈ 62,
+    // base ≈ 15×25×0.1 ≈ 37 — assert the mixture actually shifted
+    assert(boosted > base, s"boosted=$boosted should exceed base=$base")
+    // determinism: the sample is a pure function of doc_id
+    assert(got.collect().toSeq == TextPack.domainMixSample(spark, dir).collect().toSeq)
+  }
+
+  test("single-pass pipeline metrics via observe()") {
+    // corpus-health counters ride the SAME job as the query (CollectMetrics
+    // operator) — no second scan; the pattern for per-pass observability
+    // at 100 TB where "run another count()" doubles the cost
+    val obs = org.apache.spark.sql.Observation("corpus_health")
+    val docs = Tables.t(spark, dir, "documents")
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        max(length(col("text"))).as("max_chars"))
+    val kept = docs.filter(length(col("text")) > 0).count()
+    val m = obs.get
+    assert(m("n_docs").asInstanceOf[Long] == 500L)
+    assert(m("n_null_text").asInstanceOf[Long] == 0L)
+    assert(m("max_chars").asInstanceOf[Int] > 0)
+    assert(kept <= m("n_docs").asInstanceOf[Long])
+  }
+
   test("media features: fake decode matches a local recompute") {
     val feats = MultimodalPack.mediaFeatures(spark, dir)
       .filter(col("media_id") < 3).collect()
