@@ -53,6 +53,24 @@ object EventStreamJobs {
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment join — micro-batches joined against a static
+    * dimension (event_type → category), then watermark-windowed rollup by
+    * category. The static side is broadcast, so each micro-batch is a
+    * map-only enrichment pass; at scale the dim is re-resolved per batch
+    * (picking up dimension updates) while the stream state stays bounded by
+    * the watermark. The SAME function runs in batch (watermark is a no-op
+    * there) — EventStreamSpec asserts the two modes agree.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .withColumn("category", coalesce(col("category"), lit("other")))
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("category"), col("n"), col("sum_value"))
+
   case class SessionEvent(user_id: Long, event_id: Long, tsMs: Long)
   case class SessionState(sessionId: Long, lastMs: Long, nEvents: Long, startMs: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

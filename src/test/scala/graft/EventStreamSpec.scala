@@ -33,6 +33,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join == the same function run in batch") {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val watch = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      watch.resolve("part-0.parquet"))
+    val q = EventStreamJobs
+      .enrichedCounts(EventStreamJobs.readEvents(spark, watch.toString), dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched_out")
+        .orderBy(col("bucket_ms"), col("category")).collect().toSeq
+      val want = EventStreamJobs.enrichedCounts(Tables.events(spark, dir), dim)
+        .orderBy(col("bucket_ms"), col("category")).collect().toSeq
+      assert(got == want && got.nonEmpty)
+      // the unmapped types (signup/error) must land in the 'other' bucket
+      assert(got.exists(_.getString(1) == "other"))
+    } finally q.stop()
+  }
+
   test("checkpoint restart: a new query on the same checkpoint resumes without reprocessing") {
     // the production restart contract: file-source offsets + file-sink
     // commit log give exactly-once across a stop/start — a restarted query
