@@ -121,7 +121,27 @@ object WideColumnPack extends QueryPack {
       .orderBy(col("rowkey"), col("family"), col("qualifier"), col("valid_from"))
   }
 
+  /** Tombstone-masked scan — the delete path of the LSM read model
+    * (KeyedStore.delete/resolveCells): a deterministic ~25% of `info`
+    * cells get a tombstone at their OLDEST version, which masks that
+    * version (and erases single-version cells entirely) while newer puts
+    * stay visible; then the usual newest-3 retention. Exercises the exact
+    * masking rule the store's scan/compact use, against a SQL oracle.
+    */
+  def tombstoneScan(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.cells(spark, dir)
+    val tomb = cells
+      .filter(col("family") === "info" && substring(md5(col("rowkey")), 1, 1) < "4")
+      .groupBy(col("rowkey"), col("family"), col("qualifier"))
+      .agg(min(col("version")).as("version"))
+      .select(col("rowkey"), col("family"), col("qualifier"),
+        lit(null).cast("string").as("value"), col("version"))
+    graft.sources.KeyedStore.resolveCells(cells.unionAll(tomb), 3)
+      .orderBy(col("rowkey"), col("family"), col("qualifier"), col("version").desc)
+  }
+
   val queries = Map(
+    "q104_widecol_tombstones" -> tombstoneScan _,
     "q45_widecol_prefix_scan" -> prefixScan _,
     "q52_widecol_binary_roundtrip" -> binaryRoundtrip _,
     "q97_widecol_scd2" -> scd2Intervals _,
@@ -133,6 +153,24 @@ object WideColumnPack extends QueryPack {
     s"WITH cells AS (\n${Tables.cellsSql}\n)\n$body"
 
   val oracle = Map(
+    "q104_widecol_tombstones" -> withCells(
+      """SELECT rowkey, family, qualifier, value, version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (
+        |    SELECT * FROM (
+        |      SELECT *, max(CASE WHEN value IS NULL THEN version END)
+        |          OVER (PARTITION BY rowkey, family, qualifier) AS tv
+        |      FROM (
+        |        SELECT * FROM cells
+        |        UNION ALL
+        |        SELECT rowkey, family, qualifier, CAST(NULL AS VARCHAR), min(version)
+        |        FROM cells
+        |        WHERE family = 'info' AND substring(md5(rowkey), 1, 1) < '4'
+        |        GROUP BY rowkey, family, qualifier) a) m
+        |    WHERE value IS NOT NULL AND (tv IS NULL OR version > tv)) live) t
+        |WHERE rn <= 3
+        |ORDER BY rowkey, family, qualifier, version DESC""".stripMargin),
     "q97_widecol_scd2" -> withCells(
       """SELECT rowkey, family, qualifier, value,
         |  version AS valid_from,

@@ -52,16 +52,42 @@ object KeyedStore {
       .write.mode("append").insertInto(table)
   }
 
-  private val verWin =
+  private val cellWin =
     Window.partitionBy(col("rowkey"), col("family"), col("qualifier"))
-      .orderBy(col("version").desc)
 
-  /** Read-side version resolution: newest `maxVersions` per cell. */
-  def scan(spark: SparkSession, table: String, maxVersions: Int = 3): DataFrame =
-    spark.table(table)
+  private val verWin = cellWin.orderBy(col("version").desc)
+
+  /** Delete: append a TOMBSTONE cell (value = NULL — a Put can never write
+    * null, Bytes.toBytes rejects it, so null is unambiguous). A tombstone
+    * at version v masks every version ≤ v of its cell (HBase DeleteColumn
+    * semantics): reads resolve it, and a later Put at a higher version is
+    * visible again. Like Put, a blind append — no read-modify-write.
+    * `keys` needs (rowkey, family, qualifier, version).
+    */
+  def delete(spark: SparkSession, table: String, keys: DataFrame): Unit = {
+    val valueType = spark.table(table).schema("value").dataType
+    keys.select(col("rowkey"), col("family"), col("qualifier"),
+      lit(null).cast(valueType).as("value"), col("version").cast("long"))
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Read-side resolution over any cell frame: drop versions at or below
+    * each cell's newest tombstone, then keep the newest `maxVersions`.
+    * Both windows share one (rowkey, family, qualifier) exchange — at
+    * scale this is a single shuffle on the store's natural shard key.
+    */
+  def resolveCells(cells: DataFrame, maxVersions: Int = 3): DataFrame =
+    cells
+      .withColumn("tv", max(when(col("value").isNull, col("version"))).over(cellWin))
+      .filter(col("value").isNotNull && (col("tv").isNull || col("version") > col("tv")))
+      .drop("tv")
       .withColumn("rn", row_number().over(verWin))
       .filter(col("rn") <= maxVersions)
       .drop("rn")
+
+  /** Read-side version resolution: newest `maxVersions` per live cell. */
+  def scan(spark: SparkSession, table: String, maxVersions: Int = 3): DataFrame =
+    resolveCells(spark.table(table), maxVersions)
 
   /** Prefix scan, optionally reversed (HBaseClient.java:64-68). */
   def prefixScan(spark: SparkSession, table: String, prefix: String,
@@ -74,8 +100,12 @@ object KeyedStore {
   }
 
   /** Compaction: rewrite the table keeping only the newest `maxVersions`
-    * per cell — the background process that makes blind-append Puts
-    * sustainable (read amplification stays bounded). Fully distributed:
+    * per live cell — the background process that makes blind-append Puts
+    * sustainable (read amplification stays bounded). This is a MAJOR
+    * compaction in HBase terms: tombstoned versions are physically dropped
+    * and the tombstones themselves are garbage-collected (safe because the
+    * rewrite covers the whole table, so no older masked version can
+    * resurface). Fully distributed:
     * the kept cells are written to a sibling temp directory by the
     * executors, then swapped into the table location with two metadata
     * renames — the driver never holds a row.

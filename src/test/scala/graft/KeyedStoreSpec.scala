@@ -78,6 +78,53 @@ class KeyedStoreSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("delete tombstones: mask at-or-below their version, survive re-put, GC on compact") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("keyed_store_del").toString
+    val table = "graft_tombstone_cells"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    KeyedStore.create(spark, table, loc)
+    KeyedStore.put(spark, table, cellRows)
+    KeyedStore.put(spark, table, extraVersions)
+
+    // tombstone jerry's understanding score at version 1 (its only version)
+    // and tome's programming cell at version 3 (masks 1..3, keeps 4,5)
+    KeyedStore.delete(spark, table, Seq(
+      ("G20200579010832", "score", "understanding", 1L),
+      ("G20200579010831", "score", "programming", 3L))
+      .toDF("rowkey", "family", "qualifier", "version"))
+
+    val jerry = KeyedStore.get(spark, table, "G20200579010832").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!jerry.contains(("score", "understanding")), "tombstoned cell must vanish")
+    assert(jerry.contains(("name", "name")), "sibling cells must be untouched")
+    val progVers = KeyedStore.scan(spark, table)
+      .filter("rowkey = 'G20200579010831' AND qualifier = 'programming'")
+      .select("version").collect().map(_.getLong(0)).sorted.toSeq
+    assert(progVers == Seq(4L, 5L), s"tombstone@3 must mask 1..3, got $progVers")
+
+    // a later Put above the tombstone version is visible again
+    KeyedStore.put(spark, table,
+      Seq(("G20200579010832", "score", "understanding", "91", 7L))
+        .toDF("rowkey", "family", "qualifier", "value", "version"))
+    val revived = KeyedStore.get(spark, table, "G20200579010832").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(revived(("score", "understanding")) == "91")
+
+    // major compaction drops masked versions AND the tombstones themselves
+    KeyedStore.compact(spark, table)
+    val raw = spark.table(table)
+    assert(raw.filter("value IS NULL").count() == 0, "compact must GC tombstones")
+    assert(raw.filter(
+      "rowkey = 'G20200579010831' AND qualifier = 'programming' AND version <= 3")
+      .count() == 0, "compact must drop masked versions")
+    // and the logical view is unchanged by compaction
+    assert(KeyedStore.get(spark, table, "G20200579010832").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      .apply(("score", "understanding")) == "91")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("compact recovers from a simulated mid-swap crash without losing data") {
     import org.apache.hadoop.fs.Path
     val loc = Files.createTempDirectory("keyed_store_crash").toString
