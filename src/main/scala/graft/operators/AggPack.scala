@@ -124,6 +124,68 @@ object AggPack extends QueryPack {
         element_at(col("price_ps"), 1).as("price_cents_p50"),
         element_at(col("price_ps"), 2).as("price_cents_p95"))
 
+  /** Exact percentiles WITHOUT buffering — the third point of the
+    * percentile triangle (q85 exact-buffered, q89 approx-sketch): a
+    * two-phase (value, count) histogram collapses N rows to |V| distinct
+    * values BEFORE anything non-distributed happens, the rank cumsum runs
+    * over the tiny histogram (|V| = ~50 for quantity, ~100k for cents —
+    * vs 600k+ rows), and each requested percentile is answered by an
+    * interval-containment probe against the ranked histogram. Exactness is
+    * proven by construction: the interpolation below replicates Spark's
+    * Percentile formula term-for-term — position = p·(n−1), result =
+    * (ceil−pos)·v_lo + (pos−floor)·v_hi — and the oracle is IDENTICAL to
+    * q85's, so the rewrite must hash-match the buffered original.
+    * This is the shape that survives 100 TB: percentile() holds every
+    * value of a group in one aggregation buffer; this holds one row per
+    * distinct value, fully partial-aggregated map-side.
+    */
+  def percentilesViaHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+
+    def pcts(valueCol: String, probes: Seq[(String, Double)]): DataFrame = {
+      import spark.implicits._
+      val hist = base.groupBy(col(valueCol).cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // [start, end) rank interval covered by each distinct value (0-based)
+      val ranked = hist
+        .withColumn("end", sum(col("c")).over(w))
+        .withColumn("start", col("end") - col("c"))
+      val nRow = base.agg(count(lit(1)).as("n"))
+      val pos = col("p") * (col("n") - 1).cast("double")
+      val tgt = broadcast(probes.toDF("name", "p").crossJoin(broadcast(nRow))
+        .select(col("name"), pos.as("pos"),
+          floor(pos).as("lo"), ceil(pos).as("hi")))
+      val vLo = ranked.join(tgt,
+          col("start") <= col("lo") && col("lo") < col("end"))
+        .select(col("name"), col("pos"), col("lo"), col("hi"), col("v").as("v_lo"))
+      val vHi = ranked.join(tgt.select(col("name").as("hname"), col("hi").as("hh")),
+          col("start") <= col("hh") && col("hh") < col("end"))
+        .select(col("hname"), col("v").as("v_hi"))
+      val r = when(col("lo") === col("hi"), col("v_lo"))
+        .otherwise((col("hi").cast("double") - col("pos")) * col("v_lo") +
+          (col("pos") - col("lo").cast("double")) * col("v_hi"))
+      val perProbe = vLo.join(vHi, col("name") === col("hname")).select(col("name"), r.as("r"))
+      // pivot the probe rows into q85's fixed column shape (max over a
+      // single-row-per-name frame = plain column extraction)
+      perProbe.agg(
+        probes.map { case (nm, _) =>
+          max(when(col("name") === nm, col("r"))).as(nm)
+        }.head, probes.tail.map { case (nm, _) =>
+          max(when(col("name") === nm, col("r"))).as(nm)
+        }: _*)
+    }
+
+    pcts("l_quantity", Seq("qty_p25" -> 0.25, "qty_p50" -> 0.5,
+        "qty_p75" -> 0.75, "qty_p95" -> 0.95))
+      .crossJoin(pcts("price_cents", Seq("price_cents_p50" -> 0.5,
+        "price_cents_p95" -> 0.95)))
+  }
+
   /** Approximate percentiles — the 100 TB path q85 specializes. Exact
     * percentile() buffers every group value in memory; approx_percentile
     * (KLL-style sketch) is bounded-memory, mergeable map-side, and within
@@ -248,6 +310,7 @@ object AggPack extends QueryPack {
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
     "q85_percentiles" -> percentiles _,
+    "q105_percentiles_histogram" -> percentilesViaHistogram _,
     "q89_approx_percentiles" -> approxPercentiles _,
     "q86_stats" -> stats _,
     "q87_histogram" -> histogram _,
@@ -263,15 +326,20 @@ object AggPack extends QueryPack {
     "q34_approx_distinct" -> approxDistinct _,
     "q35_topk" -> topkOrders _)
 
+  private val percentilesSql =
+    """SELECT quantile_cont(l_quantity, 0.25) AS qty_p25,
+      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+      |  quantile_cont(l_quantity, 0.95) AS qty_p95,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS price_cents_p50,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95) AS price_cents_p95
+      |FROM lineitem""".stripMargin
+
   val oracle = Map(
-    "q85_percentiles" ->
-      """SELECT quantile_cont(l_quantity, 0.25) AS qty_p25,
-        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
-        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
-        |  quantile_cont(l_quantity, 0.95) AS qty_p95,
-        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS price_cents_p50,
-        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95) AS price_cents_p95
-        |FROM lineitem""".stripMargin,
+    // identical oracle for the buffered (q85) and histogram (q105) forms —
+    // the rewrite must agree with the original to the last bit
+    "q105_percentiles_histogram" -> percentilesSql,
+    "q85_percentiles" -> percentilesSql,
     "q86_stats" ->
       """WITH s AS (
         |  SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,

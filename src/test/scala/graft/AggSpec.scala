@@ -68,6 +68,19 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram percentiles are bit-identical to the buffered percentile()") {
+    // q105's rewrite claim: two-phase histogram + Spark's own interpolation
+    // formula == the TypedImperativeAggregate that buffers every value
+    val buffered = AggPack.percentiles(spark, dir).collect().head
+    val hist = AggPack.percentilesViaHistogram(spark, dir).collect().head
+    assert(buffered.schema.fieldNames.sameElements(hist.schema.fieldNames))
+    (0 until 6).foreach { i =>
+      assert(buffered.getDouble(i) == hist.getDouble(i),
+        s"${buffered.schema.fieldNames(i)}: buffered=${buffered.getDouble(i)} " +
+          s"hist=${hist.getDouble(i)} must match to the last bit")
+    }
+  }
+
   test("TopKLongs aggregator == window row_number top-k formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
