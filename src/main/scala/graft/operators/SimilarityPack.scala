@@ -181,6 +181,65 @@ object SimilarityPack extends QueryPack {
     topK(cand, k)
   }
 
+  private def unitNorm(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Distributed spherical k-means (Lloyd) — the cluster-wide training
+    * job the q72 IVF quantizer's one-shot sample refinement stands in
+    * for. Each iteration is ONE corpus map pass (assignment against k
+    * literal unit centroids — argmax dot product, which under unit
+    * centroids is argmax cosine) plus a two-phase per-dimension mean
+    * aggregation: only (cell, dim) partial sums cross the shuffle — k·dim
+    * rows, never a vector — and the k·dim model (here 16×64 doubles)
+    * returns to the driver per iteration, the classic Spark ML shape with
+    * a bounded driver footprint by construction. Seeds are the k
+    * lowest-vec_id vectors (deterministic); empty cells keep their
+    * centroid. Returns (unit centroids, per-iteration mean cosine) —
+    * Lloyd guarantees the mean cosine is non-decreasing (asserted in
+    * SimilaritySpec along with determinism).
+    */
+  def kmeansTrain(spark: SparkSession, dir: String, k: Int = 16,
+                  iters: Int = 3): (Array[Array[Double]], Seq[Double]) = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    var centroids: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(unitNorm)
+    val costs = Seq.newBuilder[Double]
+    (1 to iters).foreach { _ =>
+      val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
+      val sims = transform(sequence(lit(0), lit(k - 1)), c =>
+        struct(
+          aggregate(zip_with(col("embedding"), element_at(centroidLit, c + 1),
+            (x, w) => x.cast("double") * w), lit(0.0), (a, v) => a + v).as("dot"),
+          c.as("cell")))
+      val best = array_max(sims)
+      val norm = sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v))
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        best.getField("cell").as("cell"),
+        (best.getField("dot") / norm).as("cos"))
+      costs += assigned.agg(avg(col("cos"))).head().getDouble(0)
+      // per-(cell, dim) means: the only shuffle, k·dim rows out
+      val dimMeans = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect() // k·dim rows — this IS the model, bounded by design
+      val byCell = dimMeans.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c)
+          .map(rows => unitNorm(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray))
+          .getOrElse(centroids(c))
+      }.toArray
+    }
+    emb.unpersist()
+    (centroids, costs.result())
+  }
+
   /** Int8 min-max scalar quantization of embeddings — the storage-
     * reduction pass a training pipeline runs before archiving vectors
     * (4 bytes/dim → 1). Per-vector affine map to [0,255]; `floor` (never

@@ -38,6 +38,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("spherical k-means: mean cosine is Lloyd-monotone, centroids unit, runs deterministic") {
+    val (centroids, costs) = SimilarityPack.kmeansTrain(spark, dir, k = 8, iters = 3)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    centroids.foreach(c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9, "centroids must be unit"))
+    assert(costs.size == 3)
+    costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"mean cosine must be non-decreasing across Lloyd rounds: $costs")
+    }
+    // training moved the quantizer: final fit strictly beats the raw seeds
+    assert(costs.last > costs.head, s"training must improve the objective: $costs")
+    // determinism up to float merge order (partial-agg arrival order varies)
+    val (c2, costs2) = SimilarityPack.kmeansTrain(spark, dir, k = 8, iters = 3)
+    costs.zip(costs2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    centroids.zip(c2).foreach { case (u, v) =>
+      u.zip(v).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
   test("native HyperplaneSignature == HOF reference signature, bit-identical") {
     import org.apache.spark.sql.functions._
     graft.functions.HyperplaneSignature.register(spark)
