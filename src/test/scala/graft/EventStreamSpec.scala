@@ -230,6 +230,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update mode re-emits only windows a batch changed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStreamJobs.tumblingCounts(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("update_out")
+      .start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((ts("2024-01-01 10:10:00"), "click", 1.0),
+        (ts("2024-01-01 10:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      val after1 = spark.table("update_out").collect()
+      assert(after1.length == 1 && after1.head.getLong(2) == 2,
+        "first batch must emit the one changed window with n=2")
+      // second batch: touches the 10:00 window again AND opens 11:00 —
+      // update mode emits exactly those two, not a full re-emit
+      input.addData((ts("2024-01-01 10:40:00"), "click", 1.0),
+        (ts("2024-01-01 11:05:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("update_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.length == 3, s"sink must hold 1 + 2 emitted updates, got ${rows.toSeq}")
+      val h10 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      val h11 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00").getTime
+      assert(rows.count { case (b, t, n) => b == h10 && t == "click" && n == 3 } == 1)
+      assert(rows.count { case (b, t, n) => b == h11 && t == "view" && n == 1 } == 1)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     import spark.implicits._
     val batch = EventsPack.sessionize(spark, dir).collect()

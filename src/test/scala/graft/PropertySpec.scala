@@ -70,6 +70,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // random cell histories: per (rowkey, qualifier) cell a distinct-version
+  // mix of puts and tombstones
+  private val cellsGen: Gen[List[(String, String, String, Option[String], Long)]] =
+    Gen.listOf(for {
+      rk <- Gen.oneOf("r1", "r2")
+      q <- Gen.oneOf("q1", "q2")
+      v <- Gen.choose(1L, 6L)
+      tomb <- Gen.oneOf(true, false)
+    } yield (rk, "f", q, if (tomb) None else Some(s"v$v"), v))
+      .map(_.distinctBy(c => (c._1, c._3, c._5))) // one op per (cell, version)
+
+  test("tombstone resolution ≡ sequential reference fold on random cell histories") {
+    forAll(cellsGen) { cells =>
+      whenever(cells.nonEmpty) {
+        import spark.implicits._
+        val maxV = 2
+        val df = cells.map { case (rk, f, q, v, ver) => (rk, f, q, v.orNull, ver) }
+          .toDF("rowkey", "family", "qualifier", "value", "version")
+        val got = graft.sources.KeyedStore.resolveCells(df, maxV).collect()
+          .map(r => (r.getString(0), r.getString(2), r.getString(3), r.getLong(4))).toSet
+        val want = cells.groupBy(c => (c._1, c._2, c._3)).toSeq.flatMap { case (_, cs) =>
+          val tv = cs.filter(_._4.isEmpty).map(_._5).maxOption
+          cs.filter(c => c._4.isDefined && tv.forall(c._5 > _))
+            .sortBy(-_._5).take(maxV)
+            .map(c => (c._1, c._3, c._4.get, c._5))
+        }.toSet
+        assert(got == want)
+      }
+    }
+  }
+
   private val pairGen: Gen[(List[Int], List[Int])] = for {
     a <- Gen.listOf(Gen.choose(0, 20))
     b <- Gen.listOf(Gen.choose(0, 20))
