@@ -155,6 +155,30 @@ object SimilarityPack extends QueryPack {
       if (n == 0) c else c.map(_ / n)
     }
 
+    ivfSearch(spark, dir, centroids, nQueries, k, nProbe)
+  }
+
+  /** IVF top-k over the q106 path: centroids come from the REAL
+    * cluster-wide spherical k-means training job (kmeansTrain) instead of
+    * q72's one-shot driver-sample refinement — train and search composed
+    * end-to-end. Same search shape, same recall contract (SimilaritySpec).
+    */
+  def ivfTrainedTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+                     k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+                     iters: Int = 2): DataFrame = {
+    CosineSimilarity.register(spark)
+    val (centroids, _) = kmeansTrain(spark, dir, nCells, iters)
+    ivfSearch(spark, dir, centroids, nQueries, k, nProbe)
+  }
+
+  /** Shared IVF search: assign the corpus to literal unit centroids (one
+    * map pass), probe each query's nProbe nearest cells, re-rank exactly.
+    */
+  private def ivfSearch(spark: SparkSession, dir: String,
+                        centroids: Array[Array[Double]], nQueries: Int,
+                        k: Int, nProbe: Int): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val nCells = centroids.length
     val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
     def cellRank(embCol: Column): Column =
       // cells sorted by descending centroid similarity: element 0 = home cell
@@ -219,9 +243,12 @@ object SimilarityPack extends QueryPack {
       val best = array_max(sims)
       val norm = sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
         (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v))
+      // cached for the iteration: the cost probe and the mean aggregation
+      // are separate actions and would otherwise each re-run the
+      // assignment pass over the corpus
       val assigned = emb.select(col("vec_id"), col("embedding"),
         best.getField("cell").as("cell"),
-        (best.getField("dot") / norm).as("cos"))
+        (best.getField("dot") / norm).as("cos")).cache()
       costs += assigned.agg(avg(col("cos"))).head().getDouble(0)
       // per-(cell, dim) means: the only shuffle, k·dim rows out
       val dimMeans = assigned
@@ -229,6 +256,7 @@ object SimilarityPack extends QueryPack {
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
         .collect() // k·dim rows — this IS the model, bounded by design
+      assigned.unpersist()
       val byCell = dimMeans.groupBy(_.getInt(0))
       centroids = centroids.indices.map { c =>
         byCell.get(c)
@@ -282,6 +310,7 @@ object SimilarityPack extends QueryPack {
     "q70_ann_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "q71_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "q72_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "q106_ann_ivf_trained_topk" -> ((s: SparkSession, d: String) => ivfTrainedTopK(s, d)),
     "q74_embedding_quantize" -> quantizeEmbeddings _)
 
   val oracle = Map(

@@ -27,7 +27,8 @@ class AggSpec extends AnyFunSuite {
       "q71_ann_lsh_topk",       // recall vs q70 (SimilaritySpec)
       "q72_ann_ivf_topk",       // recall vs q70 (SimilaritySpec)
       "q73_dedup_embedding_lsh",// recall vs brute force (DedupSpec)
-      "q89_approx_percentiles") // sketch (AggSpec bound vs exact q85)
+      "q89_approx_percentiles", // sketch (AggSpec bound vs exact q85)
+      "q106_ann_ivf_trained_topk") // recall vs q70 (SimilaritySpec)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == allowedNoOracle,
       s"unexpected oracle coverage drift: missing=${missing -- allowedNoOracle}, " +

@@ -38,6 +38,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF (q106): k-means centroids compose with the IVF search; recall@5 >= 0.3") {
+    val brute = SimilarityPack.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityPack.ivfTrainedTopK(spark, dir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length.toLong))
+    }
+  }
+
   test("spherical k-means: mean cosine is Lloyd-monotone, centroids unit, runs deterministic") {
     val (centroids, costs) = SimilarityPack.kmeansTrain(spark, dir, k = 8, iters = 3)
     assert(centroids.length == 8 && centroids.forall(_.length == 64))
