@@ -172,31 +172,22 @@ object SimilarityPack extends QueryPack {
   }
 
   /** Shared IVF search: assign the corpus to literal unit centroids (one
-    * map pass), probe each query's nProbe nearest cells, re-rank exactly.
+    * map pass — native TopCells, one fused codegen dot-product loop per
+    * row), probe each query's nProbe nearest cells, re-rank exactly.
     */
   private def ivfSearch(spark: SparkSession, dir: String,
                         centroids: Array[Array[Double]], nQueries: Int,
                         k: Int, nProbe: Int): DataFrame = {
+    graft.functions.TopCells.register(spark)
     val emb = t(spark, dir, "embeddings")
-    val nCells = centroids.length
-    val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
-    def cellRank(embCol: Column): Column =
-      // cells sorted by descending centroid similarity: element 0 = home cell
-      transform(
-        array_sort(transform(sequence(lit(0), lit(nCells - 1)),
-          c => struct(
-            (lit(-1.0) * aggregate(
-              zip_with(embCol, element_at(centroidLit, c + 1),
-                (x, w) => x.cast("double") * w),
-              lit(0.0), (acc, v) => acc + v)).as("negsim"),
-            c.as("cell")))),
-        s => s.getField("cell"))
-
+    val cents = centroids.map(_.toSeq).toSeq
     val corpus = emb.select(col("vec_id"), col("embedding"),
-      element_at(cellRank(col("embedding")), 1).as("cell"))
+      element_at(graft.functions.TopCells.topCells(col("embedding"), cents, 1), 1)
+        .as("cell"))
     val probes = queriesSide(spark, dir, nQueries)
       .select(col("q_id"), col("q_emb"),
-        explode(slice(cellRank(col("q_emb")), 1, nProbe)).as("cell"))
+        explode(graft.functions.TopCells.topCells(col("q_emb"), cents, nProbe))
+          .as("cell"))
     val cand = corpus.join(broadcast(probes),
         corpus("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
@@ -266,6 +257,24 @@ object SimilarityPack extends QueryPack {
     }
     emb.unpersist()
     (centroids, costs.result())
+  }
+
+  /** The declarative HOF formulation of IVF cell ranking — REFERENCE
+    * SEMANTICS for the native TopCells expression (equivalence asserted in
+    * SimilaritySpec); not on any production path.
+    */
+  def cellRankRef(embCol: Column, centroids: Array[Array[Double]]): Column = {
+    val nCells = centroids.length
+    val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
+    transform(
+      array_sort(transform(sequence(lit(0), lit(nCells - 1)),
+        c => struct(
+          (lit(-1.0) * aggregate(
+            zip_with(embCol, element_at(centroidLit, c + 1),
+              (x, w) => x.cast("double") * w),
+            lit(0.0), (acc, v) => acc + v)).as("negsim"),
+          c.as("cell")))),
+      s => s.getField("cell"))
   }
 
   /** Int8 min-max scalar quantization of embeddings — the storage-

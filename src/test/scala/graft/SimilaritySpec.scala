@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.SimilarityPack
@@ -35,6 +36,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
     ivfRows.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length.toLong))
+    }
+  }
+
+  test("native TopCells == HOF cell ranking, identical order incl. ties") {
+    graft.functions.TopCells.register(spark)
+    val (centroids, _) = SimilarityPack.kmeansTrain(spark, dir, k = 8, iters = 1)
+    val cents = centroids.map(_.toSeq).toSeq
+    val emb = Tables.t(spark, dir, "embeddings")
+    Seq(1, 4, 8).foreach { n =>
+      val diff = emb.select(
+          graft.functions.TopCells.topCells(col("embedding"), cents, n).as("native"),
+          org.apache.spark.sql.functions.slice(
+            SimilarityPack.cellRankRef(col("embedding"), centroids), 1, n).as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(diff == 0, s"nProbe=$n: native TopCells diverged from the HOF reference")
     }
   }
 
