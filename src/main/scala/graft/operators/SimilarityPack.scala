@@ -217,6 +217,8 @@ object SimilarityPack extends QueryPack {
     */
   def kmeansTrain(spark: SparkSession, dir: String, k: Int = 16,
                   iters: Int = 3): (Array[Array[Double]], Seq[Double]) = {
+    graft.functions.TopCells.register(spark)
+    CosineSimilarity.register(spark)
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).cache()
     var centroids: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
@@ -225,21 +227,22 @@ object SimilarityPack extends QueryPack {
       .map(unitNorm)
     val costs = Seq.newBuilder[Double]
     (1 to iters).foreach { _ =>
-      val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
-      val sims = transform(sequence(lit(0), lit(k - 1)), c =>
-        struct(
-          aggregate(zip_with(col("embedding"), element_at(centroidLit, c + 1),
-            (x, w) => x.cast("double") * w), lit(0.0), (a, v) => a + v).as("dot"),
-          c.as("cell")))
-      val best = array_max(sims)
-      val norm = sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
-        (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v))
+      val cents = centroids.map(_.toSeq).toSeq
+      // native assignment (TopCells: one fused dot-product loop per row —
+      // the same codegen path the IVF search uses) + native cosine to the
+      // assigned centroid for the objective (centroids are unit-norm, so
+      // cosine ≡ dot / |emb|)
       // cached for the iteration: the cost probe and the mean aggregation
       // are separate actions and would otherwise each re-run the
       // assignment pass over the corpus
-      val assigned = emb.select(col("vec_id"), col("embedding"),
-        best.getField("cell").as("cell"),
-        (best.getField("dot") / norm).as("cos")).cache()
+      val assigned = emb
+        .select(col("vec_id"), col("embedding"),
+          element_at(graft.functions.TopCells.topCells(col("embedding"), cents, 1), 1)
+            .as("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          CosineSimilarity.cosineFast(col("embedding"),
+            element_at(typedlit(cents), col("cell") + 1)).as("cos"))
+        .cache()
       costs += assigned.agg(avg(col("cos"))).head().getDouble(0)
       // per-(cell, dim) means: the only shuffle, k·dim rows out
       val dimMeans = assigned
