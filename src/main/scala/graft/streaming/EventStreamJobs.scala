@@ -53,6 +53,20 @@ object EventStreamJobs {
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join — each left event joins right events for
+    * the same user within the `intervalMinutes` before it (the streaming
+    * form of EventsPack.clickAttribution). Both sides carry watermarks, so
+    * the join state each side buffers is bounded by watermark + interval —
+    * the condition Structured Streaming needs to ever evict state in an
+    * equi-key + time-band join. Left columns (l_ts, user_id), right
+    * (r_ts, r_user).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   intervalMinutes: Int, watermark: String = "1 hour"): DataFrame =
+    left.withWatermark("l_ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        expr(s"user_id = r_user AND r_ts BETWEEN l_ts - INTERVAL $intervalMinutes MINUTES AND l_ts"))
+
   /** Stream-static enrichment join — micro-batches joined against a static
     * dimension (event_type → category), then watermark-windowed rollup by
     * category. The static side is broadcast, so each micro-batch is a

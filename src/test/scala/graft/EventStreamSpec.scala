@@ -204,10 +204,10 @@ class EventStreamSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(java.sql.Timestamp, Long)]
     val errors = MemoryStream[(java.sql.Timestamp, Long)]
-    val p = purchases.toDF().toDF("p_ts", "user_id").withWatermark("p_ts", "1 hour")
-    val e = errors.toDF().toDF("e_ts", "e_user").withWatermark("e_ts", "1 hour")
-    val joined = p.join(e,
-      expr("""user_id = e_user AND e_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
+    val joined = EventStreamJobs.intervalJoin(
+      purchases.toDF().toDF("l_ts", "user_id"),
+      errors.toDF().toDF("r_ts", "r_user"),
+      intervalMinutes = 30)
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ss_join_out").start()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
@@ -220,7 +220,7 @@ class EventStreamSpec extends AnyFunSuite {
       purchases.addData((ts("2024-01-01 15:00:00"), 9L))
       q.processAllAvailable()
       val out = spark.table("ss_join_out")
-        .select(col("user_id"), col("e_ts")).collect()
+        .select(col("user_id"), col("r_ts")).collect()
         .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
       // user 1's 10:00 error is within 30min of the 10:20 purchase; the
       // 08:00 error is not; user 2 has no errors at all
