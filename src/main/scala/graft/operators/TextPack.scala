@@ -281,9 +281,34 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram LM quality score (the CCNet-style filter): train a corpus
+    * unigram model (token → relative frequency) and score each document by
+    * its mean token negative log-likelihood — low = in-distribution
+    * boilerplate-ish text, high = out-of-distribution/noise. Scale shape:
+    * one explode pass to count (two-phase agg), one token-keyed join back
+    * (the LM side is count-shrunk — vocabulary-sized, not corpus-sized),
+    * one per-doc aggregation. No smoothing needed: every scored token is
+    * in the training counts by construction. round(…, 4) absorbs both
+    * ln()'s 1-ulp cross-engine play and partial-sum merge-order wobble.
+    */
+  def lmQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("total"))
+    tok.join(lm, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
     "q100_repetition_signals" -> repetitionSignals _,
+    "q107_lm_quality_score" -> lmQualityScore _,
     "q103_domain_mix_sample" -> ((s: SparkSession, d: String) => domainMixSample(s, d)),
     "q102_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "q92_corpus_filter" -> corpusFilter _,
@@ -307,6 +332,15 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q107_lm_quality_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
+        |FROM tok JOIN lm USING (tok) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q103_domain_mix_sample" ->
       // DuckDB casts '0x….' hex strings natively; Spark's conv(…,16,10)
       // computes the same integer, so u and the compare are bit-identical
