@@ -100,7 +100,35 @@ object EventsPack extends QueryPack {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Sequential funnel: signup → first click at-or-after it → first
+    * purchase at-or-after that click, per user — the ordered-stage pattern
+    * (match_recognize-lite) of event analytics. Three stage-wise
+    * min-aggregations, each a user-keyed equi-join + filter (the time
+    * predicate is a post-join filter, bounded per user), then left joins
+    * so non-converting users keep NULL stages. All integer epoch-ms
+    * arithmetic; user_id is unique in the output so the sort is total.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsMillis(col("ts")).as("ms"))
+    def stage(evType: String) = ev.filter(col("event_type") === evType)
+    val su = stage("signup").groupBy(col("user_id")).agg(min(col("ms")).as("signup_ms"))
+    val ck = stage("click").join(su, "user_id")
+      .filter(col("ms") >= col("signup_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("click_ms"))
+    val pu = stage("purchase")
+      .join(ck, "user_id")
+      .filter(col("ms") >= col("click_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("purchase_ms"))
+    su.join(ck, Seq("user_id"), "left")
+      .join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ms"), col("click_ms"), col("purchase_ms"),
+        col("purchase_ms").isNotNull.as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   val queries = Map(
+    "q108_funnel" -> funnel _,
     "q55_tumbling_window" -> tumbling _,
     "q56_sliding_window" -> sliding _,
     "q57_sessionize" -> sessionize _,
@@ -108,6 +136,23 @@ object EventsPack extends QueryPack {
     "q99_click_attribution" -> clickAttribution _)
 
   val oracle = Map(
+    "q108_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |su AS (SELECT user_id, min(ms) AS signup_ms FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |ck AS (SELECT e.user_id, min(ms) AS click_ms
+        |       FROM ev e JOIN su USING (user_id)
+        |       WHERE event_type = 'click' AND ms >= signup_ms
+        |       GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(ms) AS purchase_ms
+        |       FROM ev e JOIN ck USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms >= click_ms
+        |       GROUP BY e.user_id)
+        |SELECT user_id, signup_ms, click_ms, purchase_ms,
+        |  purchase_ms IS NOT NULL AS converted
+        |FROM su LEFT JOIN ck USING (user_id) LEFT JOIN pu USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q55_tumbling_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n, round(sum(value), 3) AS sum_value
