@@ -127,7 +127,30 @@ object EventsPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Weekly retention cohorts: users grouped by signup week, counted as
+    * retained in each later week they produced any event. Two narrow
+    * aggregations (first signup per user; distinct user-weeks) and one
+    * user-keyed join; week offsets are pure integer epoch-ms arithmetic on
+    * Monday-aligned date_trunc('week') — identical on both engines.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(tsMillis(date_trunc("week", col("ts")))).as("cohort_ms"))
+    val active = ev
+      .select(col("user_id"), tsMillis(date_trunc("week", col("ts"))).as("week_ms"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .filter(col("week_ms") >= col("cohort_ms"))
+      .withColumn("week_offset", expr("(week_ms - cohort_ms) div 604800000"))
+      .groupBy(col("cohort_ms"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_ms"), col("week_offset"))
+  }
+
   val queries = Map(
+    "q109_retention_cohorts" -> retentionCohorts _,
     "q108_funnel" -> funnel _,
     "q55_tumbling_window" -> tumbling _,
     "q56_sliding_window" -> sliding _,
@@ -136,6 +159,19 @@ object EventsPack extends QueryPack {
     "q99_click_attribution" -> clickAttribution _)
 
   val oracle = Map(
+    "q109_retention_cohorts" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(epoch_ms(date_trunc('week', ts))) AS cohort_ms
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)) AS week_ms
+        |  FROM events)
+        |SELECT cohort_ms, (week_ms - cohort_ms) // 604800000 AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE week_ms >= cohort_ms
+        |GROUP BY cohort_ms, week_offset
+        |ORDER BY cohort_ms, week_offset""".stripMargin,
     "q108_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
