@@ -47,8 +47,14 @@ object KeyedStore {
     */
   def put(spark: SparkSession, table: String, cells: DataFrame): Unit = {
     val valueType = spark.table(table).schema("value").dataType
+    // a null value is the TOMBSTONE marker (see delete) — a Put must never
+    // write one silently (HBase's Bytes.toBytes throws on null too), so
+    // fail the write at the offending row instead of burying a delete
+    val guarded = when(col("value").isNull,
+      raise_error(concat(lit("put: null value for rowkey "), col("rowkey"),
+        lit(" — use delete() for tombstones")))).otherwise(col("value"))
     cells.select(col("rowkey"), col("family"), col("qualifier"),
-      col("value").cast(valueType), col("version").cast("long"))
+      guarded.cast(valueType).as("value"), col("version").cast("long"))
       .write.mode("append").insertInto(table)
   }
 

@@ -125,6 +125,22 @@ class KeyedStoreSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("put rejects null values instead of writing silent tombstones") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("keyed_store_nullput").toString
+    val table = "graft_nullput_cells"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    KeyedStore.create(spark, table, loc)
+    val bad = Seq(("r1", "f", "q", null: String, 1L))
+      .toDF("rowkey", "family", "qualifier", "value", "version")
+    val e = intercept[Exception] { KeyedStore.put(spark, table, bad) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("use delete() for tombstones")), s"got: ${msgs(e)}")
+    assert(spark.table(table).count() == 0, "the failed put must not leave rows behind")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("compact recovers from a simulated mid-swap crash without losing data") {
     import org.apache.hadoop.fs.Path
     val loc = Files.createTempDirectory("keyed_store_crash").toString
