@@ -72,8 +72,12 @@ object Bench {
     val ok = medians.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Locale.ROOT: the default locale's decimal separator may be ',' which
+    // would make every formatted number invalid JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(v))
     def jsonLine(qs: Seq[(String, String)], extra: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
         s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")},"sf":"$sfDir","runs":$runs,""" +
         s""""failed":$failedJson$extra}"""
@@ -88,7 +92,7 @@ object Bench {
     val short =
       if (shortKeys.map(_._1).distinct.size == shortKeys.size) shortKeys
       else ok // prefix collision: fall back to full names rather than lose queries
-    println(jsonLine(short.map { case (k, v) => k -> "%.3f".format(v) },
+    println(jsonLine(short.map { case (k, v) => k -> f3(v) },
       s""","full":"$outPath""""))
     spark.stop()
   }

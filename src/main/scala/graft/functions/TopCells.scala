@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   * state. Equivalence with the HOF reference is asserted in
   * SimilaritySpec.
   *
-  * An embedding whose length differs from the centroid dimensionality
-  * yields NULL (the HyperplaneSignature wrong-dims contract); a NaN dot
-  * ranks last, matching the reference sort where a NaN sort key is
-  * greatest (negated similarity → last).
+  * An embedding whose length differs from the centroid dimensionality —
+  * or that contains a NULL element — yields NULL (the HyperplaneSignature
+  * wrong-dims contract; a null element has no defensible ranking, and
+  * silently reading it as 0.0 would diverge from the null-propagating HOF
+  * reference); a NaN dot ranks last, matching the reference sort where a
+  * NaN sort key is greatest (negated similarity → last).
   */
 case class TopCells(child: Expression, centroidsFlat: Seq[Double], dims: Int, nProbe: Int)
     extends UnaryExpression {
@@ -69,6 +71,11 @@ object TopCells {
   def compute(emb: ArrayData, flat: Array[Double], dims: Int, nProbe: Int,
               isFloat: Boolean): ArrayData = {
     if (emb.numElements() != dims) return null
+    var j = 0
+    while (j < dims) { // null element → null output (see class doc)
+      if (emb.isNullAt(j)) return null
+      j += 1
+    }
     val k = flat.length / dims
     val n = math.min(nProbe, k)
     val dots = new Array[Double](k)
@@ -118,6 +125,7 @@ object TopCells {
     val rows = e.eval().asInstanceOf[ArrayData]
     if (rows.numElements() == 0) fail("must be non-empty")
     val dims = rows.getArray(0).numElements()
+    if (dims == 0) fail("must have non-empty rows")
     val flat = (0 until rows.numElements()).flatMap { r =>
       val row = rows.getArray(r)
       if (row.numElements() != dims)
@@ -130,8 +138,13 @@ object TopCells {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"$fnName needs 3 arguments (embedding, centroids, nProbe), got ${exprs.length}")
         val (flat, dims) = centroidsArg(exprs(1))
-        TopCells(exprs.head, flat, dims, intLiteralArg(exprs(2), fnName, "nProbe"))
+        val nProbe = intLiteralArg(exprs(2), fnName, "nProbe")
+        if (nProbe <= 0) throw new IllegalArgumentException(
+          s"$fnName: nProbe must be positive, got $nProbe")
+        TopCells(exprs.head, flat, dims, nProbe)
       }, "scala_udf")
 
   /** Column builder (requires register(spark) once per session). */

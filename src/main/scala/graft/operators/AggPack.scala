@@ -147,7 +147,10 @@ object AggPack extends QueryPack {
 
     def pcts(valueCol: String, probes: Seq[(String, Double)]): DataFrame = {
       import spark.implicits._
-      val hist = base.groupBy(col(valueCol).cast("double").as("v"))
+      // percentile() ignores NULLs — exclude them from the histogram AND
+      // from n, or every rank interval shifts on nullable columns
+      val vals = base.filter(col(valueCol).isNotNull)
+      val hist = vals.groupBy(col(valueCol).cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
       val w = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -155,7 +158,7 @@ object AggPack extends QueryPack {
       val ranked = hist
         .withColumn("end", sum(col("c")).over(w))
         .withColumn("start", col("end") - col("c"))
-      val nRow = base.agg(count(lit(1)).as("n"))
+      val nRow = vals.agg(count(lit(1)).as("n"))
       val pos = col("p") * (col("n") - 1).cast("double")
       val tgt = broadcast(probes.toDF("name", "p").crossJoin(broadcast(nRow))
         .select(col("name"), pos.as("pos"),

@@ -150,10 +150,7 @@ object SimilarityPack extends QueryPack {
     // normalize to unit length so the runtime dot-product cell ranking is
     // the same cosine metric the refinement assigned by (mean centroids
     // have unequal norms, which would bias cells toward large-norm means)
-    centroids = centroids.map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      if (n == 0) c else c.map(_ / n)
-    }
+    centroids = centroids.map(unitNorm)
 
     ivfSearch(spark, dir, centroids, nQueries, k, nProbe)
   }
@@ -178,7 +175,11 @@ object SimilarityPack extends QueryPack {
   private def ivfSearch(spark: SparkSession, dir: String,
                         centroids: Array[Array[Double]], nQueries: Int,
                         k: Int, nProbe: Int): DataFrame = {
+    // register BOTH functions this plan uses — relying on the caller having
+    // registered graft_cosine would make a fresh entry point fail (or pass)
+    // depending on what ran earlier in the shared session
     graft.functions.TopCells.register(spark)
+    CosineSimilarity.register(spark)
     val emb = t(spark, dir, "embeddings")
     val cents = centroids.map(_.toSeq).toSeq
     val corpus = emb.select(col("vec_id"), col("embedding"),
@@ -209,11 +210,15 @@ object SimilarityPack extends QueryPack {
     * aggregation: only (cell, dim) partial sums cross the shuffle — k·dim
     * rows, never a vector — and the k·dim model (here 16×64 doubles)
     * returns to the driver per iteration, the classic Spark ML shape with
-    * a bounded driver footprint by construction. Seeds are the k
-    * lowest-vec_id vectors (deterministic); empty cells keep their
-    * centroid. Returns (unit centroids, per-iteration mean cosine) —
-    * Lloyd guarantees the mean cosine is non-decreasing (asserted in
-    * SimilaritySpec along with determinism).
+    * a bounded driver footprint by construction. The update averages each
+    * member's UNIT vector, not its raw components: the objective is mean
+    * cosine = mean(unit(x)·c), and the unit centroid maximizing it is
+    * normalize(Σ unit(x)) — averaging raw vectors would let one large-norm
+    * member drag the centroid and break monotonicity when input norms
+    * vary. Seeds are the k lowest-vec_id vectors (deterministic); empty
+    * cells keep their centroid. Returns (unit centroids, per-iteration
+    * mean cosine) — Lloyd guarantees the mean cosine is non-decreasing
+    * (asserted in SimilaritySpec along with determinism).
     */
   def kmeansTrain(spark: SparkSession, dir: String, k: Int = 16,
                   iters: Int = 3): (Array[Array[Double]], Seq[Double]) = {
@@ -241,14 +246,21 @@ object SimilarityPack extends QueryPack {
             .as("cell"))
         .select(col("vec_id"), col("embedding"), col("cell"),
           CosineSimilarity.cosineFast(col("embedding"),
-            element_at(typedlit(cents), col("cell") + 1)).as("cos"))
+            element_at(typedlit(cents), col("cell") + 1)).as("cos"),
+          // |x| for the unit-normalized update below (interpreted HOF, but
+          // this is a once-per-iteration training pass, not a query path)
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
         .cache()
       costs += assigned.agg(avg(col("cos"))).head().getDouble(0)
-      // per-(cell, dim) means: the only shuffle, k·dim rows out
+      // per-(cell, dim) means of the UNIT members: the only shuffle,
+      // k·dim rows out (zero-norm vectors contribute zeros, matching
+      // unitNorm's zero-vector convention)
       val dimMeans = assigned
-        .select(col("cell"), posexplode(col("embedding")))
+        .select(col("cell"), col("nrm"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg(avg(when(col("nrm") > 0, col("col").cast("double") / col("nrm"))
+          .otherwise(lit(0.0))).as("m"))
         .collect() // k·dim rows — this IS the model, bounded by design
       assigned.unpersist()
       val byCell = dimMeans.groupBy(_.getInt(0))

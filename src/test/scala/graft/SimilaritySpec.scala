@@ -54,6 +54,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("TopCells edge contracts: null/wrong-dims/null-element yield NULL; bad args fail fast") {
+    import spark.implicits._
+    graft.functions.TopCells.register(spark)
+    val cents = Seq(Seq.fill(4)(0.5), Seq.fill(4)(-0.5))
+    val nullable = Seq(
+      (1L, Array(1f, 2f, 3f, 4f).map(Option(_))),     // clean
+      (2L, Array(Option(1f), None, Option(3f), Option(4f))), // null element
+      (3L, Array(1f, 2f).map(Option(_))),             // wrong dims
+      (4L, null.asInstanceOf[Array[Option[Float]]]))  // null array
+      .toDF("id", "emb")
+      .select(col("id"),
+        graft.functions.TopCells.topCells(col("emb"), cents, 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!nullable(1L), "clean input must rank")
+    assert(nullable(2L) && nullable(3L) && nullable(4L),
+      "null-element / wrong-dims / null inputs must produce NULL rankings")
+    // malformed registrations fail at analysis with clear messages,
+    // not inside an executor task
+    Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("id", "emb")
+      .createOrReplaceTempView("tc_arg_check")
+    Seq(
+      "graft_top_cells(emb, array(array()), 1)",       // zero-dim centroids
+      "graft_top_cells(emb, array(array(0.5D)))",      // missing nProbe
+      s"graft_top_cells(emb, ${cents.map(c => s"array(${c.mkString(",")})")
+        .mkString("array(", ",", ")")}, 0)")           // non-positive nProbe
+      .foreach { call =>
+        val e = intercept[Exception] {
+          spark.sql(s"SELECT $call FROM tc_arg_check").collect()
+        }
+        assert(e.getMessage.contains("graft_top_cells"), s"$call → ${e.getMessage}")
+      }
+  }
+
   test("trained IVF (q106): k-means centroids compose with the IVF search; recall@5 >= 0.3") {
     val brute = SimilarityPack.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
