@@ -131,6 +131,60 @@ object TextPack extends QueryPack {
         size(tokens(normalize(col("text")))).as("n_norm_tokens"))
       .orderBy(col("doc_id"))
 
+  /** PII redaction patterns: emails, dotted-quad IPv4s, 7-digit phone
+    * numbers — applied in this order (fixed on both engines; IPs before
+    * phones so neither can eat part of the other's match). Syntax stays in
+    * the Java∩RE2 common subset (character classes, bounded repeats,
+    * non-capturing groups, \b) so each pattern means the same thing in
+    * Spark and in the DuckDB oracle. Deliberately naive dotted-quad rule:
+    * version strings like "1.2.3.4" redact too — the standard
+    * over-redaction tradeoff, pinned by a TextSpec fixture.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "[EMAIL]",
+    """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b""" -> "[IP]",
+    """\b[0-9]{3}[-.][0-9]{4}\b""" -> "[PHONE]")
+
+  /** Redact all PII patterns from a text column. Chained codegen'd
+    * regexp_replace — map-only, no shuffle, one corpus pass at 100 TB.
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** PII-scrub audit over the corpus. The word-soup fixture contains no
+    * PII, so the query SEEDS one email + IP + phone per document,
+    * deterministically derived from doc_id with the identical expression
+    * in the DuckDB oracle — the redaction counts, the per-source
+    * chars-redacted sums, and the residual-match count (must be 0) are
+    * then a real cross-engine parity check of the regex kernel, not a
+    * vacuous zeros-equal-zeros pass.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val seeded = t(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+        (expr("doc_id div 256") % 256).cast("string"), lit(".7 tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    def matches(c: Column, p: String) =
+      size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    seeded
+      .select(col("source"), col("text"), scrubPii(col("text")).as("scrubbed"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(matches(col("text"), piiPatterns(0)._1)).as("emails"),
+        sum(matches(col("text"), piiPatterns(1)._1)).as("ips"),
+        sum(matches(col("text"), piiPatterns(2)._1)).as("phones"),
+        sum(piiPatterns.map(p => matches(col("scrubbed"), p._1))
+          .reduce(_ + _)).as("residual"),
+        sum((length(col("text")) - length(col("scrubbed"))).cast("long"))
+          .as("chars_redacted"))
+      .orderBy(col("source"))
+  }
+
   /** End-to-end corpus filter — the C4-style pipeline composition a
     * training run actually consumes: per-doc quality stats → quality gate →
     * exact-dedup representative (smallest doc_id per md5) among the
@@ -315,6 +369,7 @@ object TextPack extends QueryPack {
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
     "q94_decontaminate" -> decontaminate _,
     "q59_normalize" -> normalizeDocs _,
+    "q110_pii_scrub" -> piiScrub _,
     "q61_quality_by_source" -> qualityBySource _,
     "q62_fingerprints" -> fingerprints _,
     "q63_langid_rollup" -> langIdRollup _)
@@ -332,6 +387,39 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q110_pii_scrub" ->
+      // same seeding expression, same pattern set, same fixed replace
+      // order; DuckDB regexp_replace needs the explicit 'g' flag to match
+      // Spark's replace-all default
+      """WITH seeded AS (
+        |  SELECT doc_id, source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7 tel 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT source, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g') AS scrub
+        |  FROM seeded)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))) AS BIGINT) AS ips,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}[-.][0-9]{4}\b'))) AS BIGINT) AS phones,
+        |  CAST(sum(
+        |      len(regexp_extract_all(scrub, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(scrub, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |    + len(regexp_extract_all(scrub, '\b[0-9]{3}[-.][0-9]{4}\b'))) AS BIGINT) AS residual,
+        |  CAST(sum(length(text) - length(scrub)) AS BIGINT) AS chars_redacted
+        |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin,
     "q107_lm_quality_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -85,6 +85,21 @@ object EventStreamJobs {
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("category"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication — the streaming twin of the corpus
+    * exact-dedup operator (DedupPack q65). dropDuplicatesWithinWatermark
+    * keeps the FIRST arrival of each key and — unlike plain
+    * dropDuplicates, whose key state grows with stream history — evicts a
+    * key's state once the watermark passes its event time. That bound is
+    * what makes streaming dedup runnable forever at 100 TB/day: state =
+    * watermark horizon × key arrival rate, independent of stream age. The
+    * flip side, pinned in EventStreamSpec: a duplicate arriving after its
+    * key's state expired is re-emitted — the residual-risk window every
+    * watermarked streaming dedup has.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, event_id: Long, tsMs: Long)
   case class SessionState(sessionId: Long, lastMs: Long, nEvents: Long, startMs: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

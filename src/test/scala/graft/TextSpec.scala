@@ -32,6 +32,38 @@ class TextSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("scrubPii: redacts email/IP/phone variants, leaves clean text, over-redaction pinned") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "mail bob.smith+x@sub.example.org end"), // dots/plus local, subdomain
+      ("b", "ip 192.168.0.1 and 8.8.8.8"),           // two dotted quads
+      ("c", "call 555-0199 or 867.5309"),            // dash and dot phone forms
+      ("d", "clean text with no pii at all"),
+      ("e", "version 1.2.3.4 over-redacts"),         // documented naive-IPv4 tradeoff
+      ("f", "edge a@b.co 1.2.3.4 111-2222"))         // all three in one doc
+      .toDF("id", "t")
+      .select(col("id"), TextPack.scrubPii(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("a") == "mail [EMAIL] end")
+    assert(rows("b") == "ip [IP] and [IP]")
+    assert(rows("c") == "call [PHONE] or [PHONE]")
+    assert(rows("d") == "clean text with no pii at all")
+    assert(rows("e") == "version [IP] over-redacts")
+    assert(rows("f") == "edge [EMAIL] [IP] [PHONE]")
+  }
+
+  test("q110: every doc is seeded with exactly one email/ip/phone; residual is zero") {
+    val byrow = TextPack.piiScrub(spark, dir).collect()
+    assert(byrow.nonEmpty)
+    byrow.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) == n && r.getLong(3) == n && r.getLong(4) == n,
+        s"source ${r.getString(0)}: expected $n of each PII kind, got $r")
+      assert(r.getLong(5) == 0, s"residual matches after scrub: $r")
+      assert(r.getLong(6) > 0, "redaction must shrink the text")
+    }
+  }
+
   test("q76 oracle precondition: fixture text is pure ASCII at every test SF") {
     // the q76 DuckDB oracle iterates CODEPOINTS (ord per char) while the
     // Spark side sums UTF-8 BYTES — they agree iff every char is single-byte
