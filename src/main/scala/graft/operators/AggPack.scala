@@ -64,6 +64,37 @@ object AggPack extends QueryPack {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable-sketch cardinality (Apache DataSketches HLL, native in
+    * Spark 4) — the pattern that actually runs at 100 TB: build one
+    * bounded-size sketch per group/partition/day (hll_sketch_agg), SHIP
+    * AND STORE THE SKETCH (a few KB of binary), and answer global
+    * distinct counts later by unioning sketches (hll_union_agg) — no
+    * re-scan of history, register-wise max makes the union associative
+    * and order-independent. approx_count_distinct (q34) gives one
+    * estimate and throws the sketch away; this keeps the reaggregatable
+    * artifact. Per-source distinct-token estimates + a `__all__` row
+    * answered ONLY from the merged per-source sketches, with exact
+    * counts alongside (the sparse-mode regime here makes est == exact;
+    * AggSpec bounds the error). No DuckDB oracle: engine-specific
+    * sketch binary.
+    */
+  def hllSketchCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
+    val perSrc = tok.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok")).as("sk"),
+        countDistinct(col("tok")).as("n_exact"))
+    val global = perSrc
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+      .crossJoin(broadcast(tok.agg(countDistinct(col("tok")).as("n_exact"))))
+      .select(lit("__all__").as("source"), col("n_exact"), col("n_est"))
+    perSrc
+      .select(col("source"), col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("n_est"))
+      .unionAll(global)
+      .orderBy(col("source"))
+  }
+
   /** Global top-k: orderBy+limit compiles to TakeOrderedAndProject — per-
     * partition heaps + driver merge, never a global sort (SURVEY.md §2.6).
     */
@@ -327,6 +358,7 @@ object AggPack extends QueryPack {
     "q32_rollup" -> rollupFlags _,
     "q33_count_distinct" -> countDistincts _,
     "q34_approx_distinct" -> approxDistinct _,
+    "q112_hll_sketch_union" -> hllSketchCardinality _,
     "q35_topk" -> topkOrders _)
 
   private val percentilesSql =

@@ -335,6 +335,29 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split — the assignment a training run
+    * makes ONCE and must be able to recompute identically forever (any
+    * engine, any partitioning, any rerun): split = hash-uniform
+    * u = int(md5('split:' || doc_id)[0:4]) / 2¹⁶ thresholded at 0.8/0.9.
+    * The salt decorrelates the split from q103's sampling hash (same
+    * doc_id must not land in 'train' iff it survived sampling). Map-only
+    * assignment; the rollup is the only shuffle. Disjoint and exhaustive
+    * by construction (CASE on one u); per-source counts land within
+    * binomial bounds of 80/10/10 (PropertySpec-style check in TextSpec).
+    */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** Unigram LM quality score (the CCNet-style filter): train a corpus
     * unigram model (token → relative frequency) and score each document by
     * its mean token negative log-likelihood — low = in-distribution
@@ -370,6 +393,7 @@ object TextPack extends QueryPack {
     "q94_decontaminate" -> decontaminate _,
     "q59_normalize" -> normalizeDocs _,
     "q110_pii_scrub" -> piiScrub _,
+    "q111_train_val_test" -> trainValTestSplit _,
     "q61_quality_by_source" -> qualityBySource _,
     "q62_fingerprints" -> fingerprints _,
     "q63_langid_rollup" -> langIdRollup _)
@@ -387,6 +411,17 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q111_train_val_test" ->
+      """SELECT source,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT source, text,
+        |    CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) / 65536.0 AS u
+        |  FROM documents) s
+        |GROUP BY source, split ORDER BY source, split""".stripMargin,
     "q110_pii_scrub" ->
       // same seeding expression, same pattern set, same fixed replace
       // order; DuckDB regexp_replace needs the explicit 'g' flag to match

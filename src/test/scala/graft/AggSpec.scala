@@ -28,7 +28,8 @@ class AggSpec extends AnyFunSuite {
       "q72_ann_ivf_topk",       // recall vs q70 (SimilaritySpec)
       "q73_dedup_embedding_lsh",// recall vs brute force (DedupSpec)
       "q89_approx_percentiles", // sketch (AggSpec bound vs exact q85)
-      "q106_ann_ivf_trained_topk") // recall vs q70 (SimilaritySpec)
+      "q106_ann_ivf_trained_topk", // recall vs q70 (SimilaritySpec)
+      "q112_hll_sketch_union")  // DataSketches HLL binary (AggSpec bound vs exact)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == allowedNoOracle,
       s"unexpected oracle coverage drift: missing=${missing -- allowedNoOracle}, " +
@@ -45,6 +46,21 @@ class AggSpec extends AnyFunSuite {
       val ap = approx(k)
       assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: exact=$ex approx=$ap")
     }
+  }
+
+  test("q112: HLL sketch estimates within 5% of exact; union row covers every source") {
+    val rows = AggPack.hllSketchCardinality(spark, dir).collect()
+    val (all, perSrc) = rows.partition(_.getString(0) == "__all__")
+    assert(all.length == 1 && perSrc.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"${r.getString(0)}: exact=$exact est=$est")
+    }
+    // the merged-sketch estimate is monotone over its inputs: it can never
+    // fall below the largest single per-source estimate it unioned
+    assert(all.head.getLong(2) >= perSrc.map(_.getLong(2)).max)
   }
 
   test("approx_percentile within 1% relative rank error of exact") {

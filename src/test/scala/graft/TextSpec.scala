@@ -64,6 +64,18 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("train/val/test split: deterministic, exhaustive, proportions near 80/10/10") {
+    val a = TextPack.trainValTestSplit(spark, dir).collect()
+    val b = TextPack.trainValTestSplit(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "split must be rerun-identical")
+    val bySplit = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+    val n = bySplit.values.sum.toDouble
+    assert(bySplit("train") / n > 0.72 && bySplit("train") / n < 0.88, bySplit.toString)
+    assert(bySplit("val") / n > 0.04 && bySplit("val") / n < 0.16, bySplit.toString)
+    assert(bySplit("test") / n > 0.04 && bySplit("test") / n < 0.16, bySplit.toString)
+  }
+
   test("q76 oracle precondition: fixture text is pure ASCII at every test SF") {
     // the q76 DuckDB oracle iterates CODEPOINTS (ord per char) while the
     // Spark side sums UTF-8 BYTES — they agree iff every char is single-byte
