@@ -341,8 +341,29 @@ object AggPack extends QueryPack {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       .orderBy(col("o_orderkey"))
 
+  /** UNPIVOT (wide → long melt) — the inverse of q88's pivot: a per-flag
+    * metrics row unpivoted to (flag, metric, value) tuples, the shape
+    * metric stores and plotting layers consume. Spark's native unpivot
+    * (Expand under the hood — no shuffle beyond the feeding aggregate,
+    * no UDF) over exact integer-valued doubles so every melted value is
+    * cross-engine bit-stable.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+        max(col("l_quantity")).cast("double").as("max_qty"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("max_qty"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
+    "q113_unpivot" -> unpivotMetrics _,
     "q85_percentiles" -> percentiles _,
     "q105_percentiles_histogram" -> percentilesViaHistogram _,
     "q89_approx_percentiles" -> approxPercentiles _,
@@ -371,6 +392,20 @@ object AggPack extends QueryPack {
       |FROM lineitem""".stripMargin
 
   val oracle = Map(
+    "q113_unpivot" ->
+      // UNION ALL melt — DuckDB's UNPIVOT reorders; the explicit form
+      // pins (metric, value) pairing and lets ORDER BY settle row order
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |    CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+        |    CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'max_qty', max_qty FROM w
+        |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w) u
+        |ORDER BY l_returnflag, metric""".stripMargin,
     // identical oracle for the buffered (q85) and histogram (q105) forms —
     // the rewrite must agree with the original to the last bit
     "q105_percentiles_histogram" -> percentilesSql,

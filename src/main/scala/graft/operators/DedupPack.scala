@@ -45,8 +45,13 @@ object DedupPack extends QueryPack {
     * DedupSpec proves cap-insensitivity), so the cap only changes behavior
     * where the uncapped join would melt down anyway.
     */
-  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   dfCap: Int = 100): DataFrame = {
+  /** The capped shingle universe shared by every exact jaccard variant:
+    * (doc_id, shingle-hash) pairs with hot shingles (document frequency >
+    * dfCap) removed. See dedupJaccard for why the cap exists and why the
+    * df filter rides the same shingle-partitioned exchange the downstream
+    * self-join needs.
+    */
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     NGramShingles.register(spark)
     // join on the 64-bit shingle hash, not the string: the self-join
     // shuffle then moves 8-byte keys instead of ~20-byte text (collision
@@ -64,10 +69,15 @@ object DedupPack extends QueryPack {
     // output (a separate hot-list aggregation would be one more full pass
     // over every document). Plan-asserted in DedupSpec.
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val sh = raw
+    raw
       .withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") <= dfCap)
       .drop("df")
+  }
+
+  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   dfCap: Int = 100): DataFrame = {
+    val sh = cappedShingles(spark, dir, dfCap)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -297,8 +307,93 @@ object DedupPack extends QueryPack {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Incremental dedup — the shape a production pipeline actually runs
+    * every ingest: near-dups of the NEW batch against the already-indexed
+    * corpus, never new×new or old×old. Here "new" = odd doc_ids and
+    * "old" = even (a deterministic stand-in for an ingest boundary); the
+    * join is the same capped-shingle equi-join as dedupJaccard but
+    * one-directional, so its cost is Σ (new postings × old postings) per
+    * shingle — at 100 TB the old side's postings come from a stored index
+    * (KeyedStore), and the per-shingle fan-out stays bounded by the same
+    * df cap. Sizes are computed over the full capped universe so the
+    * jaccard denominator means the same thing as in the batch job.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                       dfCap: Int = 100): DataFrame = {
+    val sh = cappedShingles(spark, dir, dfCap)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.filter(col("doc_id") % 2 === 1).as("a")
+      .join(sh.filter(col("doc_id") % 2 === 0).as("b"),
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("d_new"), col("b.doc_id").as("d_old"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("s1"), col("d_new") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d_old") === col("s2.doc_id"))
+      .select(col("d_new"), col("d_old"),
+        (col("inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
+  /** Keep-list — the deliverable the whole dedup family exists to produce:
+    * per source, how many documents survive near-dup collapse (one
+    * representative — the component-minimum doc_id — per cluster; docs in
+    * no cluster keep themselves). Composes the q66 pair graph and the q64
+    * components; the cluster table is near-dup-members-only (≪ corpus), so
+    * the final join broadcasts at any scale where dedup is worth running.
+    */
+  def dedupKeepList(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val clusters = connectedComponents(spark,
+        dedupJaccard(spark, dir, threshold).select(col("d1"), col("d2")))
+      .withColumnRenamed("doc_id", "member_id")
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    docs.join(broadcast(clusters), docs("doc_id") === col("member_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label").isNull || col("label") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** SemDeDup-style semantic dedup: block embedding pairs by trained
+    * k-means cell (SimilarityPack.kmeansTrain — the same quantizer the IVF
+    * index uses), brute-force exact cosine only between vectors sharing a
+    * cell. Multi-probe (each vector registers under its nProbe nearest
+    * cells, the IVF-search trick applied to dedup blocking) trades a
+    * constant candidate-set factor for the recall a single-cell assignment
+    * forfeits at cell boundaries. Pairs considered drop from C(n,2) to
+    * ≈ nProbe²·n²/(2k); precision is exact (every emitted cosine is
+    * verified), recall is bounded in DedupSpec against the unblocked brute
+    * force. On real clustered data near-dups co-assign almost surely; the
+    * near-orthogonal fixture is the adversarial case.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                    nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    CosineSimilarity.register(spark)
+    graft.functions.TopCells.register(spark)
+    val (centroids, _) = SimilarityPack.kmeansTrain(spark, dir, nCells, iters)
+    val cents = centroids.map(_.toSeq).toSeq
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        explode(graft.functions.TopCells.topCells(col("embedding"), cents, nProbe))
+          .as("cell"))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(CosineSimilarity.cosineFast(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos"))
+      .dropDuplicates("v1", "v2")
+      .filter(col("cos") >= threshold)
+      .orderBy(col("v1"), col("v2"))
+  }
+
   val queries = Map(
     "q65_dedup_exact" -> dedupExact _,
+    "q115_dedup_keeplist" -> ((s: SparkSession, d: String) => dedupKeepList(s, d)),
+    "q116_semantic_dedup" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
+    "q117_incremental_dedup" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "q73_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),
     "q66_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccard(s, d)),
     "q67_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
@@ -360,7 +455,63 @@ object DedupPack extends QueryPack {
         |  SELECT w.doc_id, e.d2 FROM walk w JOIN edges e ON w.reach = e.d1)
         |SELECT doc_id, min(reach) AS label FROM walk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q117_incremental_dedup" ->
+      // q66's capped-shingle jaccard restricted to new(odd) × old(even) —
+      // identical shingle universe, identical cap, identical sizes
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM toks),
+        |sh AS (
+        |  SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT d_new, d_old, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+        |FROM pairs JOIN sizes s1 ON d_new = s1.doc_id JOIN sizes s2 ON d_old = s2.doc_id
+        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+        |ORDER BY d_new, d_old""".stripMargin,
+    "q115_dedup_keeplist" ->
+      // q64's component labels folded to the per-source survivor counts
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM toks),
+        |sh AS (
+        |  SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5),
+        |edges AS (SELECT d1, d2 FROM prs UNION SELECT d2, d1 FROM prs),
+        |walk AS (
+        |  SELECT DISTINCT d1 AS doc_id, d1 AS reach FROM edges
+        |  UNION
+        |  SELECT w.doc_id, e.d2 FROM walk w JOIN edges e ON w.reach = e.d1),
+        |comp AS (SELECT doc_id, min(reach) AS label FROM walk GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c.label IS NULL OR c.label = d.doc_id
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q67/q68: no oracle — probabilistic recall; verified vs q66 in DedupSpec.
+    // q116: no oracle — k-means cell assignment isn't SQL-expressible;
+    // precision/recall bounded vs unblocked brute force in DedupSpec.
     "q69_dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

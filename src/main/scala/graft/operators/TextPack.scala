@@ -382,8 +382,34 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary coverage — the tokenizer-design probe a pipeline runs
+    * before committing to a vocab: build the top-V vocabulary by corpus
+    * term frequency (ties broken lexicographically so the cut is
+    * deterministic on any engine), then measure per-source out-of-vocab
+    * token rate. Scale shape: one explode pass feeds a two-phase count;
+    * the vocab is V rows by construction → broadcast back over the same
+    * token stream; per-source rollup is the only wide shuffle. V=16
+    * against this fixture's 31-token vocabulary makes OOV non-trivial.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
+    "q114_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q100_repetition_signals" -> repetitionSignals _,
     "q107_lm_quality_score" -> lmQualityScore _,
     "q103_domain_mix_sample" -> ((s: SparkSession, d: String) => domainMixSample(s, d)),
@@ -411,6 +437,18 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q114_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM tok GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 16)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS oov_tokens,
+        |  round(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
+        |    * 1.0 / count(*), 6) AS oov_rate
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
     "q111_train_val_test" ->
       """SELECT source,
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,

@@ -29,7 +29,8 @@ class AggSpec extends AnyFunSuite {
       "q73_dedup_embedding_lsh",// recall vs brute force (DedupSpec)
       "q89_approx_percentiles", // sketch (AggSpec bound vs exact q85)
       "q106_ann_ivf_trained_topk", // recall vs q70 (SimilaritySpec)
-      "q112_hll_sketch_union")  // DataSketches HLL binary (AggSpec bound vs exact)
+      "q112_hll_sketch_union",  // DataSketches HLL binary (AggSpec bound vs exact)
+      "q116_semantic_dedup")    // k-means blocking (DedupSpec precision/recall)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == allowedNoOracle,
       s"unexpected oracle coverage drift: missing=${missing -- allowedNoOracle}, " +
@@ -147,6 +148,26 @@ class AggSpec extends AnyFunSuite {
   test("broadcast hint produces BroadcastHashJoin for dim joins") {
     val plan = JoinsPack.joinBroadcast(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q113 unpivot: every flag melts to exactly its 3 metrics, values lossless") {
+    import org.apache.spark.sql.functions._
+    val long = AggPack.unpivotMetrics(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // independent recompute of the wide side, different plan shape
+    val li = Tables.t(spark, dir, "lineitem")
+    val flags = li.select("l_returnflag").distinct().collect().map(_.getString(0))
+    assert(flags.nonEmpty)
+    assert(long.keySet == flags.flatMap(f =>
+      Seq((f, "sum_qty"), (f, "max_qty"), (f, "n_rows"))).toSet)
+    flags.foreach { f =>
+      val sub = li.filter(col("l_returnflag") === f)
+      assert(long((f, "n_rows")) == sub.count().toDouble)
+      assert(long((f, "sum_qty")) ==
+        sub.agg(sum("l_quantity")).head().getDouble(0))
+      assert(long((f, "max_qty")) ==
+        sub.agg(max("l_quantity")).head().getDouble(0))
+    }
   }
 
   test("except/intersect rewrite to anti/semi joins") {

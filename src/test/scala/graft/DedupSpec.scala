@@ -158,6 +158,63 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q117 incremental == exact pairs restricted to new(odd) × old(even)") {
+    val inc = DedupPack.dedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // ground truth: the symmetric exact pairs with one odd and one even
+    // member, re-oriented to (new=odd, old=even)
+    val expect = exactPairs.collect {
+      case ((d1, d2), j) if (d1 + d2) % 2 == 1 =>
+        (if (d1 % 2 == 1) (d1, d2) else (d2, d1)) -> j
+    }
+    assert(expect.nonEmpty, "fixture produced no cross-parity near-dup pairs")
+    assert(inc == expect)
+  }
+
+  test("q115 keep-list totals are consistent with the cluster labels") {
+    val kl = DedupPack.dedupKeepList(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docsBySource = Tables.t(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kl.keySet == docsBySource.keySet)
+    kl.foreach { case (src, (nDocs, nKept)) =>
+      assert(nDocs == docsBySource(src))
+      assert(nKept <= nDocs && nKept > 0)
+    }
+    // global: dropped docs == cluster members that are not their own label
+    val labels = DedupPack.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val dropped = labels.count { case (doc, lab) => lab != doc }
+    assert(kl.values.map { case (n, k) => n - k }.sum == dropped)
+  }
+
+  test("q116 semantic dedup: exact precision, nontrivial recall vs unblocked brute force") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(graft.functions.CosineSimilarity
+          .cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = DedupPack.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision exact: blocking only prunes, never fabricates — every
+    // emitted pair is a true pair with the identical verified cosine
+    sem.foreach { case (k, c) =>
+      assert(truth.get(k).contains(c), s"false positive or cosine drift: $k -> $c")
+    }
+    // recall on the near-orthogonal fixture (both members of a cos-0.4
+    // pair must argmax to the same trained cell); k-means is
+    // deterministic, so this is a fixed number — bound set under the
+    // measured value but high enough to catch broken cell assignment
+    assert(truth.nonEmpty)
+    val recall = sem.size.toDouble / truth.size
+    assert(recall >= 0.3, s"recall=$recall (${sem.size}/${truth.size})")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val d = DedupPack.dedupExact(spark, dir).collect()
     val docs = Tables.t(spark, dir, "documents")

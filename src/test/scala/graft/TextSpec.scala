@@ -199,4 +199,33 @@ class TextSpec extends AnyFunSuite {
       assert(r.getInt(4) == (bytes(0) & 0xff))
     }
   }
+
+  test("q114 vocab coverage: full vocab → zero OOV; top-16 OOV matches independent count") {
+    // a vocab covering every distinct token leaves nothing out-of-vocab
+    val full = TextPack.vocabCoverage(spark, dir, vocabSize = 10000).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0, s"unexpected OOV: $r")
+    }
+    // independent recompute of the top-16 cut: token counts → driver-side
+    // top-16 (same tie-break) → per-source OOV occurrence count
+    val counts = Tables.t(spark, dir, "documents")
+      .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totalsByTok = counts.groupBy(_._1._2).view.mapValues(_.values.sum)
+    val vocab = totalsByTok.toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .take(16).map(_._1).toSet
+    val got = TextPack.vocabCoverage(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sources = counts.keySet.map(_._1)
+    assert(got.keySet == sources)
+    sources.foreach { src =>
+      val perSrc = counts.collect { case ((s, tok), c) if s == src => (tok, c) }
+      val nTokens = perSrc.map(_._2).sum
+      val oov = perSrc.collect { case (tok, c) if !vocab(tok) => c }.sum
+      assert(got(src) == (nTokens, oov), s"$src: ${got(src)} vs ($nTokens, $oov)")
+      assert(oov > 0, s"$src: top-16 cut should leave some OOV in a 31-token corpus")
+    }
+  }
 }
