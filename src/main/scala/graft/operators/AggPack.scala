@@ -95,6 +95,31 @@ object AggPack extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Mergeable frequency sketches — the heavy-hitters companion to q112's
+    * HLL cardinality pattern: per-source approx_top_k_accumulate states,
+    * re-aggregated with approx_top_k_combine for the global answer (store
+    * per-shard sketch, answer any rollup without re-reading the corpus).
+    * maxItemsTracked=64 exceeds the fixture's 31-token vocabulary, and a
+    * space-saving sketch whose tracked set is never evicted is EXACT — so
+    * unlike q112 this sketch query has a full DuckDB oracle (plain counts),
+    * while still exercising the accumulate/combine/estimate plumbing that
+    * runs approximate at real vocabulary sizes.
+    */
+  def topkSketchTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
+    val perSrc = tok.groupBy(col("source"))
+      .agg(expr("approx_top_k_accumulate(tok, 64)").as("st"))
+    val per = perSrc.select(col("source"),
+      explode(expr("approx_top_k_estimate(st, 64)")).as("e"))
+    val global = perSrc.agg(expr("approx_top_k_combine(st, 64)").as("st"))
+      .select(lit("__all__").as("source"),
+        explode(expr("approx_top_k_estimate(st, 64)")).as("e"))
+    per.unionAll(global)
+      .select(col("source"), col("e.item").as("tok"), col("e.count").as("n"))
+      .orderBy(col("source"), col("tok"))
+  }
+
   /** Global top-k: orderBy+limit compiles to TakeOrderedAndProject — per-
     * partition heaps + driver merge, never a global sort (SURVEY.md §2.6).
     */
@@ -380,6 +405,7 @@ object AggPack extends QueryPack {
     "q33_count_distinct" -> countDistincts _,
     "q34_approx_distinct" -> approxDistinct _,
     "q112_hll_sketch_union" -> hllSketchCardinality _,
+    "q118_topk_sketch_union" -> topkSketchTokens _,
     "q35_topk" -> topkOrders _)
 
   private val percentilesSql =
@@ -392,6 +418,20 @@ object AggPack extends QueryPack {
       |FROM lineitem""".stripMargin
 
   val oracle = Map(
+    "q118_topk_sketch_union" ->
+      // the sketch is exact here (tracked items ≥ distinct tokens), so the
+      // oracle is the plain per-source + global token counts
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |per AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY source, tok),
+        |tot AS (
+        |  SELECT '__all__' AS source, tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY tok)
+        |SELECT source, tok, n FROM (
+        |  SELECT * FROM per UNION ALL SELECT * FROM tot) u
+        |ORDER BY source, tok""".stripMargin,
     "q113_unpivot" ->
       // UNION ALL melt — DuckDB's UNPIVOT reorders; the explicit form
       // pins (metric, value) pairing and lets ORDER BY settle row order

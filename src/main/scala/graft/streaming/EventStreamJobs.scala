@@ -105,6 +105,26 @@ object EventStreamJobs {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         start_ms: Long, end_ms: Long)
 
+  /** Shared session-state transition: fold a batch of (tsMs, event_id)
+    * pairs for one user through the gap rule, emitting sessions as they
+    * close. Both sessionization variants run exactly this logic, so their
+    * outputs can only differ in WHEN a session is considered closed.
+    */
+  private def foldSessions(userId: Long, evs: Seq[(Long, Long)], st0: SessionState,
+                           gapMs: Long): (SessionState, Seq[SessionOut]) = {
+    val out = Seq.newBuilder[SessionOut]
+    var st = st0
+    evs.sorted.foreach { case (tsMs, _) =>
+      st =
+        if (st.nEvents == 0L || tsMs - st.lastMs > gapMs) {
+          if (st.nEvents > 0L)
+            out += SessionOut(userId, st.sessionId, st.nEvents, st.startMs, st.lastMs)
+          SessionState(st.sessionId + 1, tsMs, 1L, tsMs)
+        } else st.copy(lastMs = tsMs, nEvents = st.nEvents + 1)
+    }
+    (st, out.result())
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * arbitrary-state API the built-in window cannot express (gap-based
     * sessions emitted as they close). Event-time ordering within a group is
@@ -118,18 +138,53 @@ object EventStreamJobs {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val out = Seq.newBuilder[SessionOut]
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          it.toSeq.sortBy(e => (e.tsMs, e.event_id)).foreach { e =>
-            st =
-              if (st.nEvents == 0L || e.tsMs - st.lastMs > gapMs) {
-                if (st.nEvents > 0L)
-                  out += SessionOut(userId, st.sessionId, st.nEvents, st.startMs, st.lastMs)
-                SessionState(st.sessionId + 1, e.tsMs, 1L, e.tsMs)
-              } else st.copy(lastMs = e.tsMs, nEvents = st.nEvents + 1)
-          }
+          val st0 = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val (st, out) =
+            foldSessions(userId, it.map(e => (e.tsMs, e.event_id)).toSeq, st0, gapMs)
           state.update(st)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** SessionEvent plus the event-time column the watermark rides on. */
+  case class SessionEventT(user_id: Long, event_id: Long, tsMs: Long,
+                           ts: java.sql.Timestamp)
+
+  /** Watermark-closed sessionization: same gap rule as sessionizeStream,
+    * but a user's OPEN session also closes when the event-time watermark
+    * passes `last event + gap` — the production semantics NoTimeout cannot
+    * give (an idle user's last session would otherwise stay open, and its
+    * state pinned, forever). Each update arms EventTimeTimeout at
+    * lastMs + gap + 1; the timed-out callback emits the open session and
+    * REMOVES the state, so total state is bounded by users active inside
+    * the watermark horizon — the requirement for running unbounded at
+    * 100 TB/day. Timeout firing needs the watermark to advance past the
+    * deadline, which happens one micro-batch after the event that moved it
+    * (watermark is computed at batch end, applied next batch).
+    */
+  def sessionizeStreamTimeout(events: Dataset[SessionEvent], gapMs: Long,
+                              watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[SessionEventT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.flatMap(finalSession(_, userId))
+            state.remove()
+            out.iterator
+          } else {
+            val st0 = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            val (st, out) =
+              foldSessions(userId, it.map(e => (e.tsMs, e.event_id)).toSeq, st0, gapMs)
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs + 1)
+            out.iterator
+          }
       }
   }
 

@@ -150,6 +150,22 @@ class AggSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q118: sketch counts are exact at this vocabulary; global row == combined sketches") {
+    import org.apache.spark.sql.functions._
+    val rows = AggPack.topkSketchTokens(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent exact counts (64 tracked slots > 31 distinct tokens →
+    // the space-saving sketch never evicts, so estimates must be EQUAL)
+    val exact = Tables.t(spark, dir, "documents")
+      .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val globalExact = exact.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val (globalRows, perRows) = rows.partition(_._1._1 == "__all__")
+    assert(perRows == exact)
+    assert(globalRows.map { case ((_, tok), n) => tok -> n } == globalExact)
+  }
+
   test("q113 unpivot: every flag melts to exactly its 3 metrics, values lossless") {
     import org.apache.spark.sql.functions._
     val long = AggPack.unpivotMetrics(spark, dir).collect()

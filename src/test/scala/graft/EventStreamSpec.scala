@@ -318,4 +318,35 @@ class EventStreamSpec extends AnyFunSuite {
     val nUsers = events.select(col("user_id")).distinct().count()
     assert(got.size == batch.size - nUsers)
   }
+
+  test("timeout sessionization: idle user's open session closes via watermark alone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import EventStreamJobs.{SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val gapMs = 30 * 60 * 1000L
+    val out = EventStreamJobs.sessionizeStreamTimeout(input.toDS(), gapMs)
+    val q = out.writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(SessionEvent(1L, 10L, t0), SessionEvent(1L, 11L, t0 + 10 * 60 * 1000L))
+      q.processAllAvailable()
+      // gap not exceeded, watermark behind the deadline: session stays open
+      assert(spark.table("sess_timeout").count() == 0)
+      // a much-later event from a DIFFERENT user moves the watermark…
+      input.addData(SessionEvent(2L, 20L, t0 + 2 * 60 * 60 * 1000L))
+      q.processAllAvailable()
+      // …which applies in the NEXT micro-batch, firing user 1's timeout
+      // with no further user-1 events — the close NoTimeout can never do
+      input.addData(SessionEvent(2L, 21L, t0 + 2 * 60 * 60 * 1000L + 1000L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout").as[SessionOut].collect()
+      assert(rows.toSeq == Seq(SessionOut(1L, 1L, 2L, t0, t0 + 10 * 60 * 1000L)),
+        s"got ${rows.toSeq}")
+      // user 2's session is still open: its deadline is past the watermark
+      assert(!rows.exists(_.user_id == 2L))
+    } finally q.stop()
+  }
 }
