@@ -93,14 +93,43 @@ object WindowPack extends QueryPack {
       .orderBy(col("day"))
   }
 
+  /** q36's semantics through the custom TopKPerKeyNode/Exec operator
+    * (graft.plans.TopKPerKey): same oracle SHAPE as a row_number window,
+    * but the physical plan is one key-clustered exchange into bounded
+    * k-row heaps — no partition sort, memory ⊥ group size. The window
+    * formulation (q36) stays as the built-in reference; TopKPerKeySpec
+    * asserts row-set equality between the two and that the custom exec
+    * actually planned.
+    */
+  def topkPerKeyNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+        t(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 3)
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+
   val queries = Map(
     "q90_window_range_frame" -> movingRevenue _,
+    "q119_topk_per_key_native" -> topkPerKeyNative _,
     "q36_window_topn" -> topOrdersPerCustomer _,
     "q37_window_rank" -> rankOrders _,
     "q38_window_lag" -> lagDeltas _,
     "q39_window_running" -> runningSum _)
 
   val oracle = Map(
+    "q119_topk_per_key_native" ->
+      // the custom heap operator must agree with the canonical window form
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
     "q90_window_range_frame" ->
       """WITH daily AS (
         |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,

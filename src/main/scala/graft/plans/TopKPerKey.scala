@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension — tier (c) of the custom-operator ladder
+  * (SURVEY §6): a logical node + planner strategy + physical operator for
+  * per-key top-k, the per-key generalization of TakeOrderedAndProject.
+  *
+  * Why not Window + row_number + filter (the q36 formulation): the window
+  * form SORTS every partition in full — O(n log n) per partition, spills
+  * at scale — and only then discards everything past rank k. This operator
+  * keeps a bounded k-row heap per key: O(n log k), memory bounded by
+  * #keys × k rows regardless of group sizes, no sort of the losers. The
+  * planner inserts the key-clustered exchange via requiredChildDistribution,
+  * exactly like the built-in aggregates.
+  */
+case class TopKPerKeyNode(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
+                          child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Planner strategy: one physical candidate, the heap operator. Installed
+  * per-session via `spark.experimental.extraStrategies` (the public
+  * runtime hook; SparkSessionExtensions.injectPlannerStrategy is the
+  * build-time twin).
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** All rows of a key on one partition — Catalyst plans the shuffle (or
+    * elides it when the child is already clustered on the keys, e.g. a
+    * bucketed scan: the same exchange-reuse economics as builtin aggs).
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keysLocal = keys
+    val orderLocal = order
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      // codegen'd comparator over the requested sort order
+      val ord = GenerateOrdering.generate(orderLocal, childOutput)
+      // per key: a max-heap on the REVERSED order, so peek() is the worst
+      // row currently kept and a better row evicts it in O(log k)
+      val worstFirst = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) {
+          heap.add(toUnsafe(row).copy())
+        } else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(toUnsafe(row).copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        val arr = heap.toArray(new Array[UnsafeRow](heap.size))
+        java.util.Arrays.sort(arr, ord)
+        arr.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Library entry point: `TopKPerKey(df, keys, orders, k)` builds the
+  * logical node (unresolved sort expressions resolve through the normal
+  * analyzer pass) and registers the strategy on the session.
+  */
+object TopKPerKey {
+  def apply(df: DataFrame, keyNames: Seq[String], orderCols: Seq[Column],
+            k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.exists(_ eq TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    val keyAttrs = keyNames.map { n =>
+      analyzed.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column '$n' not in ${analyzed.output.map(_.name)}"))
+    }
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val sortOrders = orderCols.map(c => GraftSqlBridge.expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftSqlBridge.ofRows(spark, TopKPerKeyNode(keyAttrs, sortOrders, k, analyzed))
+  }
+}

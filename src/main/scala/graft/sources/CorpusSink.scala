@@ -38,6 +38,26 @@ object CorpusSink {
       .parquet(path)
   }
 
+  /** Range-sorted output — the clustered-index layout: `repartitionByRange`
+    * gives each task a contiguous, non-overlapping slice of the key space
+    * (bounds come from a sample pass, so no global sort ever runs) and
+    * `sortWithinPartitions` orders rows inside each file. The corpus then
+    * ships as a globally ordered file sequence whose per-file parquet
+    * min/max column statistics are DISJOINT — a downstream point or range
+    * predicate on the sort key skips whole files and row groups instead of
+    * scanning the corpus (the single-key form of what z-ordering does for
+    * multiple keys). Cost at 100 TB: one range exchange + local sorts,
+    * strictly cheaper than the orderBy().write() formulation that funnels
+    * through a global sort.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
   /** Read back with partition-column recovery (values come from directory
     * names, typed by inference).
     */

@@ -82,4 +82,44 @@ class CorpusSinkSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(rows(1L).isEmpty && rows(3L).contains(0.9))
   }
+
+  test("range-sorted write: files are internally sorted with disjoint key ranges; no global sort") {
+    val out = Files.createTempDirectory("corpus_sorted").resolve("docs").toString
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // AQE off so the sampled range exchange keeps all requested output
+    // partitions on this tiny input (same reasoning as the layout test)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try CorpusSink.writeRangeSorted(docs, out, Seq("doc_id"), numFiles = 4)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1, s"expected multiple files, got ${files.length}")
+    // per-file: internally sorted; collect each file's [min, max]
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f).select(col("doc_id")).collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"$f not internally sorted")
+      (ids.min, ids.max)
+    }
+    // ranges must be pairwise disjoint — the property that makes parquet
+    // min/max stats skip whole files for point/range predicates
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    // lossless: union of files == input
+    val back = spark.read.parquet(out).select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted
+    val want = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(back.sameElements(want))
+    // the plan pays a range exchange + LOCAL sorts, never a global sort
+    val plan = docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true.*"),
+      s"unexpected global sort:\n$plan")
+  }
 }
