@@ -19,10 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A registered query that throws is a SHIPPED BUG, not a footnote: dump
+    // everything (so the driver still gets the other results), then exit
+    // nonzero so the failure can't slide through a snapshot unnoticed.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,5 +47,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
@@ -99,8 +99,16 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
 }
 
 /** Library entry point: `TopKPerKey(df, keys, orders, k)` builds the
-  * logical node (unresolved sort expressions resolve through the normal
-  * analyzer pass) and registers the strategy on the session.
+  * logical node and registers the strategy on the session.
+  *
+  * The sort orders are taken from the ANALYZED plan of `df.sort(orderCols)`:
+  * the analyzer hands back fully-resolved catalyst `SortOrder`s bound to the
+  * child's output. Unwrapping the `Column`s directly (via the sql bridge)
+  * does NOT work on Spark 4 — `col.desc` produces a Column-DSL
+  * `sql.internal.SortOrder` node whose converted form is a
+  * `ColumnNodeExpression` wrapper, never a catalyst `SortOrder`, so the
+  * direction is silently dropped and the wrapper's non-serializable
+  * internals get captured by the executor closure (Task not serializable).
   */
 object TopKPerKey {
   def apply(df: DataFrame, keyNames: Seq[String], orderCols: Seq[Column],
@@ -110,17 +118,25 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }
-    val analyzed = df.queryExecution.analyzed
+    // Resolve through the analyzer, then strip the Sort node. If an order
+    // expression is not a bare column the analyzer wraps the Sort in a
+    // Project-back, so locate the Sort anywhere in the analyzed tree.
+    val sortPlan = df.sort(orderCols: _*).queryExecution.analyzed
+    val sortNode = sortPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+    }.getOrElse(throw new IllegalStateException(
+      s"analyzer produced no Sort node for orders $orderCols"))
+    val child = sortNode.child
     val keyAttrs = keyNames.map { n =>
-      analyzed.output.find(_.name == n).getOrElse(
+      child.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
-          s"key column '$n' not in ${analyzed.output.map(_.name)}"))
+          s"key column '$n' not in ${child.output.map(_.name)}"))
     }
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
-    val sortOrders = orderCols.map(c => GraftSqlBridge.expression(c) match {
-      case so: SortOrder => so
-      case e => SortOrder(e, Ascending)
-    })
-    GraftSqlBridge.ofRows(spark, TopKPerKeyNode(keyAttrs, sortOrders, k, analyzed))
+    val topk = GraftSqlBridge.ofRows(
+      spark, TopKPerKeyNode(keyAttrs, sortNode.order, k, child))
+    // Project away any helper columns the analyzer added for the sort.
+    if (child.output.map(_.name) == df.columns.toSeq) topk
+    else topk.select(df.columns.map(org.apache.spark.sql.functions.col): _*)
   }
 }

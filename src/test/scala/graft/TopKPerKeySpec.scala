@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+
+/** The custom per-key top-k operator (graft.plans.TopKPerKey) must agree
+  * row-for-row with the canonical row_number window formulation (q36 shape)
+  * on both sort directions, must actually plan its physical exec, and must
+  * elide the exchange when the child is already clustered on the keys
+  * (bucketed scan) — the operator's whole selling point.
+  */
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sfDir
+
+  private def base: DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+
+  /** Window reference: top-k rows per key under the given ordering. */
+  private def windowForm(orderDesc: Boolean, k: Int): DataFrame = {
+    val ord =
+      if (orderDesc)
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      else
+        Seq(col("l_extendedprice").asc, col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
+    base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  private def heapForm(orderDesc: Boolean, k: Int): DataFrame = {
+    val ord =
+      if (orderDesc)
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      else
+        Seq(col("l_extendedprice").asc, col("l_orderkey"), col("l_linenumber"))
+    TopKPerKey(base, Seq("l_returnflag"), ord, k)
+  }
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  /** Final physical plan string with AQE finalized (execute first). The
+    * string render traverses QueryStageExec wrappers, which hide their
+    * subtree from `plan.collect`.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("desc order matches the window formulation and TopKPerKeyExec plans") {
+    val heap = heapForm(orderDesc = true, k = 3)
+    val plan = finalPlan(heap)
+    assert(plan.contains("TopKPerKey"),
+      s"TopKPerKeyExec did not appear in executedPlan:\n$plan")
+    assert(rowSet(heap) == rowSet(windowForm(orderDesc = true, k = 3)))
+  }
+
+  test("asc order matches the window formulation (direction not dropped)") {
+    val heap = rowSet(heapForm(orderDesc = false, k = 3))
+    val win = rowSet(windowForm(orderDesc = false, k = 3))
+    assert(heap == win)
+    // asc and desc pick DIFFERENT rows — guards against a silently
+    // inverted/ignored sort direction agreeing by accident
+    assert(heap != rowSet(heapForm(orderDesc = true, k = 3)))
+  }
+
+  test("exchange is elided on a bucketed child clustered on the key") {
+    spark.sql("DROP TABLE IF EXISTS li_topk_bucketed")
+    base.write.bucketBy(4, "l_returnflag").sortBy("l_returnflag")
+      .saveAsTable("li_topk_bucketed")
+    try {
+      val bucketed = spark.table("li_topk_bucketed")
+      val topk = TopKPerKey(bucketed, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 3)
+      val plan = finalPlan(topk)
+      assert(plan.contains("TopKPerKey"), s"TopKPerKeyExec did not plan:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed child still shuffled:\n$plan")
+      // and the result is still correct on the bucketed input
+      assert(rowSet(topk) == rowSet(windowForm(orderDesc = true, k = 3)))
+    } finally spark.sql("DROP TABLE IF EXISTS li_topk_bucketed")
+  }
+}
