@@ -341,15 +341,16 @@ object DedupPack extends QueryPack {
     * per source, how many documents survive near-dup collapse (one
     * representative — the component-minimum doc_id — per cluster; docs in
     * no cluster keep themselves). Composes the q66 pair graph and the q64
-    * components; the cluster table is near-dup-members-only (≪ corpus), so
-    * the final join broadcasts at any scale where dedup is worth running.
+    * components. The final step is a plain equi-join on doc_id: at a real
+    * 100 TB dup rate the cluster table is billions of rows, so no
+    * broadcast hint — AQE picks broadcast at runtime iff it actually fits.
     */
   def dedupKeepList(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val clusters = connectedComponents(spark,
         dedupJaccard(spark, dir, threshold).select(col("d1"), col("d2")))
       .withColumnRenamed("doc_id", "member_id")
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
-    docs.join(broadcast(clusters), docs("doc_id") === col("member_id"), "left")
+    docs.join(clusters, docs("doc_id") === col("member_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("label").isNull || col("label") === col("doc_id"), 1L)
@@ -373,7 +374,9 @@ object DedupPack extends QueryPack {
                     nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     CosineSimilarity.register(spark)
     graft.functions.TopCells.register(spark)
-    val (centroids, _) = SimilarityPack.kmeansTrain(spark, dir, nCells, iters)
+    // session-memoized model: shared with the q106 IVF search instead of
+    // retraining the quantizer per invocation
+    val (centroids, _) = SimilarityPack.kmeansModel(spark, dir, nCells, iters)
     val cents = centroids.map(_.toSeq).toSeq
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),

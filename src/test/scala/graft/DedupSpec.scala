@@ -221,4 +221,12 @@ class DedupSpec extends AnyFunSuite {
     assert(d.map(_.getLong(1)).sum == docs.count())
     assert(d.map(_.getLong(0)).distinct.length == d.length)
   }
+
+  test("keep-list cluster join carries no broadcast hint — AQE decides") {
+    // an unconditional broadcast of the near-dup member table is a driver
+    // OOM at a real 100 TB dup rate; the join must ship hint-free
+    val analyzed = DedupPack.dedupKeepList(spark, dir).queryExecution.analyzed
+    assert(!analyzed.toString.contains("ResolvedHint"),
+      s"keep-list join still hinted:\n$analyzed")
+  }
 }
