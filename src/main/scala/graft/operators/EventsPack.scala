@@ -63,6 +63,35 @@ object EventsPack extends QueryPack {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q57's sessions through Spark's BUILT-IN session_window — the
+    * idiomatic form of gap-based sessionization, and the one that runs
+    * unchanged as a streaming watermarked aggregation (no custom state).
+    * One hash aggregation keyed on (user_id, merged session window): no
+    * lag/running-sum window pair, no full per-user sort — at 100 TB this
+    * is the cheapest of the three formulations (vs q57's two windows and
+    * the flatMapGroupsWithState custom state path). session_window.end is
+    * DEFINED as last event + gap, so subtract the gap back to report the
+    * last-event timestamp and match q57's (start_ms, end_ms, n_events)
+    * exactly; session numbering is q57's ordinal, recovered with one
+    * row_number over the already-aggregated (tiny) session rows.
+    * Three-way equivalence (q57 batch ≡ custom state ≡ session_window)
+    * is asserted in EventStreamSpec.
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_ms"))
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        tsMillis(col("session_window.start")).as("start_ms"),
+        (tsMillis(col("session_window.end")) - lit(30L * 60 * 1000)).as("end_ms"),
+        col("n_events"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_ms"), col("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** JSON property extraction: `props` like {"k": 87} → typed int, then a
     * small rollup — get_json_object is codegen'd, no UDF.
     */
@@ -155,8 +184,27 @@ object EventsPack extends QueryPack {
     "q55_tumbling_window" -> tumbling _,
     "q56_sliding_window" -> sliding _,
     "q57_sessionize" -> sessionize _,
+    "q120_session_window" -> sessionWindowNative _,
     "q58_json_extract" -> jsonExtract _,
     "q99_click_attribution" -> clickAttribution _)
+
+  private val sessionizeOracleSql =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN prev_ts IS NULL
+      |             OR epoch_ms(ts) - epoch_ms(prev_ts) > 30 * 60 * 1000 THEN 1 ELSE 0 END
+      |        AS new_session
+      |    FROM (SELECT user_id, event_id, ts,
+      |            lag(ts, 1) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) AS prev_ts
+      |          FROM events) l) f) s
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracle = Map(
     "q109_retention_cohorts" ->
@@ -198,23 +246,10 @@ object EventsPack extends QueryPack {
         |  SELECT 1800000 * (epoch_ms(ts) // 1800000) - k * 1800000 AS bucket_ms
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets) t
         |GROUP BY bucket_ms ORDER BY bucket_ms""".stripMargin,
-    "q57_sessionize" ->
-      """SELECT user_id, session_id, count(*) AS n_events,
-        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
-        |FROM (
-        |  SELECT user_id, event_id, ts,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM (
-        |    SELECT user_id, event_id, ts,
-        |      CASE WHEN prev_ts IS NULL
-        |             OR epoch_ms(ts) - epoch_ms(prev_ts) > 30 * 60 * 1000 THEN 1 ELSE 0 END
-        |        AS new_session
-        |    FROM (SELECT user_id, event_id, ts,
-        |            lag(ts, 1) OVER (PARTITION BY user_id
-        |                             ORDER BY ts, event_id) AS prev_ts
-        |          FROM events) l) f) s
-        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q57_sessionize" -> sessionizeOracleSql,
+    // the built-in session_window form reproduces q57's output exactly
+    // (same ordinal numbering, same start/end), so it shares its oracle
+    "q120_session_window" -> sessionizeOracleSql,
     "q58_json_extract" ->
       """SELECT event_type, count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k

@@ -156,14 +156,23 @@ object EventStreamJobs {
     * give (an idle user's last session would otherwise stay open, and its
     * state pinned, forever). Each update arms EventTimeTimeout at
     * lastMs + gap + 1; the timed-out callback emits the open session and
-    * REMOVES the state, so total state is bounded by users active inside
-    * the watermark horizon — the requirement for running unbounded at
-    * 100 TB/day. Timeout firing needs the watermark to advance past the
-    * deadline, which happens one micro-batch after the event that moved it
-    * (watermark is computed at batch end, applied next batch).
+    * collapses the state to a zero-event TOMBSTONE carrying only the
+    * session counter, so (user_id, session_id) stays unique across the
+    * stream and the numbering matches sessionizeStream exactly (the two
+    * variants differ only in WHEN a session closes, per the foldSessions
+    * contract). The tombstone arms no further timeout and holds one
+    * counter, so state is O(distinct users ever seen) — a large cut from
+    * the O(open sessions × horizon) an unclosed-state design pins, but not
+    * the O(active users) full removal gives. `keepCounter = false` opts
+    * into full removal for streams where per-user numbering may restart
+    * at 1 after an idle close (the strictest state bound). Timeout firing
+    * needs the watermark to advance past the deadline, which happens one
+    * micro-batch after the event that moved it (watermark is computed at
+    * batch end, applied next batch).
     */
   def sessionizeStreamTimeout(events: Dataset[SessionEvent], gapMs: Long,
-                              watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+                              watermarkDelay: String = "0 seconds",
+                              keepCounter: Boolean = true): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_millis(col("tsMs")))
@@ -174,8 +183,16 @@ object EventStreamJobs {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[SessionEventT], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.flatMap(finalSession(_, userId))
-            state.remove()
+            val prev = state.getOption
+            val out = prev.flatMap(finalSession(_, userId))
+            prev match {
+              case Some(st) if keepCounter =>
+                // zero-event tombstone: foldSessions starts the next
+                // session at sessionId + 1, exactly as if it had closed
+                // by gap instead of by watermark
+                state.update(SessionState(st.sessionId, st.lastMs, 0L, 0L))
+              case _ => state.remove()
+            }
             out.iterator
           } else {
             val st0 = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))

@@ -319,6 +319,17 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.size == batch.size - nUsers)
   }
 
+  test("built-in session_window == batch sessionize (closes the 3-way triangle)") {
+    // q57 (lag + running sum) ≡ q120 (native session_window) row-for-row;
+    // with the custom-state leg above this pins batch ≡ stream ≡
+    // session_window
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(rows(EventsPack.sessionWindowNative(spark, dir)) ==
+      rows(EventsPack.sessionize(spark, dir)))
+  }
+
   test("timeout sessionization: idle user's open session closes via watermark alone") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -347,6 +358,43 @@ class EventStreamSpec extends AnyFunSuite {
         s"got ${rows.toSeq}")
       // user 2's session is still open: its deadline is past the watermark
       assert(!rows.exists(_.user_id == 2L))
+    } finally q.stop()
+  }
+
+  test("timeout sessionization: session numbering survives a watermark close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import EventStreamJobs.{SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val gapMs = 30 * 60 * 1000L
+    val out = EventStreamJobs.sessionizeStreamTimeout(input.toDS(), gapMs)
+    val q = out.writeStream.format("memory").queryName("sess_renumber")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val hr = 60 * 60 * 1000L
+      // session 1 for user 1, closed by the watermark (user 2 advances it)
+      input.addData(SessionEvent(1L, 10L, t0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 20L, t0 + 2 * hr))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 21L, t0 + 2 * hr + 1000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_renumber").as[SessionOut].collect()
+        .toSeq == Seq(SessionOut(1L, 1L, 1L, t0, t0)))
+      // user 1 RETURNS after the close: a gap-closed pair of sessions —
+      // numbering must continue at 2 (tombstone kept the counter), not
+      // restart at 1, so (user_id, session_id) stays unique stream-wide
+      input.addData(SessionEvent(1L, 11L, t0 + 3 * hr))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 12L, t0 + 5 * hr))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_renumber").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_id).toSeq
+      assert(u1 == Seq(
+        SessionOut(1L, 1L, 1L, t0, t0),
+        SessionOut(1L, 2L, 1L, t0 + 3 * hr, t0 + 3 * hr)), s"got $u1")
     } finally q.stop()
   }
 }
