@@ -392,7 +392,41 @@ object DedupPack extends QueryPack {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Exact-substring duplication report (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): for
+    * every n-token span, is the identical span present in ANY other
+    * document? Emits per-doc span totals — the signal that drives
+    * span-level cutting (vs the doc-level near-dup family above). The
+    * paper builds a suffix array; the declarative equivalent is the
+    * n-gram inverted index: explode every n-token window, one hash agg
+    * over grams (count distinct docs), flag grams seen in ≥2 docs, join
+    * back. Cost is corpus tokens × 1 gram each — linear, one shuffle on
+    * the gram key. Grams here cross the shuffle as strings for oracle
+    * bit-parity; the 100 TB path hashes each gram to 64 bits first
+    * (xxhash64 — collision-tolerant for a dup SIGNAL) which cuts shuffle
+    * bytes ~n×.
+    */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), lit(1L).as("is_dup"))
+    grams.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
+    "q122_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q65_dedup_exact" -> dedupExact _,
     "q115_dedup_keeplist" -> ((s: SparkSession, d: String) => dedupKeepList(s, d)),
     "q116_semantic_dedup" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
@@ -405,6 +439,21 @@ object DedupPack extends QueryPack {
     "q64_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
 
   val oracle = Map(
+    "q122_dup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM docs,
+        |    LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) spans
+        |  WHERE len(toks) >= 8),
+        |dup AS (
+        |  SELECT gram, 1 AS is_dup FROM grams
+        |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(coalesce(is_dup, 0)) AS BIGINT) AS n_dup_spans
+        |FROM grams LEFT JOIN dup USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q65_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,

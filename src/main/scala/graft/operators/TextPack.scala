@@ -407,8 +407,53 @@ object TextPack extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by how much its unigram distribution resembles a
+    * TARGET domain relative to the raw corpus, keep the top-k per source.
+    * The paper samples ∝ importance weight; with a deterministic oracle we
+    * take the top slice — the zero-temperature limit of the resampling.
+    *
+    * Per-token weight is the integer surrogate
+    * `cnt_target(w)·N_raw − cnt_raw(w)·N_target` — same sign and ordering
+    * as `p_target(w) − p_raw(w)` but exact in 64-bit, so doc scores hash
+    * identically across engines (the paper's log-ratio form diverges in
+    * the last ulp between libm and java.lang.Math logs). Bound: weights
+    * ≤ N_raw·N_target and a doc's score ≤ n_tokens·N_raw·N_target — fine
+    * to ~10^9 corpus tokens in signed 64-bit; past that, switch the weight
+    * to double (the ordering is what matters, not the units).
+    *
+    * Scale shape: token counting is one explode + hash agg (vocab-sized
+    * result), the weight table broadcasts, scoring is a map-side join +
+    * per-doc sum — no all-pairs stage anywhere. Top-k per source is the
+    * q36 window form over an already per-doc-sized input.
+    */
+  def dsirImportance(spark: SparkSession, dir: String, target: String = "src0",
+                     k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("c_tgt"))
+    val totals = cnt.agg(sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"))
+    val weights = cnt.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (col("c_tgt") * col("n_raw") - col("c_raw") * col("n_tgt")).as("wt"))
+    val scored = toks.join(broadcast(weights), Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("wt")).as("score"))
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(bySource))
+      .filter(col("rn") <= k).drop("rn")
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(col("source"), col("score").desc, col("doc_id"))
+  }
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
+    "q121_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
     "q114_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q100_repetition_signals" -> repetitionSignals _,
     "q107_lm_quality_score" -> lmQualityScore _,
@@ -437,6 +482,29 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q121_dsir_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT tok, count(*) AS c_raw,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM cnt),
+        |w AS (
+        |  SELECT tok,
+        |    c_tgt * (SELECT n_raw FROM tot) - c_raw * (SELECT n_tgt FROM tot)
+        |      AS wt
+        |  FROM cnt),
+        |scored AS (
+        |  SELECT doc_id, source, CAST(sum(wt) AS BIGINT) AS score
+        |  FROM toks JOIN w USING (tok) GROUP BY doc_id, source)
+        |SELECT doc_id, source, score FROM (
+        |  SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10 ORDER BY source, score DESC, doc_id""".stripMargin,
     "q114_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),

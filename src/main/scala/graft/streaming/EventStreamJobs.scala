@@ -100,6 +100,28 @@ object EventStreamJobs {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Spark's BUILT-IN session_window as a watermarked streaming
+    * aggregation — the native form of gap sessionization (the batch twin
+    * is EventsPack.sessionWindowNative / q120). The engine merges
+    * overlapping windows per key and holds only OPEN sessions as state,
+    * emitting a session in append mode once the watermark passes its end
+    * and evicting the state — bounded exactly like the custom
+    * flatMapGroupsWithState path but with zero user state code.
+    * session_window.end is last event + gap by definition; subtract the
+    * gap back so the output matches the batch form's last-event end_ms.
+    */
+  def sessionWindowCounts(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                          watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        (unix_millis(col("session_window.end")) - gapMs).as("end_ms"),
+        col("n_events"))
+
   case class SessionEvent(user_id: Long, event_id: Long, tsMs: Long)
   case class SessionState(sessionId: Long, lastMs: Long, nEvents: Long, startMs: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

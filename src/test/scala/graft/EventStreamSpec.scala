@@ -319,6 +319,44 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.size == batch.size - nUsers)
   }
 
+  test("STREAMING session_window == batch sessionize (sessions close via watermark)") {
+    import spark.implicits._
+    val watch = java.nio.file.Files.createTempDirectory("events_sesswin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      watch.resolve("part-0.parquet"))
+    val q = EventStreamJobs
+      .sessionWindowCounts(EventStreamJobs.readEvents(spark, watch.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits sessions the watermark has passed; a far-
+      // future sentinel event (user -1) in a second file closes them all
+      val farNs = (Tables.events(spark, dir).agg(max(unix_millis(col("ts"))))
+        .head().getLong(0) + 365L * 24 * 3600 * 1000) * 1000000L
+      Seq((99999999L, farNs, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(watch.resolve("late").toString)
+      java.nio.file.Files.list(watch.resolve("late")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, watch.resolve("part-1.parquet"))
+      }
+      q.processAllAvailable()
+      val got = spark.table("sesswin_out")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = EventsPack.sessionize(spark, dir)
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("built-in session_window == batch sessionize (closes the 3-way triangle)") {
     // q57 (lag + running sum) ≡ q120 (native session_window) row-for-row;
     // with the custom-state leg above this pins batch ≡ stream ≡
