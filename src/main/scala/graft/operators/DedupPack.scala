@@ -237,14 +237,35 @@ object DedupPack extends QueryPack {
     } else labels
   }
 
+  /** Memoized near-dup cluster index, keyed by (application, dir,
+    * threshold) — the jaccard pair job + connected components is the
+    * expensive "build the dedup index" step, and every consumer (the q64
+    * cluster listing, the q115 keep-list, repeated invocations) should
+    * read the SAME built index rather than re-running the pair join per
+    * query, exactly like the k-means model memo in SimilarityPack. The
+    * memoized DataFrame is the localCheckpoint connectedComponents
+    * returns, so it is already materialized — consumers replay no lineage.
+    * Footprint: one label table (doc_id, label, near-dup members only)
+    * per distinct key, held until the application ends — at production
+    * scale this table is what you'd persist to a KeyedStore table instead.
+    */
+  private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Double), DataFrame]()
+
+  def clusterIndex(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame =
+    clusterMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, threshold),
+      _ => connectedComponents(spark,
+        dedupJaccard(spark, dir, threshold).select(col("d1"), col("d2"))))
+
   /** Near-dup clusters: connected components over the jaccard pair graph,
     * each doc labeled with its component's smallest doc_id — the "keep one
     * representative per duplicate cluster" output a pipeline actually
     * consumes.
     */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    connectedComponents(spark, dedupJaccard(spark, dir, threshold).select(col("d1"), col("d2")))
-      .orderBy(col("doc_id"))
+    clusterIndex(spark, dir, threshold).orderBy(col("doc_id"))
 
   /** Embedding near-dup pairs by cosine ≥ threshold, brute force within
     * label blocks (labels partition the space here; the unblocked scale
@@ -346,8 +367,7 @@ object DedupPack extends QueryPack {
     * broadcast hint — AQE picks broadcast at runtime iff it actually fits.
     */
   def dedupKeepList(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val clusters = connectedComponents(spark,
-        dedupJaccard(spark, dir, threshold).select(col("d1"), col("d2")))
+    val clusters = clusterIndex(spark, dir, threshold)
       .withColumnRenamed("doc_id", "member_id")
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
     docs.join(clusters, docs("doc_id") === col("member_id"), "left")
