@@ -47,6 +47,15 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  // the same observability surface the built-in aggregates expose: output
+  // rows plus the number of per-key heaps (≈ distinct keys seen), the
+  // operator's actual memory driver (state = numKeys × k rows)
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of distinct keys"))
+
   /** All rows of a key on one partition — Catalyst plans the shuffle (or
     * elides it when the child is already clustered on the keys, e.g. a
     * bucketed scan: the same exchange-reuse economics as builtin aggs).
@@ -62,6 +71,8 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     val keysLocal = keys
     val orderLocal = order
     val childOutput = child.output
+    val numOutputRows = longMetric("numOutputRows")
+    val numKeys = longMetric("numKeys")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
@@ -89,9 +100,11 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
         }
       }
       import scala.jdk.CollectionConverters._
+      numKeys += heaps.size()
       heaps.values().iterator().asScala.flatMap { heap =>
         val arr = heap.toArray(new Array[UnsafeRow](heap.size))
         java.util.Arrays.sort(arr, ord)
+        numOutputRows += arr.length
         arr.iterator
       }
     }, preservesPartitioning = true)

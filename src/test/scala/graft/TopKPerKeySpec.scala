@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.TopKPerKey
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
 
 /** The custom per-key top-k operator (graft.plans.TopKPerKey) must agree
   * row-for-row with the canonical row_number window formulation (q36 shape)
@@ -75,6 +75,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     // asc and desc pick DIFFERENT rows — guards against a silently
     // inverted/ignored sort direction agreeing by accident
     assert(heap != rowSet(heapForm(orderDesc = true, k = 3)))
+  }
+
+  test("exec metrics report output rows and distinct keys") {
+    // AQE off so the exec node is reachable directly (not boxed in a
+    // query stage); metrics are the operator's observability contract
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val topk = heapForm(orderDesc = true, k = 3)
+      val nRows = topk.collect().length
+      val exec = topk.queryExecution.executedPlan.collect {
+        case e: TopKPerKeyExec => e
+      }.head
+      assert(exec.metrics("numOutputRows").value == nRows)
+      // lineitem has 3 return flags → 3 per-key heaps across the plan
+      assert(exec.metrics("numKeys").value == 3)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("exchange is elided on a bucketed child clustered on the key") {
