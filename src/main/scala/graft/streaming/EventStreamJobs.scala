@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming forms of the events-pack transformations.
@@ -231,4 +231,62 @@ object EventStreamJobs {
   def finalSession(st: SessionState, userId: Long): Option[SessionOut] =
     if (st.nEvents > 0) Some(SessionOut(userId, st.sessionId, st.nEvents, st.startMs, st.lastMs))
     else None
+
+  /** The same watermark-closed sessionization on Spark 4's
+    * `transformWithState` — the API that replaces flatMapGroupsWithState
+    * (SPARK-40434): typed per-key state handles (ValueState), explicit
+    * event-time timers (registerTimer/handleExpiredTimer instead of one
+    * overloaded timeout slot), and a RocksDB-backed store. Runs the SAME
+    * foldSessions transition and the SAME counter-preserving tombstone as
+    * sessionizeStreamTimeout, so the two APIs are asserted
+    * output-identical in EventStreamSpec. One timer per key is
+    * outstanding at any time: each update deletes the previous deadline
+    * and arms lastMs + gap + 1.
+    */
+  class SessionProcessor(gapMs: Long, keepCounter: Boolean)
+      extends StatefulProcessor[Long, SessionEventT, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEventT],
+                                 timers: TimerValues): Iterator[SessionOut] = {
+      val st0 =
+        if (state.exists()) state.get()
+        else SessionState(0L, Long.MinValue, 0L, 0L)
+      if (st0.nEvents > 0L) getHandle.deleteTimer(st0.lastMs + gapMs + 1)
+      val (st, out) =
+        foldSessions(userId, rows.map(e => (e.tsMs, e.event_id)).toSeq, st0, gapMs)
+      state.update(st)
+      getHandle.registerTimer(st.lastMs + gapMs + 1)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val st = state.get()
+        val out = finalSession(st, userId)
+        if (keepCounter) state.update(SessionState(st.sessionId, st.lastMs, 0L, 0L))
+        else state.clear()
+        out.iterator
+      }
+    }
+  }
+
+  def sessionizeTws(events: Dataset[SessionEvent], gapMs: Long,
+                    watermarkDelay: String = "0 seconds",
+                    keepCounter: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEventT]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs, keepCounter),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -399,6 +399,53 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import EventStreamJobs.{SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[SessionEvent]
+    val gapMs = 30 * 60 * 1000L
+    val q = EventStreamJobs.sessionizeTws(input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val hr = 60 * 60 * 1000L
+      // same script as the fMGWS tombstone test: session 1 closed by the
+      // watermark, the user returns, a gap-closed pair follows
+      input.addData(SessionEvent(1L, 10L, t0), SessionEvent(1L, 11L, t0 + 10 * 60 * 1000L))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 20L, t0 + 2 * hr))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 21L, t0 + 2 * hr + 1000L))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 12L, t0 + 4 * hr))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 13L, t0 + 6 * hr))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_tws").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_id).toSeq
+      // numbering continues across the watermark close (tombstone), and
+      // both the timer close (session 1) and the gap close (session 2)
+      // emit — identical to what sessionizeStreamTimeout produces
+      assert(u1 == Seq(
+        SessionOut(1L, 1L, 2L, t0, t0 + 10 * 60 * 1000L),
+        SessionOut(1L, 2L, 1L, t0 + 4 * hr, t0 + 4 * hr)), s"got $u1")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("timeout sessionization: session numbering survives a watermark close") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
