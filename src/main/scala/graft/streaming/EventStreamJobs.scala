@@ -132,8 +132,8 @@ object EventStreamJobs {
     * close. Both sessionization variants run exactly this logic, so their
     * outputs can only differ in WHEN a session is considered closed.
     */
-  private def foldSessions(userId: Long, evs: Seq[(Long, Long)], st0: SessionState,
-                           gapMs: Long): (SessionState, Seq[SessionOut]) = {
+  private[graft] def foldSessions(userId: Long, evs: Seq[(Long, Long)], st0: SessionState,
+                                  gapMs: Long): (SessionState, Seq[SessionOut]) = {
     val out = Seq.newBuilder[SessionOut]
     var st = st0
     evs.sorted.foreach { case (tsMs, _) =>

@@ -117,4 +117,46 @@ class PropertySpec extends AnyFunSuite {
       assert(in == (a.toSet intersect b.toSet))
     }
   }
+
+  private val sessionGen: Gen[(List[Long], Int)] = for {
+    n <- Gen.choose(0, 40)
+    deltas <- Gen.listOfN(n, Gen.choose(0L, 100L))
+    chunks <- Gen.choose(1, 5)
+  } yield (deltas, chunks)
+
+  test("foldSessions: chunked micro-batch folding ≡ one fold (stream/batch core)") {
+    // the property every sessionization variant (batch q57, fMGWS,
+    // transformWithState) relies on: feeding ordered events through the
+    // transition in ANY batch partitioning yields identical closed
+    // sessions, final state, and session invariants
+    import graft.streaming.EventStreamJobs
+    import EventStreamJobs.SessionState
+    val gapMs = 30L
+    val init = SessionState(0L, Long.MinValue, 0L, 0L)
+    forAll(sessionGen) { case (deltas, nChunks) =>
+      val ts = deltas.scanLeft(1000L)(_ + _).tail
+      val evs = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      val (wholeSt, wholeOut) = EventStreamJobs.foldSessions(7L, evs, init, gapMs)
+      val size = math.max(1, if (nChunks == 0) 1 else evs.size / nChunks)
+      var st = init
+      val out = Seq.newBuilder[EventStreamJobs.SessionOut]
+      (if (evs.isEmpty) Seq(Seq.empty[(Long, Long)]) else evs.grouped(size).toSeq)
+        .foreach { chunk =>
+          val (st2, o) = EventStreamJobs.foldSessions(7L, chunk, st, gapMs)
+          st = st2; out ++= o
+        }
+      assert(st == wholeSt)
+      assert(out.result() == wholeOut)
+      // invariants on closed sessions + open tail: counts conserve, ids
+      // sequential from 1, intra-session gaps ≤ gap, inter-session > gap
+      val all = wholeOut ++ EventStreamJobs.finalSession(wholeSt, 7L)
+      assert(all.map(_.n_events).sum == evs.size)
+      assert(all.map(_.session_id) == (1L to all.size).toSeq)
+      all.foreach(s => assert(s.start_ms <= s.end_ms && s.n_events >= 1))
+      all.sliding(2).foreach {
+        case Seq(a, b) => assert(b.start_ms - a.end_ms > gapMs)
+        case _ =>
+      }
+    }
+  }
 }
