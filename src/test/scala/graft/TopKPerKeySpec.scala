@@ -77,6 +77,15 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(heap != rowSet(heapForm(orderDesc = true, k = 3)))
   }
 
+  test("empty key set degenerates to global top-k (AllTuples distribution)") {
+    val topk = TopKPerKey(base, Seq.empty,
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), k = 5)
+    val want = base
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(5)
+    assert(rowSet(topk) == rowSet(want))
+  }
+
   test("exec metrics report output rows and distinct keys") {
     // AQE off so the exec node is reachable directly (not boxed in a
     // query stage); metrics are the operator's observability contract
