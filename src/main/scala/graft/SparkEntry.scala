@@ -27,6 +27,11 @@ object SparkEntry {
     SimilarityPack,
     MultimodalPack)
 
+  /** Pack list, visible to the registry-hygiene spec (duplicate-name and
+    * orphan-oracle detection across the flatten).
+    */
+  private[graft] def allPacks: Seq[QueryPack] = packs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     TrafficPack.trafficRollup(spark, "/root/testdata/sf0.001")

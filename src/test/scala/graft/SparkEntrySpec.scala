@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry hygiene for the driver contract. `queries`/`oracleSql` are
+  * built by flattening the packs into a Map — a duplicated name across
+  * packs would silently DROP one implementation (last-wins), and an
+  * oracle key without a query would dump SQL the driver can never
+  * adjudicate. Both are the kind of wiring bug no per-operator spec sees.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("query names are unique across packs (no silent last-wins drop)") {
+    val names = SparkEntry.allPacks.flatMap(_.queries.keys)
+    assert(names.size == names.distinct.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
+  test("every oracle key has a registered query, and names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+    // names feed directory paths + the driver's qNN short-key compaction
+    qs.foreach { n =>
+      assert(n.matches("q[0-9]+_[a-z0-9_]+"), s"non-conforming query name: $n")
+    }
+    // the bench's short-key fallback relies on distinct qNN prefixes
+    val prefixes = qs.map(_.takeWhile(_ != '_'))
+    assert(prefixes.size == qs.size, "qNN prefix collision")
+  }
+}
