@@ -366,6 +366,17 @@ class EventStreamSpec extends AnyFunSuite {
       .toSet
     assert(rows(EventsPack.sessionWindowNative(spark, dir)) ==
       rows(EventsPack.sessionize(spark, dir)))
+    // and the plan claim holds: the session core is ONE merged-window
+    // aggregate, not q57's lag-window + running-sum-window pair (q120's
+    // only Window node is the tiny post-agg ordinal numbering)
+    val p120 = EventsPack.sessionWindowNative(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val p57 = EventsPack.sessionize(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p120.contains("session_window"))
+    def windows(p: String) = "\\bWindow \\[".r.findAllIn(p).size
+    assert(windows(p120) == 1 && windows(p57) == 2,
+      s"window-node counts moved: q120=${windows(p120)} q57=${windows(p57)}")
   }
 
   test("timeout sessionization: idle user's open session closes via watermark alone") {
