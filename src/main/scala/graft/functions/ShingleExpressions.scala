@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native distinct n-word shingling: array<string> tokens → array<string>
-  * of distinct space-joined n-grams (same semantics as the HOF
-  * graft.functions.shingles: docs shorter than n yield the whole doc as one
-  * shingle). One pass with an insertion-ordered set, versus the interpreted
-  * transform+slice+concat_ws+array_distinct chain.
+/** Native n-word shingling: array<string> tokens → array<string> of
+  * space-joined n-grams — `distinct = true` (the dedup-shingle form)
+  * collects into an insertion-ordered set, `distinct = false` emits EVERY
+  * window position (the exact-substring span form, q122). Same semantics
+  * as the HOF graft.functions.shingles: docs shorter than n yield the
+  * whole doc as one shingle. One compiled pass, versus the interpreted
+  * transform+slice+concat_ws(+array_distinct) chain.
   */
-case class NGramShingles(child: Expression, n: Int) extends UnaryExpression {
+case class NGramShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -28,10 +31,10 @@ case class NGramShingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    NGramShingles.compute(input.asInstanceOf[ArrayData], n)
+    NGramShingles.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NGramShingles.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramShingles.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -39,8 +42,9 @@ case class NGramShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object NGramShingles {
   val fnName = "graft_shingles"
+  val allFnName = "graft_ngrams_all"
 
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     // drop null elements up front: the function is SQL-registered and
     // callable on array<string> with containsNull=true; concatWs would NPE
     val nRaw = tokens.numElements()
@@ -51,12 +55,14 @@ object NGramShingles {
       if (!tokens.isNullAt(r)) { toks(nTok) = tokens.getUTF8String(r); nTok += 1 }
       r += 1
     }
-    val seen = new mutable.LinkedHashSet[UTF8String]
+    val out =
+      if (distinct) new mutable.LinkedHashSet[UTF8String]
+      else new mutable.ArrayBuffer[UTF8String](math.max(nTok - n + 1, 1))
     if (nTok < n) {
       val parts = new Array[UTF8String](nTok)
       var i = 0
       while (i < nTok) { parts(i) = toks(i); i += 1 }
-      seen += UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      out += UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
     } else {
       var i = 0
       val space = UTF8String.fromString(" ")
@@ -64,20 +70,28 @@ object NGramShingles {
         val parts = new Array[UTF8String](n)
         var j = 0
         while (j < n) { parts(j) = toks(i + j); j += 1 }
-        seen += UTF8String.concatWs(space, parts: _*)
+        out += UTF8String.concatWs(space, parts: _*)
         i += 1
       }
     }
-    new GenericArrayData(seen.toArray[Any])
+    new GenericArrayData(out.toArray[Any])
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => NGramShingles(exprs.head,
         intLiteralArg(exprs(1), fnName, "n")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      allFnName, exprs => NGramShingles(exprs.head,
+        intLiteralArg(exprs(1), allFnName, "n"), distinct = false), "scala_udf")
+  }
 
   def shinglesFast(tokens: Column, n: Int): Column =
     call_function(fnName, tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** Every window position, duplicates preserved — the span form. */
+  def allGramsFast(tokens: Column, n: Int): Column =
+    call_function(allFnName, tokens, org.apache.spark.sql.functions.lit(n))
 }
 
 /** Native k-hash MinHash signature: array<string> shingles → array<long>,

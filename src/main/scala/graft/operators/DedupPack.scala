@@ -427,12 +427,15 @@ object DedupPack extends QueryPack {
     * bytes ~n×.
     */
   def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    NGramShingles.register(spark)
     val grams = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // native one-pass span generation (every window position, duplicates
+      // preserved) — the interpreted transform+slice+array_join chain costs
+      // an interpreted lambda per window; docs shorter than n emit nothing
       .select(col("doc_id"),
         explode(when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          NGramShingles.allGramsFast(col("toks"), n))
           .otherwise(array().cast("array<string>"))).as("gram"))
     val dupGrams = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
