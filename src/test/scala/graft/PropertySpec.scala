@@ -118,6 +118,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native n-gram expressions ≡ declarative HOF forms on random docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_join, col, expr, sequence, size => asize, slice, transform, lit}
+    graft.functions.NGramShingles.register(spark)
+    forAll(docGen, n = 10) { docs =>
+      val df = docs.toDF("text", "doc_id")
+        .select(col("doc_id"), graft.functions.tokens(col("text")).as("toks"))
+      val n = 3
+      // HOF reference for ALL window positions (docs shorter than n yield
+      // the whole doc — mirrors the native short-doc convention)
+      val hofAll = df.select(col("doc_id"),
+        org.apache.spark.sql.functions.when(asize(col("toks")) >= n,
+          transform(sequence(lit(0), asize(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .otherwise(org.apache.spark.sql.functions.array(array_join(col("toks"), " ")))
+          .as("grams"))
+      val natAll = df.select(col("doc_id"),
+        graft.functions.NGramShingles.allGramsFast(col("toks"), n).as("grams"))
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+      assert(rows(natAll) == rows(hofAll))
+      // distinct mode = insertion-ordered distinct of the all mode
+      val natDist = df.select(col("doc_id"),
+        graft.functions.NGramShingles.shinglesFast(col("toks"), n).as("grams"))
+      assert(rows(natDist) == rows(natAll).map { case (k, v) => k -> v.distinct })
+    }
+  }
+
   private val sessionGen: Gen[(List[Long], Int)] = for {
     n <- Gen.choose(0, 40)
     deltas <- Gen.listOfN(n, Gen.choose(0L, 100L))
