@@ -77,6 +77,16 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(heap != rowSet(heapForm(orderDesc = true, k = 3)))
   }
 
+  test("bad arguments fail fast with clear messages") {
+    intercept[IllegalArgumentException] {
+      TopKPerKey(base, Seq("l_returnflag"), Seq(col("l_orderkey")), k = 0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey(base, Seq("no_such_col"), Seq(col("l_orderkey")), k = 3)
+    }
+    assert(e.getMessage.contains("no_such_col"))
+  }
+
   test("empty key set degenerates to global top-k (AllTuples distribution)") {
     val topk = TopKPerKey(base, Seq.empty,
       Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), k = 5)
