@@ -26,13 +26,19 @@ object SimilarityPack extends QueryPack {
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
-  /** Shared top-k tail: rank scored candidates per query, keep k, with the
-    * bigint-rank dtype contract in one place.
+  /** Shared top-k tail: keep the k best candidates per query through the
+    * custom TopKPerKeyExec (bounded k-row heaps after one key-clustered
+    * exchange — no full partition sort of the losers, memory ⊥ candidate
+    * count), then number the ≤ k survivors per key with a window that is
+    * trivial at that size. Same output as the row_number formulation
+    * (TopKPerKeySpec pins the equivalence); bigint-rank dtype contract in
+    * one place.
     */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    graft.plans.TopKPerKey(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), k)
+      .withColumn("rk", row_number().over(w).cast("long"))
       .orderBy(col("q_id"), col("rk"))
   }
 
