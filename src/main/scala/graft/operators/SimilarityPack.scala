@@ -227,6 +227,37 @@ object SimilarityPack extends QueryPack {
       (spark.sparkContext.applicationId, dir, k, iters),
       _ => kmeansTrain(spark, dir, k, iters))
 
+  /** Cross-session model persistence: the trained quantizer written
+    * through the library's OWN wide-column store, one cell per
+    * (centroid, dimension) — rowkey `C####`, qualifier `d####`, value the
+    * double's shortest-repr string (Double.toString → toDouble roundtrips
+    * bit-exactly). The session memo covers one application; this is the
+    * durable twin — train on the training cluster, serve anywhere the
+    * store is readable. k·dim cells (e.g. 16×64) — model-sized by
+    * construction, never corpus-sized.
+    */
+  def kmeansSave(spark: SparkSession, table: String, location: String,
+                 centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    graft.sources.KeyedStore.create(spark, table, location)
+    val cells = centroids.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (v, di) =>
+        (f"C$ci%04d", "model", f"d$di%04d", v.toString, 1L)
+      }
+    }.toSeq.toDF("rowkey", "family", "qualifier", "value", "version")
+    graft.sources.KeyedStore.put(spark, table, cells)
+  }
+
+  def kmeansLoad(spark: SparkSession, table: String): Array[Array[Double]] =
+    graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      .select(col("rowkey"), col("qualifier"), col("value"))
+      .collect() // k·dim cells — this IS the model, bounded by design
+      .groupBy(_.getString(0))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getString(1)).map(_.getString(2).toDouble)
+      }.toArray
+
   /** Distributed spherical k-means (Lloyd) — the cluster-wide training
     * job the q72 IVF quantizer's one-shot sample refinement stands in
     * for. Each iteration is ONE corpus map pass (assignment against k

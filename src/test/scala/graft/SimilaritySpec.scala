@@ -214,6 +214,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff == 0, s"$diff pairs differ between HOF and native cosine")
   }
 
+  test("trained quantizer survives a KeyedStore save/load round-trip bit-exactly") {
+    import graft.operators.SimilarityPack
+    val (centroids, _) = SimilarityPack.kmeansModel(spark, dir, k = 4, iters = 1)
+    val loc = java.nio.file.Files.createTempDirectory("kmeans_model").toString
+    spark.sql("DROP TABLE IF EXISTS kmeans_model_rt")
+    try {
+      SimilarityPack.kmeansSave(spark, "kmeans_model_rt", loc, centroids)
+      val loaded = SimilarityPack.kmeansLoad(spark, "kmeans_model_rt")
+      // Double.toString shortest-repr roundtrips exactly, so the served
+      // model is BIT-IDENTICAL to the trained one — search results from a
+      // loaded model cannot diverge from the training session's
+      assert(loaded.length == centroids.length)
+      loaded.zip(centroids).foreach { case (l, c) => assert(l.toSeq == c.toSeq) }
+    } finally spark.sql("DROP TABLE IF EXISTS kmeans_model_rt")
+  }
+
   test("cosine column matches a driver-side computation on a sample") {
     import org.apache.spark.sql.functions._
     val rows = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < 2)
