@@ -451,9 +451,29 @@ object TextPack extends QueryPack {
       .orderBy(col("source"), col("score").desc, col("doc_id"))
   }
 
+  /** Fixed-quota per-stratum sample: EXACTLY k docs per source, chosen by
+    * a deterministic pseudo-random order (md5 of doc_id — bit-identical
+    * across engines, so the "random" pick is oracle-checkable). The
+    * fixed-k twin of q103's rate-based domain mixing — "take N examples
+    * per domain" is the curation step when quotas, not rates, are the
+    * spec. Served by the custom TopKPerKeyExec: one key-clustered
+    * exchange into bounded k-row heaps, no per-source sort of the rest.
+    */
+  def samplePerSource(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    graft.plans.TopKPerKey(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("u")),
+        Seq("source"),
+        Seq(col("u"), col("doc_id")),
+        k)
+      .select(col("source"), col("doc_id"), col("u"))
+      .orderBy(col("source"), col("u"), col("doc_id"))
+
   val queries = Map(
     "q60_text_stats" -> textStats _,
     "q121_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
+    "q123_sample_per_source" -> ((s: SparkSession, d: String) => samplePerSource(s, d)),
     "q114_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q100_repetition_signals" -> repetitionSignals _,
     "q107_lm_quality_score" -> lmQualityScore _,
@@ -482,6 +502,13 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q123_sample_per_source" ->
+      """SELECT source, doc_id, u FROM (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS u,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, u, doc_id""".stripMargin,
     "q121_dsir_importance" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
