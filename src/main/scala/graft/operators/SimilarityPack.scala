@@ -227,6 +227,132 @@ object SimilarityPack extends QueryPack {
       (spark.sparkContext.applicationId, dir, k, iters),
       _ => kmeansTrain(spark, dir, k, iters))
 
+  /** Distributed PCA over the embedding corpus — the whitening/projection
+    * model a semantic-dedup or retrieval pipeline trains alongside its
+    * quantizer. Statistics pass: ONE mapPartitions sweep accumulates each
+    * partition's (count, per-dim sum, upper-triangular Gramian) into a
+    * single flattened array — the MLlib RowMatrix.computeGramianMatrix
+    * shape, and the documented exception where per-partition imperative
+    * code beats exploding dim² rows per input through a shuffle. Only
+    * nPartitions × (dim² + dim + 1) doubles reach the driver (32 × ~4 KB
+    * here); the driver mean-centers the covariance and extracts the top-p
+    * eigenpairs by power iteration with deflation — O(p · iters · dim²)
+    * on a dim×dim matrix, model-sized by construction. Deterministic:
+    * fixed seed vector, fixed iteration count, no RNG.
+    */
+  def pcaTrain(spark: SparkSession, dir: String, p: Int = 2, iters: Int = 50)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import spark.implicits._
+    val stats = t(spark, dir, "embeddings").select(col("embedding"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        var dim = -1
+        var n = 0L
+        var sums: Array[Double] = null
+        var gram: Array[Double] = null // upper triangular, row-major
+        it.foreach { v =>
+          if (dim < 0) {
+            dim = v.length
+            sums = new Array[Double](dim)
+            gram = new Array[Double](dim * (dim + 1) / 2)
+          }
+          n += 1
+          var i = 0
+          var g = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            sums(i) += xi
+            var j = i
+            while (j < dim) { gram(g) += xi * v(j); g += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (dim < 0) Iterator.empty
+        else Iterator.single((n, sums, gram))
+      }.collect()
+    val dim = stats.head._2.length
+    val n = stats.map(_._1).sum.toDouble
+    val sums = new Array[Double](dim)
+    val gram = new Array[Double](dim * (dim + 1) / 2)
+    stats.foreach { case (_, s, g) =>
+      var i = 0
+      while (i < dim) { sums(i) += s(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += g(i); i += 1 }
+    }
+    val mean = sums.map(_ / n)
+    // covariance: cov(i,j) = gram(i,j)/n − mean(i)·mean(j)
+    val cov = Array.ofDim[Double](dim, dim)
+    var g = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = gram(g) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        g += 1; j += 1
+      }
+      i += 1
+    }
+    def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](v.length)
+      var r = 0
+      while (r < v.length) {
+        var s = 0.0; var c = 0
+        while (c < v.length) { s += m(r)(c) * v(c); c += 1 }
+        out(r) = s; r += 1
+      }
+      out
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val comps = Array.newBuilder[Array[Double]]
+    val eigvals = Array.newBuilder[Double]
+    val work = cov.map(_.clone())
+    (0 until p).foreach { _ =>
+      // deterministic seed: alternating-sign ramp, never the zero vector
+      var v = unitNorm(Array.tabulate(dim)(k => 1.0 + (k % 3) - (if (k % 2 == 0) 0.5 else 0.0)))
+      (1 to iters).foreach { _ =>
+        val av = matVec(work, v)
+        // re-orthogonalize against settled components every step: deflation
+        // alone leaves an O(convergence-residual) leak when the eigengap is
+        // small, which shows up as non-orthogonal pairs
+        done.foreach { c =>
+          val d = c.zip(av).map { case (a, b) => a * b }.sum
+          var k = 0
+          while (k < dim) { av(k) -= d * c(k); k += 1 }
+        }
+        v = unitNorm(av)
+      }
+      val av = matVec(work, v)
+      val lambda = v.zip(av).map { case (a, b) => a * b }.sum // Rayleigh quotient
+      done += v
+      comps += v
+      eigvals += lambda
+      // deflate: work ← work − λ v vᵀ
+      var r = 0
+      while (r < dim) {
+        var s = 0
+        while (s < dim) { work(r)(s) -= lambda * v(r) * v(s); s += 1 }
+        r += 1
+      }
+    }
+    (mean, comps.result(), eigvals.result())
+  }
+
+  /** Project embeddings onto trained components: score_c = (x − mean)·c.
+    * Literal model, map-only — the serve path of pcaTrain.
+    */
+  def pcaProject(df: DataFrame, embCol: Column, mean: Array[Double],
+                 comps: Array[Array[Double]]): DataFrame = {
+    val centered = zip_with(embCol, typedlit(mean.toSeq),
+      (x, m) => x.cast("double") - m)
+    val projCols = comps.zipWithIndex.map { case (c, ci) =>
+      aggregate(zip_with(centered, typedlit(c.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v).as(s"pc${ci + 1}")
+    }
+    df.select(col("*") +: projCols: _*)
+  }
+
   /** Cross-session model persistence: the trained quantizer written
     * through the library's OWN wide-column store, one cell per
     * (centroid, dimension) — rowkey `C####`, qualifier `d####`, value the

@@ -214,6 +214,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff == 0, s"$diff pairs differ between HOF and native cosine")
   }
 
+  test("distributed PCA: eigen-structure invariants and projected variance") {
+    import graft.operators.SimilarityPack
+    import org.apache.spark.sql.functions._
+    val (mean, comps, eigvals) = SimilarityPack.pcaTrain(spark, dir, p = 2)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // components unit-norm and mutually orthogonal; eigvals ordered ≥ 0
+    comps.foreach(c => assert(math.abs(dot(c, c) - 1.0) < 1e-9))
+    assert(math.abs(dot(comps(0), comps(1))) < 1e-6)
+    assert(eigvals(0) >= eigvals(1) && eigvals(1) >= 0)
+    // the variance of the corpus projected on PC1 IS the top eigenvalue
+    val proj = SimilarityPack.pcaProject(
+      Tables.t(spark, dir, "embeddings"), col("embedding"), mean, comps)
+    val v1 = proj.agg(var_pop(col("pc1"))).head().getDouble(0)
+    assert(math.abs(v1 - eigvals(0)) < 1e-6 * math.max(1.0, eigvals(0)),
+      s"var(pc1)=$v1 vs lambda1=${eigvals(0)}")
+    // PC1 captures at least as much variance as any raw coordinate
+    val dims = mean.indices.map(i =>
+      proj.agg(var_pop(element_at(col("embedding"), i + 1).cast("double")))
+        .head().getDouble(0)).max
+    assert(eigvals(0) >= dims - 1e-9)
+    // determinism: retraining gives the identical model
+    val (mean2, comps2, _) = SimilarityPack.pcaTrain(spark, dir, p = 2)
+    assert(mean.toSeq == mean2.toSeq && comps.map(_.toSeq).toSeq == comps2.map(_.toSeq).toSeq)
+  }
+
   test("trained quantizer survives a KeyedStore save/load round-trip bit-exactly") {
     import graft.operators.SimilarityPack
     val (centroids, _) = SimilarityPack.kmeansModel(spark, dir, k = 4, iters = 1)
