@@ -410,6 +410,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: corpus dups and in-stream repeats both rejected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.streaming.CorpusStreamJobs.corpusHashIndex(
+      Tables.t(spark, dir, "documents"))
+    val knownText = Tables.t(spark, dir, "documents")
+      .select(col("text")).head().getString(0)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val out = graft.streaming.CorpusStreamJobs.ingestDedup(
+      input.toDF().toDF("doc_id", "text", "ts"), corpus)
+    val q = out.writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1000L, knownText, t0),          // dup of the existing corpus → drop
+        (1001L, "a genuinely new doc", t0), // new → keep
+        (1002L, "another new doc", t0))  // new → keep
+      q.processAllAvailable()
+      input.addData(
+        (1003L, "a genuinely new doc", t0)) // in-stream repeat → drop
+      q.processAllAvailable()
+      val kept = spark.table("ingest_dedup").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1001L, 1002L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("transformWithState sessionization matches the flatMapGroupsWithState path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
