@@ -350,7 +350,7 @@ object SimilarityPack extends QueryPack {
       aggregate(zip_with(centered, typedlit(c.toSeq), (x, w) => x * w),
         lit(0.0), (acc, v) => acc + v).as(s"pc${ci + 1}")
     }
-    df.select(col("*") +: projCols: _*)
+    df.select((col("*") +: projCols.toIndexedSeq): _*)
   }
 
   /** Cross-session model persistence: the trained quantizer written

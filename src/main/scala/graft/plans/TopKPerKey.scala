@@ -150,6 +150,6 @@ object TopKPerKey {
       spark, TopKPerKeyNode(keyAttrs, sortNode.order, k, child))
     // Project away any helper columns the analyzer added for the sort.
     if (child.output.map(_.name) == df.columns.toSeq) topk
-    else topk.select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+    else topk.select(df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
   }
 }

@@ -29,7 +29,7 @@ object CorpusSink {
                        maxRecordsPerFile: Long = 1000000L,
                        tasksPerPartition: Int = 8): Unit = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition))
+    val salt = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(tasksPerPartition))
     df.repartition(partitionCols.map(col) :+ salt: _*)
       .write
       .mode("overwrite")
