@@ -238,26 +238,63 @@ object DedupPack extends QueryPack {
   }
 
   /** Memoized near-dup cluster index, keyed by (application, dir,
-    * threshold) — the jaccard pair job + connected components is the
+    * threshold, pair source) — the pair job + connected components is the
     * expensive "build the dedup index" step, and every consumer (the q64
-    * cluster listing, the q115 keep-list, repeated invocations) should
-    * read the SAME built index rather than re-running the pair join per
-    * query, exactly like the k-means model memo in SimilarityPack. The
+    * cluster listing, the q115/q124 keep-lists, repeated invocations)
+    * should read the SAME built index rather than re-running the pair join
+    * per query, exactly like the k-means model memo in SimilarityPack. The
     * memoized DataFrame is the localCheckpoint connectedComponents
     * returns, so it is already materialized — consumers replay no lineage.
-    * Footprint: one label table (doc_id, label, near-dup members only)
-    * per distinct key, held until the application ends — at production
-    * scale this table is what you'd persist to a KeyedStore table instead.
+    *
+    * Lifetime: entries are evicted when their owning application ends (the
+    * listener below), so a long-lived JVM hosting many sessions doesn't
+    * accumulate dead label tables. Fault-tolerance caveat: localCheckpoint
+    * blocks live on executors and are NOT recoverable after executor loss —
+    * fine on local[*] and for the bounded life of one query session; a
+    * cluster deployment that must survive decommission persists the index
+    * through KeyedStore (the kmeansSave pattern) or `checkpoint()` to
+    * reliable storage instead, and a consumer hitting a missing-block error
+    * should evict + rebuild (recompute-on-failure).
     */
   private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double), DataFrame]()
+    (String, String, Double, String), DataFrame]()
 
-  def clusterIndex(spark: SparkSession, dir: String,
-                   threshold: Double = 0.5): DataFrame =
+  /** Apps whose end-listener is already registered (one listener per app). */
+  private val evictionHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def hookEviction(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    if (evictionHooked.add(appId)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          clusterMemo.keySet.removeIf(_._1 == appId)
+          evictionHooked.remove(appId)
+        }
+      })
+    }
+  }
+
+  /** `pairSource`: "exact" = the Σ postings² jaccard self-join (ground
+    * truth — the verifier); "lsh" = the MinHash-banded candidate graph
+    * (the production path at scale: only (doc_id, band-key) crosses the
+    * candidate shuffle, exact verification on candidates only).
+    */
+  def clusterIndex(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   pairSource: String = "exact"): DataFrame = {
+    hookEviction(spark)
     clusterMemo.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir, threshold),
-      _ => connectedComponents(spark,
-        dedupJaccard(spark, dir, threshold).select(col("d1"), col("d2"))))
+      (spark.sparkContext.applicationId, dir, threshold, pairSource),
+      _ => {
+        val pairs = pairSource match {
+          case "exact" => dedupJaccard(spark, dir, threshold)
+          case "lsh" => dedupMinhashLsh(spark, dir, threshold)
+          case other => throw new IllegalArgumentException(
+            s"unknown pairSource '$other' (expected 'exact' or 'lsh')")
+        }
+        connectedComponents(spark, pairs.select(col("d1"), col("d2")))
+      })
+  }
 
   /** Near-dup clusters: connected components over the jaccard pair graph,
     * each doc labeled with its component's smallest doc_id — the "keep one
@@ -361,13 +398,21 @@ object DedupPack extends QueryPack {
   /** Keep-list — the deliverable the whole dedup family exists to produce:
     * per source, how many documents survive near-dup collapse (one
     * representative — the component-minimum doc_id — per cluster; docs in
-    * no cluster keep themselves). Composes the q66 pair graph and the q64
-    * components. The final step is a plain equi-join on doc_id: at a real
-    * 100 TB dup rate the cluster table is billions of rows, so no
-    * broadcast hint — AQE picks broadcast at runtime iff it actually fits.
+    * no cluster keep themselves). The final step is a plain equi-join on
+    * doc_id: at a real 100 TB dup rate the cluster table is billions of
+    * rows, so no broadcast hint — AQE picks broadcast at runtime iff it
+    * actually fits.
+    *
+    * Two compositions, one shape: `pairSource = "lsh"` (q124) builds the
+    * cluster index from the bucketed MinHash candidate graph — the
+    * PRODUCTION composition, whose pair step never runs the Σ postings²
+    * self-join; `pairSource = "exact"` (q115) composes the exact jaccard
+    * pair graph and serves as the oracle-checked ground-truth twin the LSH
+    * keep-list is recall-bounded against in DedupSpec.
     */
-  def dedupKeepList(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val clusters = clusterIndex(spark, dir, threshold)
+  def dedupKeepList(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                    pairSource: String = "exact"): DataFrame = {
+    val clusters = clusterIndex(spark, dir, threshold, pairSource)
       .withColumnRenamed("doc_id", "member_id")
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
     docs.join(clusters, docs("doc_id") === col("member_id"), "left")
@@ -452,6 +497,8 @@ object DedupPack extends QueryPack {
     "q122_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q65_dedup_exact" -> dedupExact _,
     "q115_dedup_keeplist" -> ((s: SparkSession, d: String) => dedupKeepList(s, d)),
+    "q124_dedup_keeplist_lsh" ->
+      ((s: SparkSession, d: String) => dedupKeepList(s, d, pairSource = "lsh")),
     "q116_semantic_dedup" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "q117_incremental_dedup" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "q73_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),
@@ -587,6 +634,9 @@ object DedupPack extends QueryPack {
     // q67/q68: no oracle — probabilistic recall; verified vs q66 in DedupSpec.
     // q116: no oracle — k-means cell assignment isn't SQL-expressible;
     // precision/recall bounded vs unblocked brute force in DedupSpec.
+    // q124: no oracle — the LSH pair graph is probabilistic-recall; the
+    // keep-list it produces is bounded against the exact q115 twin in
+    // DedupSpec (per-source kept_lsh >= kept_exact, surplus <= missed pairs).
     "q69_dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -270,7 +270,16 @@ object SimilarityPack extends QueryPack {
         if (dim < 0) Iterator.empty
         else Iterator.single((n, sums, gram))
       }.collect()
+    require(stats.nonEmpty,
+      s"pcaTrain: embeddings table at '$dir' is empty — no statistics to train on")
     val dim = stats.head._2.length
+    // a dim mismatch across partitions would silently corrupt the index
+    // arithmetic of the flattened Gramian merge below — fail loudly instead
+    stats.foreach { case (_, s, _) =>
+      require(s.length == dim,
+        s"pcaTrain: embedding dimension mismatch across partitions " +
+          s"(${s.length} vs $dim) — the corpus must have one uniform dim")
+    }
     val n = stats.map(_._1).sum.toDouble
     val sums = new Array[Double](dim)
     val gram = new Array[Double](dim * (dim + 1) / 2)
@@ -366,9 +375,19 @@ object SimilarityPack extends QueryPack {
                  centroids: Array[Array[Double]]): Unit = {
     import spark.implicits._
     graft.sources.KeyedStore.create(spark, table, location)
+    // monotonic version: the store is append-only, and the load path
+    // resolves maxVersions=1 by `version DESC` — a re-save at a reused
+    // version would tie with the previous model and resolve to a silent
+    // per-cell mix of old and new centroids. max(version)+1 makes the
+    // newest save deterministically win (single-writer per table, like
+    // compact()'s contract).
+    val ver = spark.table(table).agg(max(col("version"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
     val cells = centroids.zipWithIndex.flatMap { case (c, ci) =>
       c.zipWithIndex.map { case (v, di) =>
-        (f"C$ci%04d", "model", f"d$di%04d", v.toString, 1L)
+        (f"C$ci%04d", "model", f"d$di%04d", v.toString, ver)
       }
     }.toSeq.toDF("rowkey", "family", "qualifier", "value", "version")
     graft.sources.KeyedStore.put(spark, table, cells)

@@ -243,13 +243,14 @@ object EventStreamJobs {
     * outstanding at any time: each update deletes the previous deadline
     * and arms lastMs + gap + 1.
     */
-  class SessionProcessor(gapMs: Long, keepCounter: Boolean)
+  class SessionProcessor(gapMs: Long, keepCounter: Boolean,
+                         ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, SessionEventT, SessionOut] {
     @transient private var state: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[SessionState]("session",
-        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[SessionState], ttl)
 
     override def handleInputRows(userId: Long, rows: Iterator[SessionEventT],
                                  timers: TimerValues): Iterator[SessionOut] = {
@@ -277,16 +278,27 @@ object EventStreamJobs {
     }
   }
 
+  /** State-bound contract under `keepCounter = true` (the default): the
+    * per-user tombstone makes state O(distinct users ever seen) — an
+    * unbounded leak on an unbounded keyspace. Two escape hatches:
+    * `keepCounter = false` removes state at watermark close (strict
+    * O(users active in the horizon) bound, per-user numbering may restart
+    * at 1 after an idle close), or `tombstoneTtl` attaches a processing-
+    * time TTL to the state handle so idle tombstones age out after the
+    * configured duration (numbering restarts only for users idle longer
+    * than the TTL — the middle ground for unbounded keyspaces).
+    */
   def sessionizeTws(events: Dataset[SessionEvent], gapMs: Long,
                     watermarkDelay: String = "0 seconds",
-                    keepCounter: Boolean = true): Dataset[SessionOut] = {
+                    keepCounter: Boolean = true,
+                    tombstoneTtl: TTLConfig = TTLConfig.NONE): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_millis(col("tsMs")))
       .withWatermark("ts", watermarkDelay)
       .as[SessionEventT]
       .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapMs, keepCounter),
+      .transformWithState(new SessionProcessor(gapMs, keepCounter, tombstoneTtl),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

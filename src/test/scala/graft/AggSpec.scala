@@ -30,7 +30,8 @@ class AggSpec extends AnyFunSuite {
       "q89_approx_percentiles", // sketch (AggSpec bound vs exact q85)
       "q106_ann_ivf_trained_topk", // recall vs q70 (SimilaritySpec)
       "q112_hll_sketch_union",  // DataSketches HLL binary (AggSpec bound vs exact)
-      "q116_semantic_dedup")    // k-means blocking (DedupSpec precision/recall)
+      "q116_semantic_dedup",    // k-means blocking (DedupSpec precision/recall)
+      "q124_dedup_keeplist_lsh")// LSH pair graph (DedupSpec bound vs exact q115)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == allowedNoOracle,
       s"unexpected oracle coverage drift: missing=${missing -- allowedNoOracle}, " +

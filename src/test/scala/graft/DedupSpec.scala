@@ -189,6 +189,28 @@ class DedupSpec extends AnyFunSuite {
     assert(kl.values.map { case (n, k) => n - k }.sum == dropped)
   }
 
+  test("q124 LSH keep-list bounded by the exact q115 twin (missed-pair surplus)") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = asMap(DedupPack.dedupKeepList(spark, dir))
+    val lsh = asMap(DedupPack.dedupKeepList(spark, dir, pairSource = "lsh"))
+    assert(lsh.keySet == exact.keySet)
+    lsh.foreach { case (src, (nDocs, nKept)) =>
+      assert(nDocs == exact(src)._1, s"$src: doc totals must be identical")
+      // LSH pairs are a SUBSET of exact pairs (candidate verification makes
+      // precision exact), so LSH components only ever split, never merge:
+      // the LSH keep-list can keep extra docs but never drop a kept one
+      assert(nKept >= exact(src)._2, s"$src: LSH kept $nKept < exact ${exact(src)._2}")
+    }
+    // removing one edge splits at most one component in two — the global
+    // surplus of kept docs is bounded by the number of pairs LSH missed
+    val missed = exactPairs.size -
+      DedupPack.dedupMinhashLsh(spark, dir, 0.5).count()
+    val surplus = lsh.values.map(_._2).sum - exact.values.map(_._2).sum
+    assert(surplus >= 0 && surplus <= missed,
+      s"surplus=$surplus exceeds missed-pair bound $missed")
+  }
+
   test("q116 semantic dedup: exact precision, nontrivial recall vs unblocked brute force") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSimilarity.register(spark)

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle compare.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [nameFilter]
+
+Pass the SAME nameFilter given to a filtered Verify run: dump dirs absent
+because the filter excluded them are then skipped; in an unfiltered run an
+absent dump dir means the query CRASHED during Verify and is counted as FAIL
+(Verify also exits nonzero, but the masking must not depend on the caller
+checking both).
 
 Registers each parquet table from sfDir under its bare name, runs each SQL in
 <verifyOutDir>/oracle_sql.json, and compares against the Spark parquet dump in
@@ -30,7 +36,7 @@ def canon(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, name_filter=""):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -41,10 +47,14 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = Path(out_dir) / name
-        # a name-filtered Verify run dumps only matching queries; an absent
-        # dump dir means "not in this run", not a failure
         if not spark_dir.exists():
-            n_skip += 1
+            # only a name-filtered Verify run may legitimately omit a dump;
+            # in a full run an absent dir means the query crashed mid-Verify
+            if name_filter and name_filter not in name:
+                n_skip += 1
+                continue
+            print(f"FAIL {name}: no dump dir (query crashed during Verify?)")
+            n_fail += 1
             continue
         try:
             got = con.execute(
@@ -102,4 +112,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
