@@ -155,11 +155,19 @@ object AggPack extends QueryPack {
       .agg(round(sum(col("part_qty")), 2).as("sum_qty"), sum(col("part_n")).as("n"))
       .orderBy(col("l_returnflag"))
 
-  /** Exact percentiles/median. Computed over integer-valued quantity and
-    * integer cents: the interpolation fractions for p ∈ {¼,½,¾,0.95} over
-    * integers are exactly representable doubles, so Spark's percentile()
-    * and DuckDB's quantile_cont agree bit-for-bit (raw float percentiles
-    * would diverge at half-boundaries like every other derived float).
+  /** Exact percentiles/median via the buffered `percentile()` aggregate —
+    * SPEC-ONLY REFERENCE since round 6: each percentile() call is a
+    * TypedImperativeAggregate holding every group value in one aggregation
+    * buffer, a genuine scale-killer at 100 TB. The REGISTERED exact path
+    * (q85 and q105) is percentilesViaHistogram below, proven hash-identical
+    * to this form against the same DuckDB oracle; AggSpec additionally pins
+    * the two formulations row-equal directly.
+    *
+    * Computed over integer-valued quantity and integer cents: the
+    * interpolation fractions for p ∈ {¼,½,¾,0.95} over integers are exactly
+    * representable doubles, so Spark's percentile() and DuckDB's
+    * quantile_cont agree bit-for-bit (raw float percentiles would diverge
+    * at half-boundaries like every other derived float).
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -180,8 +188,9 @@ object AggPack extends QueryPack {
         element_at(col("price_ps"), 1).as("price_cents_p50"),
         element_at(col("price_ps"), 2).as("price_cents_p95"))
 
-  /** Exact percentiles WITHOUT buffering — the third point of the
-    * percentile triangle (q85 exact-buffered, q89 approx-sketch): a
+  /** Exact percentiles WITHOUT buffering — the REGISTERED exact path
+    * (q85 and q105; the buffered percentile() above is the spec-only
+    * reference, q89 is the approx-sketch point of the triangle): a
     * two-phase (value, count) histogram collapses N rows to |V| distinct
     * values BEFORE anything non-distributed happens, the rank cumsum runs
     * over the tiny histogram (|V| = ~50 for quantity, ~100k for cents —
@@ -190,16 +199,29 @@ object AggPack extends QueryPack {
     * proven by construction: the interpolation below replicates Spark's
     * Percentile formula term-for-term — position = p·(n−1), result =
     * (ceil−pos)·v_lo + (pos−floor)·v_hi — and the oracle is IDENTICAL to
-    * q85's, so the rewrite must hash-match the buffered original.
+    * the buffered form's, so the rewrite must hash-match the original.
     * This is the shape that survives 100 TB: percentile() holds every
     * value of a group in one aggregation buffer; this holds one row per
     * distinct value, fully partial-aggregated map-side.
+    *
+    * The rank cumsum itself is DISTRIBUTED (round-6 fix): a partitionless
+    * `Window.orderBy` would funnel the whole histogram through one
+    * single-partition sort — bounded by |V|, but price-cents-like domains
+    * reach 10⁷+ distinct values at 100×. Two-phase form instead: values
+    * are range-bucketed by a monotone (v−lo)/width map (correctness needs
+    * only monotonicity, not balance), each bucket cumsums locally after
+    * one hash exchange on the bucket id, and the per-bucket prefix
+    * offsets — ≤ nBuckets rows — come from a broadcast triangular
+    * self-join, so no single-partition pass touches anything
+    * histogram-sized. Plan-asserted in AggSpec (every WindowExec carries
+    * a partition spec).
     */
   def percentilesViaHistogram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = t(spark, dir, "lineitem")
       .select(col("l_quantity"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    val nBuckets = 64
 
     def pcts(valueCol: String, probes: Seq[(String, Double)]): DataFrame = {
       import spark.implicits._
@@ -208,11 +230,32 @@ object AggPack extends QueryPack {
       val vals = base.filter(col(valueCol).isNotNull)
       val hist = vals.groupBy(col(valueCol).cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("v"))
+      // phase 1: monotone range bucketing ((v−lo)/width is monotone in v
+      // under IEEE for width > 0, so bucket order == value order); v == hi
+      // lands exactly on nBuckets and is clamped by least()
+      val bounds = hist.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val bucketed = hist.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("v") - col("lo")) /
+              ((col("hi") - col("lo")) / nBuckets)), lit(nBuckets - 1)))
+            .cast("int"))
+        .drop("lo", "hi")
+      // per-bucket totals → prefix offsets via a broadcast triangular
+      // self-join over ≤ nBuckets rows (never a single-partition window)
+      val totals = bucketed.groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+      val offsets = totals.as("a")
+        .join(broadcast(totals.as("b")), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.t")), lit(0L)).as("off"))
+      // phase 2: local cumsum within each bucket + its broadcast offset
+      val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // [start, end) rank interval covered by each distinct value (0-based)
-      val ranked = hist
-        .withColumn("end", sum(col("c")).over(w))
+      val ranked = bucketed
+        .withColumn("end_local", sum(col("c")).over(w))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("end", col("end_local") + col("off"))
         .withColumn("start", col("end") - col("c"))
       val nRow = vals.agg(count(lit(1)).as("n"))
       val pos = col("p") * (col("n") - 1).cast("double")
@@ -389,7 +432,9 @@ object AggPack extends QueryPack {
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
     "q113_unpivot" -> unpivotMetrics _,
-    "q85_percentiles" -> percentiles _,
+    // q85 and q105 both run the histogram-exact formulation — the buffered
+    // percentile() form stays a spec-only reference (AggSpec row-equality)
+    "q85_percentiles" -> percentilesViaHistogram _,
     "q105_percentiles_histogram" -> percentilesViaHistogram _,
     "q89_approx_percentiles" -> approxPercentiles _,
     "q86_stats" -> stats _,

@@ -100,6 +100,32 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("registered exact percentile plan: no Percentile buffer, every window partitioned") {
+    // the q85/q105 scale contract: no TypedImperativeAggregate buffering a
+    // whole column, and no partitionless window funneling the histogram
+    // through one single-partition sort (AQE pinned off so the physical
+    // tree is inspectable — the DedupSpec plan-assert pattern)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q85 = SparkEntry.queries("q85_percentiles")(spark, dir)
+      val plan = q85.queryExecution.executedPlan
+      assert(!plan.toString.toLowerCase.contains("percentile("),
+        "q85 must not plan the buffered Percentile aggregate")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the bucket-local cumsum window")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"partitionless window (single-partition exchange) in:\n$plan")
+      }
+      // global scalar aggs (bounds/count) still finish on one partition —
+      // those move O(nPartitions) rows and are fine; the histogram-sized
+      // single-partition pass was the window's, asserted above
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("TopKLongs aggregator == window row_number top-k formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
