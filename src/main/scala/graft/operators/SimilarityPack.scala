@@ -221,11 +221,46 @@ object SimilarityPack extends QueryPack {
   private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int, Int), (Array[Array[Double]], Seq[Double])]()
 
+  /** Apps whose memo-eviction listener is registered (one per app) — the
+    * clusterMemo lifecycle pattern: entries die with their application.
+    */
+  private val evictionHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def hookEviction(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    if (evictionHooked.add(appId)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          kmeansMemo.keySet.removeIf(_._1 == appId)
+          pcaMemo.keySet.removeIf(_._1 == appId)
+          evictionHooked.remove(appId)
+        }
+      })
+    }
+  }
+
   def kmeansModel(spark: SparkSession, dir: String, k: Int = 16,
-                  iters: Int = 3): (Array[Array[Double]], Seq[Double]) =
+                  iters: Int = 3): (Array[Array[Double]], Seq[Double]) = {
+    hookEviction(spark)
     kmeansMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, k, iters),
       _ => kmeansTrain(spark, dir, k, iters))
+  }
+
+  /** Memoized PCA model — same train-once/serve-many shape as kmeansModel
+    * (pcaTrain is deterministic given (dir, p, iters)).
+    */
+  private val pcaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), (Array[Double], Array[Array[Double]], Array[Double])]()
+
+  def pcaModel(spark: SparkSession, dir: String, p: Int = 2, iters: Int = 50)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    hookEviction(spark)
+    pcaMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, p, iters),
+      _ => pcaTrain(spark, dir, p, iters))
+  }
 
   /** Distributed PCA over the embedding corpus — the whitening/projection
     * model a semantic-dedup or retrieval pipeline trains alongside its
@@ -372,7 +407,7 @@ object SimilarityPack extends QueryPack {
     * construction, never corpus-sized.
     */
   def kmeansSave(spark: SparkSession, table: String, location: String,
-                 centroids: Array[Array[Double]]): Unit = {
+                 centroids: Array[Array[Double]], rowkeyPrefix: String = ""): Unit = {
     import spark.implicits._
     graft.sources.KeyedStore.create(spark, table, location)
     // monotonic version: the store is append-only, and the load path
@@ -387,14 +422,16 @@ object SimilarityPack extends QueryPack {
     }
     val cells = centroids.zipWithIndex.flatMap { case (c, ci) =>
       c.zipWithIndex.map { case (v, di) =>
-        (f"C$ci%04d", "model", f"d$di%04d", v.toString, ver)
+        (f"$rowkeyPrefix%sC$ci%04d", "model", f"d$di%04d", v.toString, ver)
       }
     }.toSeq.toDF("rowkey", "family", "qualifier", "value", "version")
     graft.sources.KeyedStore.put(spark, table, cells)
   }
 
-  def kmeansLoad(spark: SparkSession, table: String): Array[Array[Double]] =
+  def kmeansLoad(spark: SparkSession, table: String,
+                 rowkeyPrefix: String = ""): Array[Array[Double]] =
     graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      .filter(col("rowkey").startsWith(rowkeyPrefix))
       .select(col("rowkey"), col("qualifier"), col("value"))
       .collect() // k·dim cells — this IS the model, bounded by design
       .groupBy(_.getString(0))
@@ -402,6 +439,80 @@ object SimilarityPack extends QueryPack {
       .map { case (_, rows) =>
         rows.sortBy(_.getString(1)).map(_.getString(2).toDouble)
       }.toArray
+
+  /** SF fingerprint BOTH engines can compute from the registered tables:
+    * the lineitem row count (6e3/6e4/6e5 across the driver's SF dirs —
+    * distinct where the documents/embeddings counts collide at 500/500).
+    * Keys the model dumps written to the shared oracle-aux location below,
+    * so a bench run at another SF can never clobber the rows the sf0.01
+    * oracle compare is about to read.
+    */
+  private def sfTag(spark: SparkSession, dir: String): Long =
+    t(spark, dir, "lineitem").count()
+
+  /** Shared location for driver-oracle auxiliary dumps: the oracle SQL
+    * recomputes model-dependent results straight off these files (DuckDB
+    * `read_parquet` needs a constant path, so the SF keying lives in the
+    * rows/rowkeys, not the path). Builder/driver-host scratch space — the
+    * same /tmp the Verify recipe uses.
+    */
+  private val oracleAuxDir = "/tmp/graft_oracle_aux"
+
+  /** q125 — the kmeansSave→kmeansLoad round-trip under the driver's oracle:
+    * train (session-memoized, the same quantizer q106/q116 serve), persist
+    * through the library's own KeyedStore, load back with maxVersions=1
+    * resolution, and emit the served cells. DuckDB independently re-resolves
+    * the newest version per cell from the RAW store parquet — so version
+    * resolution, the monotonic re-save contract, and string round-tripping
+    * are all cross-checked — while `matches_trained` is computed Spark-side
+    * as bit-exact equality of the loaded model with the in-session trained
+    * one (the oracle pins it true for every cell of the grid; a stale or
+    * mixed load flips rows to false and fails the hash).
+    */
+  def kmeansPersistRoundtrip(spark: SparkSession, dir: String,
+                             nCells: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (centroids, _) = kmeansModel(spark, dir, nCells, iters)
+    val prefix = f"S${sfTag(spark, dir)}%09d#"
+    kmeansSave(spark, "graft_kmeans_model_store", s"$oracleAuxDir/kmeans_store",
+      centroids, prefix)
+    val loaded = kmeansLoad(spark, "graft_kmeans_model_store", prefix)
+    loaded.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (v, di) =>
+        (f"$prefix%sC$ci%04d", f"d$di%04d", v.toString, v == centroids(ci)(di))
+      }
+    }.toSeq.toDF("rowkey", "qualifier", "value", "matches_trained")
+      .orderBy(col("rowkey"), col("qualifier"))
+  }
+
+  /** q126 — train→project end-to-end under the driver's oracle: the PCA
+    * model (session-memoized) is dumped alongside the store and the
+    * projection `(x − mean)·c` is INDEPENDENTLY recomputed by DuckDB as
+    * elementwise dot products over that dump, in the same left-fold term
+    * order as pcaProject's aggregate(zip_with(...)). Training itself stays
+    * spec-verified (deterministic power iteration, SimilaritySpec); this
+    * query puts the serve path — the map-only projection every consumer
+    * runs — under the hash gate. Re-runs append rows stamped with a write
+    * time; the oracle resolves newest-per-part (the kmeans-store version
+    * rule), so a model retrained by newer code supersedes stale dumps.
+    */
+  def pcaProjection(spark: SparkSession, dir: String, p: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (mean, comps, _) = pcaModel(spark, dir, p)
+    val tag = sfTag(spark, dir)
+    val ts = System.currentTimeMillis()
+    (("mean", mean.toSeq) +: comps.toSeq.zipWithIndex.map { case (c, i) =>
+        (s"pc${i + 1}", c.toSeq)
+      })
+      .map { case (part, vals) => (tag, part, vals, ts) }
+      .toDF("tag", "part", "vals", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$oracleAuxDir/pca_model")
+    pcaProject(t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        col("embedding"), mean, comps)
+      .select(col("vec_id"),
+        round(col("pc1"), 6).as("pc1"), round(col("pc2"), 6).as("pc2"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Distributed spherical k-means (Lloyd) — the cluster-wide training
     * job the q72 IVF quantizer's one-shot sample refinement stands in
@@ -536,6 +647,9 @@ object SimilarityPack extends QueryPack {
     "q71_ann_lsh_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "q72_ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "q106_ann_ivf_trained_topk" -> ((s: SparkSession, d: String) => ivfTrainedTopK(s, d)),
+    "q125_kmeans_persist_roundtrip" ->
+      ((s: SparkSession, d: String) => kmeansPersistRoundtrip(s, d)),
+    "q126_pca_projection" -> ((s: SparkSession, d: String) => pcaProjection(s, d)),
     "q74_embedding_quantize" -> quantizeEmbeddings _)
 
   val oracle = Map(
@@ -560,6 +674,46 @@ object SimilarityPack extends QueryPack {
         |  array_to_string(list_transform(emb, x -> CAST(CASE WHEN hi = lo THEN 0
         |    ELSE least(255, floor((x - lo) / (hi - lo) * 255.0)) END AS INT)), ',')
         |    AS q_csv
-        |FROM m ORDER BY vec_id""".stripMargin)
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q125_kmeans_persist_roundtrip" ->
+      // re-resolve the newest version per cell straight off the RAW store
+      // parquet (KeyedStore's maxVersions=1 read, replayed in SQL) for the
+      // grid this SF's fingerprint owns; matches_trained is pinned true —
+      // the Spark side computes it against the in-session trained model
+      """WITH resolved AS (
+        |  SELECT rowkey, qualifier, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                                 ORDER BY version DESC) AS rn
+        |    FROM read_parquet('/tmp/graft_oracle_aux/kmeans_store/*.parquet')
+        |    WHERE value IS NOT NULL
+        |      AND starts_with(rowkey,
+        |        'S' || lpad(CAST((SELECT count(*) FROM lineitem) AS VARCHAR), 9, '0') || '#')
+        |    ) t
+        |  WHERE rn = 1)
+        |SELECT rowkey, qualifier, value, true AS matches_trained FROM resolved
+        |ORDER BY rowkey, qualifier""".stripMargin,
+    "q126_pca_projection" ->
+      // recompute the projection as explicit dot products over the dumped
+      // model: per-element (x − mean)·c terms in index order, folded
+      // sequentially (list_reduce) — the identical IEEE op sequence as
+      // pcaProject's aggregate(zip_with(...)) left fold
+      """WITH model AS (
+        |  SELECT part, vals FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY part ORDER BY ts DESC) AS rn
+        |    FROM read_parquet('/tmp/graft_oracle_aux/pca_model/*.parquet')
+        |    WHERE tag = (SELECT count(*) FROM lineitem)) t
+        |  WHERE rn = 1)
+        |SELECT e.vec_id,
+        |  round(list_reduce(list_transform(range(1, 65),
+        |    i -> (CAST(e.embedding[i] AS DOUBLE) - m.mv[i]) * c1.v1[i]),
+        |    (a, b) -> a + b), 6) AS pc1,
+        |  round(list_reduce(list_transform(range(1, 65),
+        |    i -> (CAST(e.embedding[i] AS DOUBLE) - m.mv[i]) * c2.v2[i]),
+        |    (a, b) -> a + b), 6) AS pc2
+        |FROM embeddings e
+        |CROSS JOIN (SELECT vals AS mv FROM model WHERE part = 'mean') m
+        |CROSS JOIN (SELECT vals AS v1 FROM model WHERE part = 'pc1') c1
+        |CROSS JOIN (SELECT vals AS v2 FROM model WHERE part = 'pc2') c2
+        |ORDER BY e.vec_id""".stripMargin)
   // q71: no oracle — approximate; recall vs q70 asserted in SimilaritySpec.
 }

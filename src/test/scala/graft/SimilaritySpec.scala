@@ -256,6 +256,30 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS kmeans_model_rt")
   }
 
+  test("re-saving a retrained model deterministically wins load resolution") {
+    // the append-only store keeps both saves; a tied version would resolve
+    // to a nondeterministic per-cell MIX of old and new centroids —
+    // kmeansSave must derive a strictly newer version per save
+    import graft.operators.SimilarityPack
+    val (m1, _) = SimilarityPack.kmeansModel(spark, dir, k = 4, iters = 1)
+    val m2 = m1.map(_.map(_ + 1.0)) // a visibly different "retrained" model
+    val loc = java.nio.file.Files.createTempDirectory("kmeans_model_v").toString
+    spark.sql("DROP TABLE IF EXISTS kmeans_model_v")
+    try {
+      SimilarityPack.kmeansSave(spark, "kmeans_model_v", loc, m1)
+      SimilarityPack.kmeansSave(spark, "kmeans_model_v", loc, m2)
+      val loaded = SimilarityPack.kmeansLoad(spark, "kmeans_model_v")
+      loaded.zip(m2).foreach { case (l, c) => assert(l.toSeq == c.toSeq,
+        "load must serve the NEWEST save in full, never a mix") }
+      // and the store still holds both generations (append-only history)
+      val versions = graft.sources.KeyedStore
+        .scan(spark, "kmeans_model_v", maxVersions = Int.MaxValue)
+        .select(org.apache.spark.sql.functions.col("version"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      assert(versions.length == 2 && versions(0) < versions(1))
+    } finally spark.sql("DROP TABLE IF EXISTS kmeans_model_v")
+  }
+
   test("cosine column matches a driver-side computation on a sample") {
     import org.apache.spark.sql.functions._
     val rows = Tables.t(spark, dir, "embeddings").filter(col("vec_id") < 2)
