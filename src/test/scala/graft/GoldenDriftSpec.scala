@@ -1,0 +1,47 @@
+package graft
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift pins for the DETERMINISTIC no-oracle queries. q63 (heuristic
+  * lang-ID) and q116 (seeded k-means semantic dedup) have no DuckDB oracle
+  * (the heuristic/quantizer isn't SQL-expressible), so the driver's gate
+  * records them rows-only — a silent behavior change could hide behind
+  * "no_oracle". Both are bit-deterministic given the data (seeded planes,
+  * deterministic seeds/iteration counts, no RNG), so their full sf0.001
+  * output is pinned as a golden snapshot here: any code change that moves
+  * a single row must consciously regenerate the golden (see
+  * tools/check_oracle.py + the dump recipe in the resource header commit).
+  */
+class GoldenDriftSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sfDir
+
+  private def golden(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/golden/$name.csv")
+    assert(in != null, s"missing golden resource /golden/$name.csv")
+    try Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def asCsv(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val header = df.columns.mkString(",")
+    // match pandas' default float repr: shortest round-trip, ints bare
+    def cell(v: Any): String = v match {
+      case d: Double if d == d.floor && math.abs(d) < 1e15 && d.toString.endsWith(".0") =>
+        d.toString.dropRight(2)
+      case x => String.valueOf(x)
+    }
+    header +: df.collect().map(_.toSeq.map(cell).mkString(",")).toSeq
+  }
+
+  test("q63 lang-ID rollup matches its pinned golden snapshot") {
+    assert(asCsv("q63_langid_rollup") == golden("q63_langid_rollup"))
+  }
+
+  test("q116 semantic dedup matches its pinned golden snapshot") {
+    assert(asCsv("q116_semantic_dedup") == golden("q116_semantic_dedup"))
+  }
+}
