@@ -17,8 +17,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * form SORTS every partition in full — O(n log n) per partition, spills
   * at scale — and only then discards everything past rank k. This operator
   * keeps a bounded k-row heap per key: O(n log k), memory bounded by
-  * #keys × k rows regardless of group sizes, no sort of the losers. The
-  * planner inserts the key-clustered exchange via requiredChildDistribution,
+  * #keys × k rows regardless of group sizes — and when the key COUNT
+  * itself exceeds the configured budget, the heap map spills key-sorted
+  * runs and merges them (see doExecute), so memory is ⊥ both group sizes
+  * and key cardinality. No sort of the losers ever happens. The planner
+  * inserts the key-clustered exchange via requiredChildDistribution,
   * exactly like the built-in aggregates.
   */
 case class TopKPerKeyNode(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
@@ -49,12 +52,15 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
 
   // the same observability surface the built-in aggregates expose: output
   // rows plus the number of per-key heaps (≈ distinct keys seen), the
-  // operator's actual memory driver (state = numKeys × k rows)
+  // operator's actual memory driver (state = numKeys × k rows), and the
+  // spill count (nonzero when the key set exceeded the in-memory budget)
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of distinct keys"))
+      .createMetric(sparkContext, "number of distinct keys"),
+    "numSpills" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of heap-map spills"))
 
   /** All rows of a key on one partition — Catalyst plans the shuffle (or
     * elides it when the child is already clustered on the keys, e.g. a
@@ -66,6 +72,19 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  /** In-memory state is numKeys × k rows — bounded per KEY, but the number
+    * of keys per partition is data-dependent and unbounded. Above the
+    * `spark.graft.topkPerKey.maxKeysInMemory` budget (default 2²¹ keys)
+    * the heap map SPILLS, mirroring ExternalAppendOnlyMap's shape: each
+    * spill writes the map's per-key top-k runs to a local file SORTED BY
+    * KEY BYTES (UnsafeRow equality is byte equality under one projection,
+    * so byte order is a valid grouping order), clears the map, and the
+    * final pass streams a k-way merge over the runs — per key, only the
+    * ≤ k·nSpills candidate rows from the run heads are ever resident, so
+    * memory is ⊥ the number of distinct keys. Spilled runs hold top-k per
+    * spill generation, never raw inputs, so spill volume is also bounded
+    * by keys × k, not by input rows.
+    */
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keysLocal = keys
@@ -73,6 +92,9 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     val childOutput = child.output
     val numOutputRows = longMetric("numOutputRows")
     val numKeys = longMetric("numKeys")
+    val numSpills = longMetric("numSpills")
+    val maxKeysInMemory = conf.getConfString(
+      "spark.graft.topkPerKey.maxKeysInMemory", (1 << 21).toString).toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
@@ -83,12 +105,45 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
       val worstFirst = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
       }
+      val nFields = childOutput.length
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
+
+      def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
+        java.util.Arrays.compareUnsigned(a, b)
+
+      /** Drain the map to a key-sorted run file and clear it. */
+      def spill(): Unit = {
+        import scala.jdk.CollectionConverters._
+        val file = java.io.File.createTempFile("graft-topk-spill", ".run")
+        spillFiles += file
+        val entries = heaps.entrySet().asScala.toArray
+          .map(e => (e.getKey.getBytes, e.getValue))
+          .sortWith((a, b) => cmpBytes(a._1, b._1) < 0)
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(file), 1 << 16))
+        try entries.foreach { case (keyBytes, heap) =>
+          out.writeInt(keyBytes.length)
+          out.write(keyBytes)
+          out.writeInt(heap.size)
+          heap.iterator().asScala.foreach { r =>
+            val b = r.getBytes
+            out.writeInt(b.length)
+            out.write(b)
+          }
+        } finally out.close()
+        heaps.clear()
+        numSpills += 1
+      }
+
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxKeysInMemory) spill()
           heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
           heaps.put(key.copy(), heap)
         }
@@ -99,13 +154,78 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
           heap.add(toUnsafe(row).copy())
         }
       }
+
       import scala.jdk.CollectionConverters._
-      numKeys += heaps.size()
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val arr = heap.toArray(new Array[UnsafeRow](heap.size))
-        java.util.Arrays.sort(arr, ord)
-        numOutputRows += arr.length
-        arr.iterator
+      if (spillFiles.isEmpty) {
+        numKeys += heaps.size()
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val arr = heap.toArray(new Array[UnsafeRow](heap.size))
+          java.util.Arrays.sort(arr, ord)
+          numOutputRows += arr.length
+          arr.iterator
+        }
+      } else {
+        if (!heaps.isEmpty) spill() // the remainder becomes the last run
+        // streaming k-way merge over the key-sorted runs: group run heads
+        // with equal key bytes, re-bound their ≤ k·nRuns candidates to k
+        class RunReader(file: java.io.File) {
+          private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(file), 1 << 16))
+          var key: Array[Byte] = _
+          var rows: Array[UnsafeRow] = _
+          advance()
+          def advance(): Unit = {
+            val kl = try in.readInt() catch { case _: java.io.EOFException => -1 }
+            if (kl < 0) { key = null; rows = null; in.close() }
+            else {
+              key = new Array[Byte](kl)
+              in.readFully(key)
+              rows = Array.fill(in.readInt()) {
+                val b = new Array[Byte](in.readInt())
+                in.readFully(b)
+                val r = new UnsafeRow(nFields)
+                r.pointTo(b, b.length)
+                r
+              }
+            }
+          }
+        }
+        val readers = spillFiles.map(new RunReader(_))
+        new Iterator[InternalRow] {
+          private var pending: Iterator[UnsafeRow] = Iterator.empty
+          private def refill(): Unit = {
+            var minKey: Array[Byte] = null
+            readers.foreach { r =>
+              if (r.key != null && (minKey == null || cmpBytes(r.key, minKey) < 0))
+                minKey = r.key
+            }
+            if (minKey != null) {
+              val heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+              readers.foreach { r =>
+                if (r.key != null && cmpBytes(r.key, minKey) == 0) {
+                  r.rows.foreach { row =>
+                    if (heap.size < kLocal) heap.add(row)
+                    else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row) }
+                  }
+                  r.advance()
+                }
+              }
+              val arr = heap.toArray(new Array[UnsafeRow](heap.size))
+              java.util.Arrays.sort(arr, ord)
+              numKeys += 1
+              numOutputRows += arr.length
+              pending = arr.iterator
+            }
+          }
+          override def hasNext: Boolean = {
+            if (!pending.hasNext) refill()
+            pending.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
       }
     }, preservesPartitioning = true)
   }

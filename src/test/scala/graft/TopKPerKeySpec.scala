@@ -112,6 +112,36 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("spills above the key budget and still matches the window formulation") {
+    // memory guard: the per-partition heap map is bounded by #keys × k, but
+    // #keys per partition is data-dependent — above the budget the map must
+    // spill key-sorted runs and merge them, not OOM. Drive a key set ~400×
+    // the budget through the operator and require (a) row-for-row equality
+    // with the window form, (b) the spill path actually ran.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "16")
+    try {
+      // l_orderkey has ~1.5k distinct values at sf0.001 vs the 16-key budget
+      val src = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val topk = TopKPerKey(src, Seq("l_orderkey"),
+        Seq(col("l_extendedprice").desc, col("l_linenumber")), k = 2)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      val win = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(rowSet(topk) == rowSet(win))
+      val exec = topk.queryExecution.executedPlan.collect {
+        case e: TopKPerKeyExec => e
+      }.head
+      assert(exec.metrics("numSpills").value > 0, "expected the spill path to run")
+      assert(exec.metrics("numKeys").value == src.select("l_orderkey").distinct().count())
+    } finally {
+      spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("exchange is elided on a bucketed child clustered on the key") {
     spark.sql("DROP TABLE IF EXISTS li_topk_bucketed")
     base.write.bucketBy(4, "l_returnflag").sortBy("l_returnflag")
