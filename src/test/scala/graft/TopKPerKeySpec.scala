@@ -142,6 +142,33 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("spill path handles variable-length string keys (byte-order grouping)") {
+    // the spill merge groups runs by raw UnsafeRow key bytes — string keys
+    // exercise the variable-length layout (offset+len words + padded UTF-8
+    // payload) where a byte-compare bug would split or merge groups
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "16")
+    try {
+      val src = Tables.t(spark, dir, "lineitem")
+        .select(concat_ws("#", col("l_orderkey"), col("l_returnflag")).as("k"),
+          col("l_linenumber"), col("l_extendedprice"))
+      val topk = TopKPerKey(src, Seq("k"),
+        Seq(col("l_extendedprice").desc, col("l_linenumber")), k = 2)
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      val win = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(rowSet(topk) == rowSet(win))
+      val exec = topk.queryExecution.executedPlan.collect {
+        case e: TopKPerKeyExec => e
+      }.head
+      assert(exec.metrics("numSpills").value > 0, "expected the spill path to run")
+    } finally {
+      spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("exchange is elided on a bucketed child clustered on the key") {
     spark.sql("DROP TABLE IF EXISTS li_topk_bucketed")
     base.write.bucketBy(4, "l_returnflag").sortBy("l_returnflag")
