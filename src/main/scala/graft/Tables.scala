@@ -17,6 +17,15 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** SF fingerprint both engines can compute from the registered tables:
+    * the lineitem row count (6e3/6e4/6e5 across the driver's SF dirs —
+    * distinct where the documents/embeddings counts collide at 500/500).
+    * Keys artifacts that persist across invocations at different scale
+    * factors (model dumps, stored indexes) so runs never cross-pollute.
+    */
+  def sfTag(spark: SparkSession, dir: String): Long =
+    t(spark, dir, "lineitem").count()
+
   /** `events` with `ts` normalized to a µs-precision TIMESTAMP.
     *
     * The parquet stores TIMESTAMP(NANOS), which Spark only reads as a raw

@@ -395,6 +395,57 @@ object DedupPack extends QueryPack {
       .orderBy(col("d_new"), col("d_old"))
   }
 
+  /** Incremental dedup served from a PERSISTED index — q117's scaladoc
+    * says "at 100 TB the old side's postings come from a stored index
+    * (KeyedStore)"; this query makes that path real and puts it under the
+    * driver's oracle. The old (even-doc) capped-shingle postings are
+    * written ONCE into a KeyedStore table — rowkey = shingle hash,
+    * qualifier = doc_id, the natural inverted-index cell layout, sharded
+    * by the store's (rowkey…) key like every other cell table — and every
+    * invocation after the first SERVES from the store (build-once /
+    * serve-many, the kmeansModel lifecycle for an index). Old-doc sizes
+    * are recovered from the index itself (per-qualifier counts), so the
+    * serve path never touches the old corpus at all. The oracle is q117's
+    * SQL verbatim: store-served must equal recomputed, bit for bit.
+    *
+    * The store location is keyed by SF fingerprint + shingle parameters,
+    * so concurrent scale factors and future semantic changes each get
+    * their own index (a stale index can never masquerade as current).
+    */
+  def dedupIncrementalIndexed(spark: SparkSession, dir: String,
+                              threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    val tag = graft.Tables.sfTag(spark, dir)
+    val table = s"graft_shingle_index_${tag}_n3_cap${dfCap}_v1"
+    val loc = s"/tmp/graft_oracle_aux/shingle_index_${tag}_n3_cap${dfCap}_v1"
+    val sh = cappedShingles(spark, dir, dfCap)
+    graft.sources.KeyedStore.create(spark, table, loc)
+    if (spark.table(table).isEmpty) {
+      graft.sources.KeyedStore.put(spark, table,
+        sh.filter(col("doc_id") % 2 === 0)
+          .select(col("shingle").cast("string").as("rowkey"),
+            lit("p").as("family"),
+            col("doc_id").cast("string").as("qualifier"),
+            lit("1").as("value"), lit(1L).as("version")))
+    }
+    val idx = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      .select(col("rowkey").cast("long").as("shingle"),
+        col("qualifier").cast("long").as("d_old"))
+    val newSh = sh.filter(col("doc_id") % 2 === 1)
+    val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesOld = idx.groupBy(col("d_old").as("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = newSh.join(idx, "shingle")
+      .groupBy(col("doc_id").as("d_new"), col("d_old"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizesNew.as("s1"), col("d_new") === col("s1.doc_id"))
+      .join(sizesOld.as("s2"), col("d_old") === col("s2.doc_id"))
+      .select(col("d_new"), col("d_old"),
+        (col("inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
   /** Keep-list — the deliverable the whole dedup family exists to produce:
     * per source, how many documents survive near-dup collapse (one
     * representative — the component-minimum doc_id — per cluster; docs in
@@ -501,12 +552,39 @@ object DedupPack extends QueryPack {
       ((s: SparkSession, d: String) => dedupKeepList(s, d, pairSource = "lsh")),
     "q116_semantic_dedup" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "q117_incremental_dedup" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
+    "q127_incremental_dedup_indexed" ->
+      ((s: SparkSession, d: String) => dedupIncrementalIndexed(s, d)),
     "q73_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),
     "q66_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccard(s, d)),
     "q67_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "q68_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "q69_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
     "q64_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
+
+  // q66's capped-shingle jaccard restricted to new(odd) × old(even) —
+  // identical shingle universe, identical cap, identical sizes; shared by
+  // q117 (recompute path) and q127 (KeyedStore-index serve path)
+  private val incrementalSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks),
+      |sh AS (
+      |  SELECT * FROM sh0 WHERE shingle NOT IN (
+      |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |  GROUP BY 1, 2)
+      |SELECT d_new, d_old, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+      |FROM pairs JOIN sizes s1 ON d_new = s1.doc_id JOIN sizes s2 ON d_old = s2.doc_id
+      |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+      |ORDER BY d_new, d_old""".stripMargin
 
   val oracle = Map(
     "q122_dup_spans" ->
@@ -577,29 +655,10 @@ object DedupPack extends QueryPack {
         |  SELECT w.doc_id, e.d2 FROM walk w JOIN edges e ON w.reach = e.d1)
         |SELECT doc_id, min(reach) AS label FROM walk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q117_incremental_dedup" ->
-      // q66's capped-shingle jaccard restricted to new(odd) × old(even) —
-      // identical shingle universe, identical cap, identical sizes
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3
-        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
-        |    ELSE [array_to_string(w, ' ')] END) AS shingle
-        |  FROM toks),
-        |sh AS (
-        |  SELECT * FROM sh0 WHERE shingle NOT IN (
-        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |  GROUP BY 1, 2)
-        |SELECT d_new, d_old, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
-        |FROM pairs JOIN sizes s1 ON d_new = s1.doc_id JOIN sizes s2 ON d_old = s2.doc_id
-        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
-        |ORDER BY d_new, d_old""".stripMargin,
+    // q127 serves the IDENTICAL result from the persisted KeyedStore
+    // postings index — same oracle text: store-served == recomputed
+    "q127_incremental_dedup_indexed" -> incrementalSql,
+    "q117_incremental_dedup" -> incrementalSql,
     "q115_dedup_keeplist" ->
       // q64's component labels folded to the per-source survivor counts
       """WITH RECURSIVE toks AS (

@@ -440,15 +440,12 @@ object SimilarityPack extends QueryPack {
         rows.sortBy(_.getString(1)).map(_.getString(2).toDouble)
       }.toArray
 
-  /** SF fingerprint BOTH engines can compute from the registered tables:
-    * the lineitem row count (6e3/6e4/6e5 across the driver's SF dirs —
-    * distinct where the documents/embeddings counts collide at 500/500).
-    * Keys the model dumps written to the shared oracle-aux location below,
-    * so a bench run at another SF can never clobber the rows the sf0.01
-    * oracle compare is about to read.
+  /** SF fingerprint (graft.Tables.sfTag) keying the model dumps written to
+    * the shared oracle-aux location below, so a bench run at another SF can
+    * never clobber the rows the sf0.01 oracle compare is about to read.
     */
   private def sfTag(spark: SparkSession, dir: String): Long =
-    t(spark, dir, "lineitem").count()
+    graft.Tables.sfTag(spark, dir)
 
   /** Shared location for driver-oracle auxiliary dumps: the oracle SQL
     * recomputes model-dependent results straight off these files (DuckDB

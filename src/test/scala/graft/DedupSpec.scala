@@ -171,6 +171,17 @@ class DedupSpec extends AnyFunSuite {
     assert(inc == expect)
   }
 
+  test("q127 store-served incremental dedup == q117 recomputed, twice (build-once)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val recomputed = rows(DedupPack.dedupIncremental(spark, dir))
+    // first call builds the KeyedStore postings index (or serves a
+    // previously built one), second call MUST serve without rebuilding —
+    // both identical to the recompute path
+    assert(rows(DedupPack.dedupIncrementalIndexed(spark, dir)) == recomputed)
+    assert(rows(DedupPack.dedupIncrementalIndexed(spark, dir)) == recomputed)
+  }
+
   test("q115 keep-list totals are consistent with the cluster labels") {
     val kl = DedupPack.dedupKeepList(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
