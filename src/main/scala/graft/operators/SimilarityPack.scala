@@ -601,6 +601,38 @@ object SimilarityPack extends QueryPack {
       s => s.getField("cell"))
   }
 
+  /** q128 — ANN over the ARCHIVED corpus: exact top-k where the corpus
+    * side is reconstructed from its int8 min-max quantization (q74's
+    * storage form, 4 bytes/dim → 1) and only the probe side keeps the
+    * original floats — the archive-then-serve economics of a vector store
+    * that quantizes at rest. Dequantization x' = lo + q·(hi−lo)/255 is a
+    * deterministic IEEE sequence, so unlike every other ANN variant this
+    * one is FULLY oracle-checked: DuckDB replays quantize → dequantize →
+    * cosine → top-k bit-for-bit (the cosine oracle mirrors the native
+    * expression's separate dot/|x|²/|y|² accumulators and final
+    * dot/sqrt(nx·ny)). Ranking fidelity vs the full-precision q70 is
+    * additionally asserted in SimilaritySpec.
+    */
+  def annQuantizedTopK(spark: SparkSession, dir: String,
+                       nQueries: Int = 8, k: Int = 5): DataFrame = {
+    CosineSimilarity.register(spark)
+    graft.functions.Int8Quantize.register(spark)
+    val e = col("embedding")
+    val recon = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        array_min(e).cast("double").as("lo"), array_max(e).cast("double").as("hi"),
+        graft.functions.Int8Quantize.quantize(e).as("q"))
+      .select(col("vec_id"),
+        transform(col("q"), x =>
+          col("lo") + (x.cast("double") * (col("hi") - col("lo"))) / 255.0).as("rv"))
+    val probes = broadcast(queriesSide(spark, dir, nQueries)
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("q_emb")))
+    val scored = recon.join(probes, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(CosineSimilarity.cosineFast(col("q_emb"), col("rv")), 6).as("cos"))
+    topK(scored, k)
+  }
+
   /** Int8 min-max scalar quantization of embeddings — the storage-
     * reduction pass a training pipeline runs before archiving vectors
     * (4 bytes/dim → 1). Per-vector affine map to [0,255]; `floor` (never
@@ -647,6 +679,7 @@ object SimilarityPack extends QueryPack {
     "q125_kmeans_persist_roundtrip" ->
       ((s: SparkSession, d: String) => kmeansPersistRoundtrip(s, d)),
     "q126_pca_projection" -> ((s: SparkSession, d: String) => pcaProjection(s, d)),
+    "q128_ann_quantized_topk" -> ((s: SparkSession, d: String) => annQuantizedTopK(s, d)),
     "q74_embedding_quantize" -> quantizeEmbeddings _)
 
   val oracle = Map(
@@ -711,6 +744,37 @@ object SimilarityPack extends QueryPack {
         |CROSS JOIN (SELECT vals AS mv FROM model WHERE part = 'mean') m
         |CROSS JOIN (SELECT vals AS v1 FROM model WHERE part = 'pc1') c1
         |CROSS JOIN (SELECT vals AS v2 FROM model WHERE part = 'pc2') c2
-        |ORDER BY e.vec_id""".stripMargin)
+        |ORDER BY e.vec_id""".stripMargin,
+    "q128_ann_quantized_topk" ->
+      // quantize → dequantize → cosine → top-k, replayed end-to-end: the
+      // folds mirror the native cosine's separate accumulators and
+      // dot/sqrt(nx·ny) finish; quantization is q74's exact oracle form
+      """WITH m AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_min(CAST(embedding AS DOUBLE[])) AS lo,
+        |    list_max(CAST(embedding AS DOUBLE[])) AS hi
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT vec_id,
+        |    list_transform(emb, x -> lo + (CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(255, floor((x - lo) / (hi - lo) * 255.0)) END AS DOUBLE)
+        |      * (hi - lo)) / 255.0) AS rv
+        |  FROM m),
+        |s AS (
+        |  SELECT q.vec_id AS q_id, r.vec_id AS vec_id,
+        |    round(
+        |      list_reduce(list_transform(range(1, 65), i -> q.qe[i] * r.rv[i]),
+        |                  (a, b) -> a + b) /
+        |      sqrt(list_reduce(list_transform(range(1, 65), i -> q.qe[i] * q.qe[i]),
+        |                       (a, b) -> a + b) *
+        |           list_reduce(list_transform(range(1, 65), i -> r.rv[i] * r.rv[i]),
+        |                       (a, b) -> a + b)), 6) AS cos
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+        |        FROM embeddings WHERE vec_id < 8) q
+        |  JOIN r ON r.vec_id <> q.vec_id)
+        |SELECT q_id, vec_id, cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM s) t
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
   // q71: no oracle — approximate; recall vs q70 asserted in SimilaritySpec.
 }

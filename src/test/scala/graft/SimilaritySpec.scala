@@ -256,6 +256,19 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS kmeans_model_rt")
   }
 
+  test("q128 quantized-corpus top-k closely tracks the full-precision q70 ranking") {
+    import graft.operators.SimilarityPack
+    // int8 reconstruction shifts each cosine by O((hi-lo)/255) — on the
+    // near-orthogonal fixture (tightly clustered cosines, the adversarial
+    // case for ranking stability) the top-5 sets must still mostly agree
+    val exact = SimilarityPack.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityPack.annQuantizedTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.7, s"top-5 agreement=$overlap (${(exact & quant).size}/${exact.size})")
+  }
+
   test("re-saving a retrained model deterministically wins load resolution") {
     // the append-only store keeps both saves; a tied version would resolve
     // to a nondeterministic per-cell MIX of old and new centroids —
