@@ -467,13 +467,23 @@ object SimilarityPack extends QueryPack {
     * mixed load flips rows to false and fails the hash).
     */
   def kmeansPersistRoundtrip(spark: SparkSession, dir: String,
-                             nCells: Int = 16, iters: Int = 2): DataFrame = {
+                             nCells: Int = 16, iters: Int = 2,
+                             table: String = "graft_kmeans_model_store",
+                             location: String = "/tmp/graft_oracle_aux/kmeans_store",
+                             compactAfter: Int = 32): DataFrame = {
     import spark.implicits._
     val (centroids, _) = kmeansModel(spark, dir, nCells, iters)
     val prefix = f"S${sfTag(spark, dir)}%09d#"
-    kmeansSave(spark, "graft_kmeans_model_store", s"$oracleAuxDir/kmeans_store",
-      centroids, prefix)
-    val loaded = kmeansLoad(spark, "graft_kmeans_model_store", prefix)
+    kmeansSave(spark, table, location, centroids, prefix)
+    // store maintenance in production position: the append-only history
+    // grows one generation per save — past `compactAfter` generations,
+    // major-compact down to the newest 3 versions per cell (read
+    // amplification stays bounded; the newest save — what load and the
+    // oracle resolve — is untouched)
+    val maxVer = spark.table(table).agg(max(col("version"))).head().getLong(0)
+    if (maxVer > compactAfter)
+      graft.sources.KeyedStore.compact(spark, table, 3)
+    val loaded = kmeansLoad(spark, table, prefix)
     loaded.zipWithIndex.flatMap { case (c, ci) =>
       c.zipWithIndex.map { case (v, di) =>
         (f"$prefix%sC$ci%04d", f"d$di%04d", v.toString, v == centroids(ci)(di))
@@ -498,12 +508,31 @@ object SimilarityPack extends QueryPack {
     val (mean, comps, _) = pcaModel(spark, dir, p)
     val tag = sfTag(spark, dir)
     val ts = System.currentTimeMillis()
+    val dumpPath = s"$oracleAuxDir/pca_model"
     (("mean", mean.toSeq) +: comps.toSeq.zipWithIndex.map { case (c, i) =>
         (s"pc${i + 1}", c.toSeq)
       })
       .map { case (part, vals) => (tag, part, vals, ts) }
       .toDF("tag", "part", "vals", "ts")
-      .coalesce(1).write.mode("append").parquet(s"$oracleAuxDir/pca_model")
+      .coalesce(1).write.mode("append").parquet(dumpPath)
+    // dump maintenance: appends add one tiny file per invocation; past 64
+    // files, collapse to the newest row per (tag, part) — model-sized by
+    // construction (#tags × (p+1) rows), so the rewrite is a driver-local
+    // overwrite, and newest-per-part resolution is unchanged
+    val fs = new org.apache.hadoop.fs.Path(dumpPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.listStatus(new org.apache.hadoop.fs.Path(dumpPath)).length > 64) {
+      import org.apache.spark.sql.expressions.Window
+      val newest = spark.read.parquet(dumpPath)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("tag"), col("part")).orderBy(col("ts").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(newest.toIndexedSeq, 1),
+          spark.read.parquet(dumpPath).schema)
+        .write.mode("overwrite").parquet(dumpPath)
+    }
     pcaProject(t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
         col("embedding"), mean, comps)
       .select(col("vec_id"),

@@ -269,6 +269,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.7, s"top-5 agreement=$overlap (${(exact & quant).size}/${exact.size})")
   }
 
+  test("persist round-trip compacts its store past the generation budget") {
+    import graft.operators.SimilarityPack
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("kmeans_persist_c").toString
+    spark.sql("DROP TABLE IF EXISTS kmeans_persist_c")
+    try {
+      // 6 saves against a compact-after-4 budget: every round-trip must
+      // stay all-matches_trained, and the history must shrink to <= 3
+      // retained generations once compaction fires
+      (1 to 6).foreach { _ =>
+        val out = SimilarityPack.kmeansPersistRoundtrip(spark, dir,
+          nCells = 2, iters = 1, table = "kmeans_persist_c",
+          location = loc, compactAfter = 4)
+        assert(out.filter(!col("matches_trained")).count() == 0)
+      }
+      val versions = spark.table("kmeans_persist_c")
+        .select(col("version")).distinct().count()
+      assert(versions <= 3, s"store holds $versions generations after compaction")
+    } finally spark.sql("DROP TABLE IF EXISTS kmeans_persist_c")
+  }
+
   test("re-saving a retrained model deterministically wins load resolution") {
     // the append-only store keeps both saves; a tied version would resolve
     // to a nondeterministic per-cell MIX of old and new centroids —
