@@ -646,14 +646,15 @@ object SimilarityPack extends QueryPack {
                        nQueries: Int = 8, k: Int = 5): DataFrame = {
     CosineSimilarity.register(spark)
     graft.functions.Int8Quantize.register(spark)
+    graft.functions.Int8Dequantize.register(spark)
     val e = col("embedding")
     val recon = t(spark, dir, "embeddings")
       .select(col("vec_id"),
         array_min(e).cast("double").as("lo"), array_max(e).cast("double").as("hi"),
         graft.functions.Int8Quantize.quantize(e).as("q"))
       .select(col("vec_id"),
-        transform(col("q"), x =>
-          col("lo") + (x.cast("double") * (col("hi") - col("lo"))) / 255.0).as("rv"))
+        graft.functions.Int8Dequantize.dequantize(col("q"), col("lo"), col("hi"))
+          .as("rv"))
     val probes = broadcast(queriesSide(spark, dir, nQueries)
       .select(col("q_id"), col("q_emb").cast("array<double>").as("q_emb")))
     val scored = recon.join(probes, col("vec_id") =!= col("q_id"))
@@ -686,6 +687,13 @@ object SimilarityPack extends QueryPack {
           .cast("array<string>"), ",").as("q_csv"))
       .orderBy(col("vec_id"))
   }
+
+  /** The declarative HOF formulation — REFERENCE SEMANTICS for the native
+    * Int8Dequantize expression (bit-equivalence asserted in
+    * SimilaritySpec); not on any production path.
+    */
+  def dequantizeRef(codes: Column, lo: Column, hi: Column): Column =
+    transform(codes, x => lo + (x.cast("double") * (hi - lo)) / 255.0)
 
   /** The declarative HOF formulation — REFERENCE SEMANTICS for the native
     * Int8Quantize expression (bit-equivalence asserted in SimilaritySpec);

@@ -169,6 +169,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"unexpected failure mode: ${err.getMessage}")
   }
 
+  test("native Int8Dequantize == declarative HOF reconstruction, bit-identical") {
+    import org.apache.spark.sql.functions._
+    graft.functions.Int8Quantize.register(spark)
+    graft.functions.Int8Dequantize.register(spark)
+    val e = col("embedding")
+    val coded = Tables.t(spark, dir, "embeddings")
+      .select(array_min(e).cast("double").as("lo"),
+        array_max(e).cast("double").as("hi"),
+        graft.functions.Int8Quantize.quantize(e).as("q"))
+    val diff = coded.select(
+        graft.functions.Int8Dequantize.dequantize(col("q"), col("lo"), col("hi"))
+          .as("native"),
+        SimilarityPack.dequantizeRef(col("q"), col("lo"), col("hi")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0, s"$diff rows differ between native and HOF dequantization")
+  }
+
   test("native Int8Quantize == declarative HOF quantization, bit-identical") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
