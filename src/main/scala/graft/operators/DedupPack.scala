@@ -404,8 +404,13 @@ object DedupPack extends QueryPack {
     * by the store's (rowkey…) key like every other cell table — and every
     * invocation after the first SERVES from the store (build-once /
     * serve-many, the kmeansModel lifecycle for an index). Old-doc sizes
-    * are recovered from the index itself (per-qualifier counts), so the
-    * serve path never touches the old corpus at all. The oracle is q117's
+    * and the join's old side come from the index, never the old corpus;
+    * the one full-corpus pass that remains is the df-cap window on the
+    * NEW side's shingle universe, because the cap counts total document
+    * frequency — q117 oracle parity pins that definition. (A 100 TB
+    * deployment stores per-shingle df in the index and caps against
+    * stored + batch counts instead, changing the universe only for
+    * shingles that cross the cap between ingests.) The oracle is q117's
     * SQL verbatim: store-served must equal recomputed, bit for bit.
     *
     * The store location is keyed by SF fingerprint + shingle parameters,

@@ -93,8 +93,10 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     val numOutputRows = longMetric("numOutputRows")
     val numKeys = longMetric("numKeys")
     val numSpills = longMetric("numSpills")
-    val maxKeysInMemory = conf.getConfString(
-      "spark.graft.topkPerKey.maxKeysInMemory", (1 << 21).toString).toLong
+    // clamped to >= 1: a non-positive budget would write one empty run
+    // file per incoming key instead of ever holding a heap
+    val maxKeysInMemory = math.max(1L, conf.getConfString(
+      "spark.graft.topkPerKey.maxKeysInMemory", (1 << 21).toString).toLong)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
