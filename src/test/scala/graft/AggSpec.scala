@@ -100,6 +100,31 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram percentiles match buffered percentile() on degenerate inputs") {
+    // lineitem never exercises the edges: a single row (every pos = 0),
+    // all-equal values (the hi == lo single-bucket branch), negatives
+    // (bucket math below zero), and a two-row split (interpolation across
+    // the only boundary). Craft each as a lineitem-shaped parquet dir and
+    // require bit-equality between the two formulations.
+    import spark.implicits._
+    val cases = Seq(
+      "single row" -> Seq((7.0, 13.50)),
+      "all equal" -> Seq.fill(5)((3.0, 99.99)),
+      "two rows" -> Seq((1.0, 10.0), (2.0, 20.0)),
+      "negatives" -> Seq((-5.0, -1.25), (-1.0, -0.75), (4.0, 2.0)))
+    cases.foreach { case (label, rows) =>
+      val dir = java.nio.file.Files.createTempDirectory("pct_edge").toString
+      rows.toDF("l_quantity", "l_extendedprice").write.parquet(s"$dir/lineitem.parquet")
+      val buffered = AggPack.percentiles(spark, dir).collect().head
+      val hist = AggPack.percentilesViaHistogram(spark, dir).collect().head
+      (0 until 6).foreach { i =>
+        assert(buffered.getDouble(i) == hist.getDouble(i),
+          s"[$label] ${buffered.schema.fieldNames(i)}: " +
+            s"buffered=${buffered.getDouble(i)} hist=${hist.getDouble(i)}")
+      }
+    }
+  }
+
   test("registered exact percentile plan: no Percentile buffer, every window partitioned") {
     // the q85/q105 scale contract: no TypedImperativeAggregate buffering a
     // whole column, and no partitionless window funneling the histogram
