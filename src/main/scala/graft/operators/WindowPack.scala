@@ -112,7 +112,31 @@ object WindowPack extends QueryPack {
       .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
         col("l_orderkey"), col("l_linenumber"))
 
+  /** Distribution + navigation window functions in one pass — the rest of
+    * the standard window surface: ntile quartiles, percent_rank, cume_dist
+    * (rank fractions: single integer divisions, identical IEEE op on both
+    * engines), first/last value over an explicit whole-partition ROWS
+    * frame (the default frame differs between engines — spell it out), and
+    * lead. The ordering key (o_totalprice, o_orderkey) is unique, so every
+    * function is deterministic.
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("first_key", first(col("o_orderkey")).over(wf))
+      .withColumn("last_key", last(col("o_orderkey")).over(wf))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   val queries = Map(
+    "q129_window_distribution" -> windowDistribution _,
     "q90_window_range_frame" -> movingRevenue _,
     "q119_topk_per_key_native" -> topkPerKeyNative _,
     "q36_window_topn" -> topOrdersPerCustomer _,
@@ -121,6 +145,21 @@ object WindowPack extends QueryPack {
     "q39_window_running" -> runningSum _)
 
   val oracle = Map(
+    "q129_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  last_value(o_orderkey) OVER wf AS last_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q119_topk_per_key_native" ->
       // the custom heap operator must agree with the canonical window form
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
