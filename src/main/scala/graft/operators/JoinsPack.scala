@@ -136,6 +136,26 @@ object JoinsPack extends QueryPack {
       .orderBy(col("o_custkey"))
   }
 
+  /** Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL, the multiplicity-
+    * preserving duals of q28/q29 (Catalyst rewrites them to a count-based
+    * generate, not an anti/semi join: occurrences beyond the matched count
+    * survive). Exercised on a multiset that genuinely has duplicates
+    * (orders.o_custkey) against each status slice; folded to per-key
+    * multiplicities so the output is compact and deterministically
+    * ordered. One query, both ops, tagged rows.
+    */
+  def bagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val all = o.select(col("o_custkey"))
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    def fold(df: DataFrame, tag: String) =
+      df.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .select(lit(tag).as("op"), col("o_custkey"), col("n"))
+    fold(all.exceptAll(f), "except_all")
+      .unionAll(fold(all.intersectAll(f), "intersect_all"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
   /** TPC-H Q3 shape — shipping priority: the classic 3-way fact join with
     * selective filters on every input, per-order revenue, top-10. What the
     * plan must do at 100 TB: push all three filters to the scans, join the
@@ -249,7 +269,8 @@ object JoinsPack extends QueryPack {
     "q26_union_all" -> unionAll _,
     "q27_union_distinct" -> unionDistinct _,
     "q28_intersect" -> intersectKeys _,
-    "q29_except" -> exceptKeys _)
+    "q29_except" -> exceptKeys _,
+    "q130_bag_set_ops" -> bagSetOps _)
 
   val oracle = Map(
     "q17_shipping_priority" ->
@@ -352,5 +373,21 @@ object JoinsPack extends QueryPack {
     "q29_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    "q130_bag_set_ops" ->
+      """WITH ea AS (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |ia AS (
+        |  SELECT o_custkey FROM orders
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT op, o_custkey, n FROM (
+        |  SELECT 'except_all' AS op, o_custkey, count(*) AS n
+        |  FROM ea GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'intersect_all', o_custkey, count(*)
+        |  FROM ia GROUP BY o_custkey) u
+        |ORDER BY op, o_custkey""".stripMargin)
 }
