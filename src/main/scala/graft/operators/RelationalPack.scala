@@ -104,7 +104,28 @@ object RelationalPack extends QueryPack {
         |from customer_rel order by c_custkey""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the lateral
+    * top-n idiom (each outer row joined to its own ranked slice of the
+    * inner table). Catalyst decorrelates it through the
+    * DecorrelateInnerQuery/RewriteLateralSubquery batch into a ranked
+    * join — no per-row re-execution, unlike a naive nested-loop reading
+    * of the syntax. Customers with no orders drop out (inner join
+    * semantics of the comma lateral).
+    */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "customer").createOrReplaceTempView("customer_rel")
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_rel")
+    spark.sql(
+      """select c_custkey, t.o_orderkey, t.o_totalprice
+        |from customer_rel, lateral (
+        |  select o_orderkey, o_totalprice from orders_rel
+        |  where o_custkey = c_custkey
+        |  order by o_totalprice desc, o_orderkey limit 2) t
+        |order by c_custkey, t.o_totalprice desc, t.o_orderkey""".stripMargin)
+  }
+
   val queries = Map(
+    "q131_lateral_topn" -> lateralTopN _,
     "q14_in_subquery" -> inSubquery _,
     "q15_not_in_nulls" -> notInWithNulls _,
     "q16_scalar_subquery" -> scalarSubquery _,
@@ -131,6 +152,13 @@ object RelationalPack extends QueryPack {
         |  (SELECT round(max(o_totalprice), 2) FROM orders
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q131_lateral_topn" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q10_hw5_q1" -> withStudent(
       "SELECT name FROM (SELECT id, name, age FROM student WHERE age > 18 AND id <> NULL) t WHERE age < 35"),
     "q11_hw5_q2" -> withStudent(
