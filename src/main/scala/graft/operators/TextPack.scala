@@ -310,6 +310,35 @@ object TextPack extends QueryPack {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Fixed-window strided document chunking — the context-window slicing
+    * a pretraining pipeline runs before packing: each document's token
+    * stream becomes windows of `window` tokens starting every `stride`
+    * tokens (stride < window ⇒ overlap, so every token lands in ≥1 full
+    * context unless the doc is shorter than the window). Emits per chunk
+    * the 1-based start offset, its token count, and an md5 fingerprint of
+    * the chunk text — the compact projection (shipping chunk TEXT through
+    * the hash compare would re-materialize the corpus several times
+    * over). Map-only until the harness orderBy: tokenize, explode the
+    * start-offset sequence, slice — at 100 TB this is one pass with
+    * output ≈ (window/stride)× the input tokens, the expected chunking
+    * amplification.
+    */
+  def docChunks(spark: SparkSession, dir: String,
+                window: Int = 64, stride: Int = 32): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got stride=$stride window=$window")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // tokens() never yields an empty array (split of "" is [""]), so the
+      // start sequence 1, 1+stride, … ≤ len is always well-formed
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(stride))).as("start"))
+      .select(col("doc_id"), col("start"),
+        size(slice(col("toks"), col("start"), lit(window))).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("toks"), col("start"), lit(window)), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("start"))
+  }
+
   /** Domain-mix resampling — reweight the corpus toward a target source
     * mixture (the data-mixture step of training-set construction): each
     * source gets an acceptance rate; a doc is kept iff its deterministic
@@ -471,6 +500,7 @@ object TextPack extends QueryPack {
       .orderBy(col("source"), col("u"), col("doc_id"))
 
   val queries = Map(
+    "q132_doc_chunking" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "q60_text_stats" -> textStats _,
     "q121_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
     "q123_sample_per_source" -> ((s: SparkSession, d: String) => samplePerSource(s, d)),
@@ -502,6 +532,20 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q132_doc_chunking" ->
+      // DuckDB list slicing is 1-based inclusive: toks[s : s+window-1]
+      // ≡ Spark slice(toks, s, window); range() is end-exclusive where
+      // sequence() is inclusive — the +1 keeps the start sets identical
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(range(1, len(toks) + 1, 32)) AS INT) AS start
+        |  FROM d)
+        |SELECT doc_id, start,
+        |  CAST(len(toks[start : start + 63]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[start : start + 63], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, start""".stripMargin,
     "q123_sample_per_source" ->
       """SELECT source, doc_id, u FROM (
         |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS u,
