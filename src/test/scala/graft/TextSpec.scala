@@ -9,6 +9,27 @@ class TextSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = SparkTestSession.sfDir
 
+  test("doc chunking: strided windows cover every token, fingerprints match slices") {
+    import spark.implicits._
+    // 70 tokens → starts 1, 33, 65 with window 64 / stride 32:
+    // chunk sizes 64, 38, 6; every token appears in ≥1 chunk
+    val words = (1 to 70).map(i => s"w$i")
+    val tmp = java.nio.file.Files.createTempDirectory("chunks").toString
+    Seq((1L, words.mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = TextPack.docChunks(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    def md5Local(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = Seq(
+      (1L, 1, 64L, md5Local(words.slice(0, 64).mkString(" "))),
+      (1L, 33, 38L, md5Local(words.slice(32, 70).mkString(" "))),
+      (1L, 65, 6L, md5Local(words.slice(64, 70).mkString(" "))),
+      (2L, 1, 1L, md5Local("solo")))
+    assert(got.toSeq == expect)
+  }
+
   test("langId: crafted multilingual fixtures classify correctly") {
     import spark.implicits._
     val fixtures = Seq(
