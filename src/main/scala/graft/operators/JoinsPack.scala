@@ -156,6 +156,31 @@ object JoinsPack extends QueryPack {
       .orderBy(col("op"), col("o_custkey"))
   }
 
+  /** Salted equi-join — the hot-key skew treatment for joins (q44 is the
+    * aggregation twin): the big side scatters each key across `nSalts`
+    * sub-keys, the small side REPLICATES each row once per salt, and the
+    * join runs on (key, salt) — a skewed key's rows now spread over
+    * nSalts reducers instead of melting one. Replication multiplies the
+    * small side nSalts× (why the technique is reserved for dimension-vs-
+    * fact skew; AQE's skew splitting is the no-rewrite alternative,
+    * spec-proven in AdaptiveSpec). The oracle is the PLAIN unsalted join
+    * — proving the rewrite is semantics-preserving, the q44 pattern.
+    */
+  def saltedJoin(spark: SparkSession, dir: String, nSalts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val big = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_quantity")), lit(nSalts)))
+    val small = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .crossJoin(broadcast((0 until nSalts).toDF("salt")))
+    big.join(small,
+        big("l_orderkey") === small("o_orderkey") && big("salt") === small("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q3 shape — shipping priority: the classic 3-way fact join with
     * selective filters on every input, per-order revenue, top-10. What the
     * plan must do at 100 TB: push all three filters to the scans, join the
@@ -270,7 +295,8 @@ object JoinsPack extends QueryPack {
     "q27_union_distinct" -> unionDistinct _,
     "q28_intersect" -> intersectKeys _,
     "q29_except" -> exceptKeys _,
-    "q130_bag_set_ops" -> bagSetOps _)
+    "q130_bag_set_ops" -> bagSetOps _,
+    "q133_salted_join" -> ((s: SparkSession, d: String) => saltedJoin(s, d)))
 
   val oracle = Map(
     "q17_shipping_priority" ->
@@ -374,6 +400,12 @@ object JoinsPack extends QueryPack {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "q133_salted_join" ->
+      // the oracle is the UNSALTED join — the rewrite must be invisible
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q130_bag_set_ops" ->
       """WITH ea AS (
         |  SELECT o_custkey FROM orders
