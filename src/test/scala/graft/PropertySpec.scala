@@ -187,4 +187,58 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val vecGen: Gen[List[Float]] = for {
+    n <- Gen.choose(1, 16)
+    v <- Gen.listOfN(n, Gen.choose(-100.0f, 100.0f))
+  } yield v
+
+  test("int8 quantize/dequantize round-trip: reconstruction error <= (hi-lo)/255") {
+    import spark.implicits._
+    graft.functions.Int8Quantize.register(spark)
+    graft.functions.Int8Dequantize.register(spark)
+    forAll(vecGen) { v =>
+      val e = col("emb")
+      val row = Seq(Tuple1(v.toArray)).toDF("emb")
+        .select(
+          graft.functions.Int8Dequantize.dequantize(
+            graft.functions.Int8Quantize.quantize(e),
+            array_min(e).cast("double"), array_max(e).cast("double")).as("rv"))
+        .collect().head
+      val rv = row.getSeq[Double](0)
+      val lo = v.min.toDouble
+      val hi = v.max.toDouble
+      val bound = if (hi > lo) (hi - lo) / 255.0 else 0.0
+      assert(rv.length == v.length)
+      v.zip(rv).foreach { case (x, r) =>
+        // quantization floors downward, so r ∈ [x − step, x] (+ float eps);
+        // the degenerate constant vector reconstructs exactly to lo
+        assert(r <= x.toDouble + 1e-9 && x.toDouble - r <= bound + 1e-9,
+          s"x=$x reconstructed=$r bound=$bound (lo=$lo hi=$hi)")
+      }
+    }
+  }
+
+  test("TopKPerKey spill path ≡ in-memory path on random keyed data") {
+    import spark.implicits._
+    val dataGen: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, 25)
+        v <- Gen.choose(-1000, 1000)
+      } yield (k, v))
+    } yield rows
+    forAll(dataGen, n = 8) { rows =>
+      val df = rows.toDF("k", "v")
+      def run(): Set[(Int, Int)] =
+        graft.plans.TopKPerKey(df, Seq("k"), Seq(col("v").desc, col("k")), 3)
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val inMem = run()
+      spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "2")
+      try {
+        val spilled = run()
+        assert(spilled == inMem, s"spill path diverged on $rows")
+      } finally spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
+    }
+  }
 }
