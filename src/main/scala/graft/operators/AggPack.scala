@@ -217,9 +217,7 @@ object AggPack extends QueryPack {
     * a partition spec).
     */
   def percentilesViaHistogram(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val nBuckets = 64
     val probes = Seq(
       ("qty", "qty_p25", 0.25), ("qty", "qty_p50", 0.5),
       ("qty", "qty_p75", 0.75), ("qty", "qty_p95", 0.95),
@@ -229,10 +227,8 @@ object AggPack extends QueryPack {
     // value columns into (group, v) pairs and run a single two-phase
     // count aggregate — the per-column formulation scanned lineitem once
     // per histogram plus once per row count (4+ full scans; this was the
-    // bench's slowest query pair). Row counts and bucket bounds are then
-    // derived FROM the histogram (sum(c)/min/max per group) — histogram-
-    // sized aggregates, no extra corpus pass. percentile() ignores NULLs,
-    // so they are excluded before counting or every rank interval shifts.
+    // bench's slowest query pair). percentile() ignores NULLs, so they
+    // are excluded before counting or every rank interval shifts.
     val hist = t(spark, dir, "lineitem")
       .select(col("l_quantity").cast("double").as("qty"),
         round(col("l_extendedprice") * 100).cast("long").cast("double").as("price"))
@@ -242,11 +238,39 @@ object AggPack extends QueryPack {
       .select(col("e.g").as("g"), col("e.v").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val perProbe = histogramPercentiles(hist, probes.toDF("pg", "name", "p"))
+    // pivot the probe rows into the fixed column shape (max over a
+    // single-row-per-name frame = plain column extraction)
+    perProbe.agg(
+      max(when(col("name") === names.head, col("r"))).as(names.head),
+      names.tail.map { nm =>
+        max(when(col("name") === nm, col("r"))).as(nm)
+      }: _*)
+  }
+
+  /** Grouped exact-percentile core over a prebuilt `(g, v, c)` histogram:
+    * emits one row per probe — `(g, name, r)` — where r replicates
+    * Spark's Percentile interpolation (position = p·(n−1), result =
+    * (ceil−pos)·v_lo + (pos−floor)·v_hi) within group g. `probes` is a
+    * `(pg, name, p)` frame, so probe sets can differ per group (q85) or
+    * fan one set across data-driven groups (q134). Row counts and bucket
+    * bounds are derived FROM the histogram (sum(c)/min/max per group) —
+    * histogram-sized aggregates, never another corpus pass.
+    *
+    * The rank cumsum is DISTRIBUTED: values are range-bucketed by a
+    * monotone (v−lo)/width map (correctness needs only monotonicity, not
+    * balance — v == hi lands on nBuckets and is clamped), each bucket
+    * cumsums locally after one hash exchange on (g, bucket), and the
+    * prefix offsets come from a per-group window over the ≤ nBuckets-row
+    * totals (model-sized BY CONSTRUCTION — nBuckets is a constant), so
+    * no single-partition pass ever touches anything histogram-sized.
+    * Plan-asserted in AggSpec (every WindowExec carries a partition spec).
+    */
+  private[operators] def histogramPercentiles(hist: DataFrame, probesDf: DataFrame,
+                                              nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bounds = hist.groupBy(col("g"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), sum(col("c")).as("n"))
-    // phase 1: monotone range bucketing ((v−lo)/width is monotone in v
-    // under IEEE for width > 0, so bucket order == value order); v == hi
-    // lands exactly on nBuckets and is clamped by least()
     val bucketed = hist
       .join(broadcast(bounds.select(col("g").as("bg"), col("lo"), col("hi"))),
         col("g") === col("bg"))
@@ -256,16 +280,11 @@ object AggPack extends QueryPack {
             ((col("hi") - col("lo")) / nBuckets)), lit(nBuckets - 1)))
           .cast("int"))
       .select(col("g"), col("v"), col("c"), col("bucket"))
-    // per-(group, bucket) totals → prefix offsets via a per-group window
-    // over the totals table: ≤ nBuckets rows per group BY CONSTRUCTION
-    // (nBuckets is a constant), so this window is model-sized no matter
-    // the histogram — the histogram itself never sorts on one partition
     val wOff = Window.partitionBy(col("g")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("g"), col("bucket")).agg(sum(col("c")).as("t"))
       .select(col("g").as("og"), col("bucket").as("obucket"),
         coalesce(sum(col("t")).over(wOff), lit(0L)).as("off"))
-    // phase 2: local cumsum within each (group, bucket) + broadcast offset
     val w = Window.partitionBy(col("g"), col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // [start, end) rank interval covered by each distinct value (0-based)
@@ -277,32 +296,23 @@ object AggPack extends QueryPack {
       .withColumn("start", col("end") - col("c"))
       .select(col("g"), col("v"), col("start"), col("end"))
     val pos = col("p") * (col("n") - 1).cast("double")
-    val tgt = broadcast(probes.toDF("pg", "name", "p")
+    val tgt = broadcast(probesDf
       .join(bounds.select(col("g").as("ng"), col("n")), col("pg") === col("ng"))
       .select(col("pg"), col("name"), pos.as("pos"),
         floor(pos).as("lo_r"), ceil(pos).as("hi_r")))
-    // interval-containment probes against the ranked histogram, exactly
-    // Spark's Percentile interpolation: position = p·(n−1), result =
-    // (ceil−pos)·v_lo + (pos−floor)·v_hi
     val vLo = ranked.join(tgt, col("g") === col("pg") &&
         col("start") <= col("lo_r") && col("lo_r") < col("end"))
-      .select(col("name"), col("pos"), col("lo_r"), col("hi_r"), col("v").as("v_lo"))
+      .select(col("pg").as("vg"), col("name"), col("pos"), col("lo_r"), col("hi_r"),
+        col("v").as("v_lo"))
     val vHi = ranked.join(
         tgt.select(col("pg").as("hg"), col("name").as("hname"), col("hi_r").as("hh")),
         col("g") === col("hg") && col("start") <= col("hh") && col("hh") < col("end"))
-      .select(col("hname"), col("v").as("v_hi"))
+      .select(col("hg"), col("hname"), col("v").as("v_hi"))
     val r = when(col("lo_r") === col("hi_r"), col("v_lo"))
       .otherwise((col("hi_r").cast("double") - col("pos")) * col("v_lo") +
         (col("pos") - col("lo_r").cast("double")) * col("v_hi"))
-    val perProbe = vLo.join(vHi, col("name") === col("hname"))
-      .select(col("name"), r.as("r"))
-    // pivot the probe rows into the fixed column shape (max over a
-    // single-row-per-name frame = plain column extraction)
-    perProbe.agg(
-      max(when(col("name") === names.head, col("r"))).as(names.head),
-      names.tail.map { nm =>
-        max(when(col("name") === nm, col("r"))).as(nm)
-      }: _*)
+    vLo.join(vHi, col("vg") === col("hg") && col("name") === col("hname"))
+      .select(col("vg").as("g"), col("name"), r.as("r"))
   }
 
   /** Approximate percentiles — the 100 TB path q85 specializes. Exact

@@ -339,6 +339,30 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"), col("start"))
   }
 
+  /** Per-source EXACT token-length percentiles — the corpus length report
+    * every dataset card publishes, as the GROUPED form of the q85/q105
+    * histogram-exact machinery (AggPack.histogramPercentiles): one corpus
+    * pass builds the (source, n_tokens, count) histogram, the rank cumsum
+    * runs bucket-local per source, and the p50/p95 probes fan across the
+    * data-driven source set. Integer token counts ⇒ the interpolation is
+    * exact cross-engine (the q85 argument). At 100 TB: histogram rows =
+    * sources × distinct lengths — always tiny next to the corpus.
+    */
+  def sourceLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = t(spark, dir, "documents")
+      .select(col("source").as("g"),
+        size(tokens(col("text"))).cast("double").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val probesDf = hist.select(col("g").as("pg")).distinct()
+      .crossJoin(Seq(("p50_tokens", 0.5), ("p95_tokens", 0.95)).toDF("name", "p"))
+    AggPack.histogramPercentiles(hist, probesDf)
+      .groupBy(col("g").as("source"))
+      .agg(max(when(col("name") === "p50_tokens", col("r"))).as("p50_tokens"),
+        max(when(col("name") === "p95_tokens", col("r"))).as("p95_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Domain-mix resampling — reweight the corpus toward a target source
     * mixture (the data-mixture step of training-set construction): each
     * source gets an acceptance rate; a doc is kept iff its deterministic
@@ -500,6 +524,7 @@ object TextPack extends QueryPack {
       .orderBy(col("source"), col("u"), col("doc_id"))
 
   val queries = Map(
+    "q134_source_length_percentiles" -> sourceLengthPercentiles _,
     "q132_doc_chunking" -> ((s: SparkSession, d: String) => docChunks(s, d)),
     "q60_text_stats" -> textStats _,
     "q121_dsir_importance" -> ((s: SparkSession, d: String) => dsirImportance(s, d)),
@@ -532,6 +557,11 @@ object TextPack extends QueryPack {
       |FROM documents""".stripMargin
 
   val oracle = Map(
+    "q134_source_length_percentiles" ->
+      """SELECT source,
+        |  quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+        |  quantile_cont(len(string_split(text, ' ')), 0.95) AS p95_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q132_doc_chunking" ->
       // DuckDB list slicing is 1-based inclusive: toks[s : s+window-1]
       // ≡ Spark slice(toks, s, window); range() is end-exclusive where
