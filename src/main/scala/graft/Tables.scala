@@ -26,6 +26,20 @@ object Tables {
   def sfTag(spark: SparkSession, dir: String): Long =
     t(spark, dir, "lineitem").count()
 
+  /** Scratch root for artifacts a query persists AND its DuckDB oracle
+    * reads back (model dumps, stored indexes). Verify points this at a
+    * directory under its own out_dir (so the oracle check is hermetic —
+    * build and check share one tree, nothing depends on a /tmp surviving
+    * between processes); everywhere else the /tmp default applies. Oracle
+    * SQL never embeds the absolute path: it writes [[AuxPlaceholder]] and
+    * Verify substitutes the real root when dumping oracle_sql.json.
+    */
+  def oracleAuxDir(spark: SparkSession): String =
+    spark.conf.get("spark.graft.oracle.auxDir", "/tmp/graft_oracle_aux")
+
+  /** Token oracle SQL uses in place of the aux root (see [[oracleAuxDir]]). */
+  val AuxPlaceholder = "__GRAFT_AUX__"
+
   /** `events` with `ts` normalized to a µs-precision TIMESTAMP.
     *
     * The parquet stores TIMESTAMP(NANOS), which Spark only reads as a raw

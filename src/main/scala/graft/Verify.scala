@@ -11,10 +11,17 @@ object Verify {
     // args(2) (driver always calls with exactly two args → no-op there)
     val nameFilter = args.lift(2).getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Root the oracle-aux dumps (persisted models/indexes the DuckDB oracle
+    // reads back) under THIS run's out_dir: build and check then share one
+    // tree and the compare never depends on a /tmp surviving between
+    // processes. The oracle SQL carries Tables.AuxPlaceholder instead of an
+    // absolute path; it is substituted below when oracle_sql.json is dumped.
+    val auxDir = new java.io.File(outDir, "oracle_aux").getAbsolutePath
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.oracle.auxDir", auxDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,7 +51,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(Tables.AuxPlaceholder, auxDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     if (failed.nonEmpty) {

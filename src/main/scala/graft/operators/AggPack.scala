@@ -159,7 +159,7 @@ object AggPack extends QueryPack {
     * SPEC-ONLY REFERENCE since round 6: each percentile() call is a
     * TypedImperativeAggregate holding every group value in one aggregation
     * buffer, a genuine scale-killer at 100 TB. The REGISTERED exact path
-    * (q85 and q105) is percentilesViaHistogram below, proven hash-identical
+    * (q85) is percentilesViaHistogram below, proven hash-identical
     * to this form against the same DuckDB oracle; AggSpec additionally pins
     * the two formulations row-equal directly.
     *
@@ -189,7 +189,7 @@ object AggPack extends QueryPack {
         element_at(col("price_ps"), 2).as("price_cents_p95"))
 
   /** Exact percentiles WITHOUT buffering — the REGISTERED exact path
-    * (q85 and q105; the buffered percentile() above is the spec-only
+    * (q85; the buffered percentile() above is the spec-only
     * reference, q89 is the approx-sketch point of the triangle): a
     * two-phase (value, count) histogram collapses N rows to |V| distinct
     * values BEFORE anything non-distributed happens, the rank cumsum runs
@@ -246,6 +246,68 @@ object AggPack extends QueryPack {
       names.tail.map { nm =>
         max(when(col("name") === nm, col("r"))).as(nm)
       }: _*)
+  }
+
+  /** WEIGHTED exact percentiles — where q85 asks "the price at rank p of
+    * the line-item list", this asks "the price below which p of the
+    * QUANTITY sold sits" (weight = l_quantity): the revenue/volume-share
+    * form dataset cards and pricing reports use. Definition is the lower
+    * weighted percentile — the smallest v whose cumulative weight reaches
+    * p·W — the discrete form both engines compute bit-identically: weights
+    * are integers, so every cumulative sum is an exact long (no FP
+    * order-of-addition sensitivity between Spark's two-phase cumsum and
+    * DuckDB's sequential window), and the only float op is the identical
+    * p·W multiply+compare. Distribution is the q85 machinery: the
+    * (v, Σw) histogram collapses the corpus in one two-phase aggregate,
+    * the rank cumsum is bucket-local after one hash exchange, and prefix
+    * offsets come from a broadcast triangular self-join over the
+    * ≤ nBuckets totals row set — nothing histogram-sized ever crosses a
+    * single partition.
+    */
+  def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nBuckets = 64
+    val hist = t(spark, dir, "lineitem")
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .select(round(col("l_extendedprice") * 100).cast("long").cast("double").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("v")).agg(sum(col("w")).as("c"))
+    val bounds = hist.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      sum(col("c")).as("tot"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / nBuckets)),
+            lit(nBuckets - 1))).cast("int"))
+      .select(col("v"), col("c"), col("bucket"), col("tot"))
+    // prefix offsets over the ≤ nBuckets totals WITHOUT a window: with a
+    // single global group a window's constant partition key constant-folds
+    // to a partitionless (single-partition-exchange) spec, so cumsum the
+    // strictly-lower buckets through a broadcast triangular self-join —
+    // ≤ nBuckets² joined rows, no exchange wider than a broadcast
+    val totals = bucketed.groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.select(col("bucket").as("bb"), col("t").as("bt"))),
+        col("bb") < col("bucket"), "left_outer")
+      .groupBy(col("bucket").as("obucket"))
+      .agg(coalesce(sum(col("bt")), lit(0L)).as("off"))
+    val wCum = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .withColumn("cum_local", sum(col("c")).over(wCum))
+      .join(broadcast(offsets), col("bucket") === col("obucket"))
+      .withColumn("cum", col("cum_local") + col("off"))
+      .select(col("v"), col("cum"), col("tot"))
+    val probes = Seq(("wp25", 0.25), ("wp50", 0.5), ("wp75", 0.75), ("wp95", 0.95))
+    val hits = cum.crossJoin(broadcast(probes.toDF("name", "p")))
+      .filter(col("cum").cast("double") >= col("p") * col("tot").cast("double"))
+      .groupBy(col("name")).agg(min(col("v")).as("r"))
+    hits.agg(
+      max(when(col("name") === "wp25", col("r"))).as("wp25"),
+      max(when(col("name") === "wp50", col("r"))).as("wp50"),
+      max(when(col("name") === "wp75", col("r"))).as("wp75"),
+      max(when(col("name") === "wp95", col("r"))).as("wp95"))
   }
 
   /** Grouped exact-percentile core over a prebuilt `(g, v, c)` histogram:
@@ -459,10 +521,12 @@ object AggPack extends QueryPack {
   val queries = Map(
     "q30_distinct" -> distinctFlags _,
     "q113_unpivot" -> unpivotMetrics _,
-    // q85 and q105 both run the histogram-exact formulation — the buffered
-    // percentile() form stays a spec-only reference (AggSpec row-equality)
+    // q85 runs the histogram-exact formulation (the buffered percentile()
+    // form stays a spec-only reference); q105 is the WEIGHTED variant —
+    // the two names were historically bound to one function, which
+    // duplicated ~3 s of bench work and inflated the query count
     "q85_percentiles" -> percentilesViaHistogram _,
-    "q105_percentiles_histogram" -> percentilesViaHistogram _,
+    "q105_weighted_percentiles" -> weightedPercentiles _,
     "q89_approx_percentiles" -> approxPercentiles _,
     "q86_stats" -> stats _,
     "q87_histogram" -> histogram _,
@@ -518,10 +582,26 @@ object AggPack extends QueryPack {
         |  UNION ALL SELECT l_returnflag, 'max_qty', max_qty FROM w
         |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w) u
         |ORDER BY l_returnflag, metric""".stripMargin,
-    // identical oracle for the buffered (q85) and histogram (q105) forms —
-    // the rewrite must agree with the original to the last bit
-    "q105_percentiles_histogram" -> percentilesSql,
     "q85_percentiles" -> percentilesSql,
+    "q105_weighted_percentiles" ->
+      // lower weighted percentile: smallest v with cum weight ≥ p·W.
+      // Integer weights keep every cumsum exact (DuckDB sums BIGINT into
+      // HUGEINT; the CAST to DOUBLE happens only at the compare, the same
+      // single IEEE multiply+compare Spark runs)
+      """WITH h AS (
+        |  SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) AS v,
+        |    sum(CAST(l_quantity AS BIGINT)) AS c
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot FROM h)
+        |SELECT
+        |  min(CASE WHEN CAST(cum AS DOUBLE) >= 0.25 * CAST(tot AS DOUBLE) THEN v END) AS wp25,
+        |  min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE) THEN v END) AS wp50,
+        |  min(CASE WHEN CAST(cum AS DOUBLE) >= 0.75 * CAST(tot AS DOUBLE) THEN v END) AS wp75,
+        |  min(CASE WHEN CAST(cum AS DOUBLE) >= 0.95 * CAST(tot AS DOUBLE) THEN v END) AS wp95
+        |FROM o""".stripMargin,
     "q86_stats" ->
       """WITH s AS (
         |  SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,

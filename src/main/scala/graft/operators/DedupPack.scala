@@ -419,20 +419,40 @@ object DedupPack extends QueryPack {
     */
   def dedupIncrementalIndexed(spark: SparkSession, dir: String,
                               threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    import spark.implicits._
     val tag = graft.Tables.sfTag(spark, dir)
     val table = s"graft_shingle_index_${tag}_n3_cap${dfCap}_v1"
-    val loc = s"/tmp/graft_oracle_aux/shingle_index_${tag}_n3_cap${dfCap}_v1"
+    val loc = s"${graft.Tables.oracleAuxDir(spark)}/shingle_index_${tag}_n3_cap${dfCap}_v1"
     val sh = cappedShingles(spark, dir, dfCap)
     graft.sources.KeyedStore.create(spark, table, loc)
-    if (spark.table(table).isEmpty) {
+    // Build-once guard, crash-safe: a put that dies mid-append would leave a
+    // non-empty PARTIAL postings set that "non-empty ⇒ built" would forever
+    // serve as complete. Instead the build commits by writing a sentinel
+    // cell LAST (family "m": the exact postings count); serve trusts the
+    // index only when the sentinel exists and the resolved postings count
+    // matches it. A failed attempt (no/mismatched sentinel) is rebuilt by
+    // re-appending everything at max(version)+1 — the store is append-only,
+    // and maxVersions=1 resolution makes the newest complete attempt win.
+    val resolved0 = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+    val sentinel = resolved0.filter(col("family") === "m")
+      .select(col("value")).collect().headOption.map(_.getString(0).toLong)
+    val built = sentinel.exists(_ == resolved0.filter(col("family") === "p").count())
+    if (!built) {
+      val postings = sh.filter(col("doc_id") % 2 === 0)
+        .select(col("shingle").cast("string").as("rowkey"),
+          lit("p").as("family"),
+          col("doc_id").cast("string").as("qualifier"),
+          lit("1").as("value"))
+      val ver = spark.table(table).agg(coalesce(max(col("version")), lit(0L)))
+        .head.getLong(0) + 1
+      graft.sources.KeyedStore.put(spark, table, postings.withColumn("version", lit(ver)))
+      val n = postings.count()
       graft.sources.KeyedStore.put(spark, table,
-        sh.filter(col("doc_id") % 2 === 0)
-          .select(col("shingle").cast("string").as("rowkey"),
-            lit("p").as("family"),
-            col("doc_id").cast("string").as("qualifier"),
-            lit("1").as("value"), lit(1L).as("version")))
+        Seq(("__meta__", "m", "n_postings", n.toString, ver))
+          .toDF("rowkey", "family", "qualifier", "value", "version"))
     }
     val idx = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      .filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
         col("qualifier").cast("long").as("d_old"))
     val newSh = sh.filter(col("doc_id") % 2 === 1)

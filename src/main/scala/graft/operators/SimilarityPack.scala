@@ -450,10 +450,13 @@ object SimilarityPack extends QueryPack {
   /** Shared location for driver-oracle auxiliary dumps: the oracle SQL
     * recomputes model-dependent results straight off these files (DuckDB
     * `read_parquet` needs a constant path, so the SF keying lives in the
-    * rows/rowkeys, not the path). Builder/driver-host scratch space — the
-    * same /tmp the Verify recipe uses.
+    * rows/rowkeys, not the path). Conf-derived (see Tables.oracleAuxDir):
+    * Verify roots it under its own out_dir so the DuckDB check never
+    * depends on a /tmp shared between build and check; the oracle SQL
+    * writes Tables.AuxPlaceholder and Verify substitutes the real root.
     */
-  private val oracleAuxDir = "/tmp/graft_oracle_aux"
+  private def oracleAuxDir(spark: SparkSession): String =
+    graft.Tables.oracleAuxDir(spark)
 
   /** q125 — the kmeansSave→kmeansLoad round-trip under the driver's oracle:
     * train (session-memoized, the same quantizer q106/q116 serve), persist
@@ -469,12 +472,14 @@ object SimilarityPack extends QueryPack {
   def kmeansPersistRoundtrip(spark: SparkSession, dir: String,
                              nCells: Int = 16, iters: Int = 2,
                              table: String = "graft_kmeans_model_store",
-                             location: String = "/tmp/graft_oracle_aux/kmeans_store",
+                             location: String = "",
                              compactAfter: Int = 32): DataFrame = {
     import spark.implicits._
+    val loc =
+      if (location.nonEmpty) location else s"${oracleAuxDir(spark)}/kmeans_store"
     val (centroids, _) = kmeansModel(spark, dir, nCells, iters)
     val prefix = f"S${sfTag(spark, dir)}%09d#"
-    kmeansSave(spark, table, location, centroids, prefix)
+    kmeansSave(spark, table, loc, centroids, prefix)
     // store maintenance in production position: the append-only history
     // grows one generation per save — past `compactAfter` generations,
     // major-compact down to the newest 3 versions per cell (read
@@ -508,7 +513,7 @@ object SimilarityPack extends QueryPack {
     val (mean, comps, _) = pcaModel(spark, dir, p)
     val tag = sfTag(spark, dir)
     val ts = System.currentTimeMillis()
-    val dumpPath = s"$oracleAuxDir/pca_model"
+    val dumpPath = s"${oracleAuxDir(spark)}/pca_model"
     (("mean", mean.toSeq) +: comps.toSeq.zipWithIndex.map { case (c, i) =>
         (s"pc${i + 1}", c.toSeq)
       })
@@ -516,22 +521,40 @@ object SimilarityPack extends QueryPack {
       .toDF("tag", "part", "vals", "ts")
       .coalesce(1).write.mode("append").parquet(dumpPath)
     // dump maintenance: appends add one tiny file per invocation; past 64
-    // files, collapse to the newest row per (tag, part) — model-sized by
-    // construction (#tags × (p+1) rows), so the rewrite is a driver-local
-    // overwrite, and newest-per-part resolution is unchanged
-    val fs = new org.apache.hadoop.fs.Path(dumpPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.listStatus(new org.apache.hadoop.fs.Path(dumpPath)).length > 64) {
+    // DATA files (only *.parquet counts — _SUCCESS/metadata don't age),
+    // collapse to the newest row per (tag, part) — model-sized by
+    // construction (#tags × (p+1) rows). The rewrite is the
+    // KeyedStore.compact swap (write sibling tmp, rename live→old,
+    // tmp→live, drop old): a crash at any step leaves every model
+    // generation recoverable in exactly one of live/tmp/old, never a
+    // half-deleted dir — in-place overwrite (delete-then-write) would
+    // destroy all generations if it died mid-write.
+    val dumpP = new org.apache.hadoop.fs.Path(dumpPath)
+    val fs = dumpP.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(dumpP.getParent, s".${dumpP.getName}_compact_old")
+    val nDataFiles =
+      if (fs.exists(dumpP))
+        fs.listStatus(dumpP).count(_.getPath.getName.endsWith(".parquet"))
+      else 0
+    if (nDataFiles > 64) {
       import org.apache.spark.sql.expressions.Window
-      val newest = spark.read.parquet(dumpPath)
+      val tmp = new org.apache.hadoop.fs.Path(dumpP.getParent, s".${dumpP.getName}_compact_tmp")
+      fs.delete(tmp, true)
+      spark.read.parquet(dumpPath)
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
           Window.partitionBy(col("tag"), col("part")).orderBy(col("ts").desc)))
         .filter(col("rn") === 1).drop("rn")
-        .collect()
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(newest.toIndexedSeq, 1),
-          spark.read.parquet(dumpPath).schema)
-        .write.mode("overwrite").parquet(dumpPath)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (!fs.rename(dumpP, old))
+        throw new java.io.IOException(s"pca dump compaction swap failed at $dumpP")
+      if (!fs.rename(tmp, dumpP)) {
+        val restored = fs.rename(old, dumpP)
+        throw new java.io.IOException(s"pca dump compaction swap failed at $dumpP " +
+          (if (restored) "(rolled back)"
+           else s"(ROLLBACK ALSO FAILED — dump preserved at $old)"))
+      }
+      fs.delete(old, true)
     }
     pcaProject(t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
         col("embedding"), mean, comps)
@@ -751,7 +774,7 @@ object SimilarityPack extends QueryPack {
         |  SELECT rowkey, qualifier, value FROM (
         |    SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
         |                                 ORDER BY version DESC) AS rn
-        |    FROM read_parquet('/tmp/graft_oracle_aux/kmeans_store/*.parquet')
+        |    FROM read_parquet('__GRAFT_AUX__/kmeans_store/*.parquet')
         |    WHERE value IS NOT NULL
         |      AND starts_with(rowkey,
         |        'S' || lpad(CAST((SELECT count(*) FROM lineitem) AS VARCHAR), 9, '0') || '#')
@@ -767,7 +790,7 @@ object SimilarityPack extends QueryPack {
       """WITH model AS (
         |  SELECT part, vals FROM (
         |    SELECT *, row_number() OVER (PARTITION BY part ORDER BY ts DESC) AS rn
-        |    FROM read_parquet('/tmp/graft_oracle_aux/pca_model/*.parquet')
+        |    FROM read_parquet('__GRAFT_AUX__/pca_model/*.parquet')
         |    WHERE tag = (SELECT count(*) FROM lineitem)) t
         |  WHERE rn = 1)
         |SELECT e.vec_id,

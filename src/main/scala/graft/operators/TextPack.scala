@@ -353,6 +353,9 @@ object TextPack extends QueryPack {
     val hist = t(spark, dir, "documents")
       .select(col("source").as("g"),
         size(tokens(col("text"))).cast("double").as("v"))
+      // quantile_cont (the oracle) ignores NULLs; a NULL length would both
+      // inflate n and sort into a phantom first bucket, shifting every rank
+      .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val probesDf = hist.select(col("g").as("pg")).distinct()
       .crossJoin(Seq(("p50_tokens", 0.5), ("p95_tokens", 0.95)).toDF("name", "p"))

@@ -119,7 +119,11 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
       /** Drain the map to a key-sorted run file and clear it. */
       def spill(): Unit = {
         import scala.jdk.CollectionConverters._
-        val file = java.io.File.createTempFile("graft-topk-spill", ".run")
+        // allocated from Spark's managed executor local dirs (disk-usage
+        // accounted, operator-provisioned disks, swept on JVM death) — not
+        // bare java.io.tmpdir; see GraftCoreBridge
+        val file = org.apache.spark.graftbridge.GraftCoreBridge
+          .createLocalSpillFile("graft-topk-spill")
         spillFiles += file
         val entries = heaps.entrySet().asScala.toArray
           .map(e => (e.getKey.getBytes, e.getValue))

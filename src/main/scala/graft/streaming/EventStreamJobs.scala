@@ -243,14 +243,13 @@ object EventStreamJobs {
     * outstanding at any time: each update deletes the previous deadline
     * and arms lastMs + gap + 1.
     */
-  class SessionProcessor(gapMs: Long, keepCounter: Boolean,
-                         ttl: TTLConfig = TTLConfig.NONE)
+  class SessionProcessor(gapMs: Long, keepCounter: Boolean)
       extends StatefulProcessor[Long, SessionEventT, SessionOut] {
     @transient private var state: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[SessionState]("session",
-        org.apache.spark.sql.Encoders.product[SessionState], ttl)
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
 
     override def handleInputRows(userId: Long, rows: Iterator[SessionEventT],
                                  timers: TimerValues): Iterator[SessionOut] = {
@@ -280,25 +279,36 @@ object EventStreamJobs {
 
   /** State-bound contract under `keepCounter = true` (the default): the
     * per-user tombstone makes state O(distinct users ever seen) — an
-    * unbounded leak on an unbounded keyspace. Two escape hatches:
-    * `keepCounter = false` removes state at watermark close (strict
+    * unbounded leak on an unbounded keyspace. The escape hatch is
+    * `keepCounter = false`: state is removed at watermark close (strict
     * O(users active in the horizon) bound, per-user numbering may restart
-    * at 1 after an idle close), or `tombstoneTtl` attaches a processing-
-    * time TTL to the state handle so idle tombstones age out after the
-    * configured duration (numbering restarts only for users idle longer
-    * than the TTL — the middle ground for unbounded keyspaces).
+    * at 1 after an idle close).
+    *
+    * A state TTL is NOT offered: sessionization is event-time (timers fire
+    * off the watermark), and Spark 4.1.2's state handle rejects any
+    * non-NONE `TTLConfig` outside `TimeMode.ProcessingTime`
+    * (`StatefulProcessorHandleImpl.validateTTLConfig` throws
+    * `StatefulProcessorCannotAssignTTLInTimeMode`). Silently switching the
+    * processor to processing-time mode to legalize a TTL would change when
+    * sessions close (wall clock instead of watermark), so a non-NONE
+    * `tombstoneTtl` is rejected eagerly here with this explanation rather
+    * than failing deep inside the first microbatch.
     */
   def sessionizeTws(events: Dataset[SessionEvent], gapMs: Long,
                     watermarkDelay: String = "0 seconds",
                     keepCounter: Boolean = true,
                     tombstoneTtl: TTLConfig = TTLConfig.NONE): Dataset[SessionOut] = {
+    require(tombstoneTtl == TTLConfig.NONE,
+      "sessionizeTws runs in TimeMode.EventTime, and Spark rejects state TTL " +
+        "outside processing-time mode (StatefulProcessorCannotAssignTTLInTimeMode); " +
+        "use keepCounter = false to bound state instead of a TTL")
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_millis(col("tsMs")))
       .withWatermark("ts", watermarkDelay)
       .as[SessionEventT]
       .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapMs, keepCounter, tombstoneTtl),
+      .transformWithState(new SessionProcessor(gapMs, keepCounter),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -151,6 +151,42 @@ class AggSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("weighted percentiles match a driver-side brute-force fold") {
+    // q105's definition pin: lower weighted percentile — smallest price
+    // (cents) whose cumulative l_quantity weight reaches p·W — checked
+    // against a sequential sort-and-accumulate over the raw rows
+    import org.apache.spark.sql.functions._
+    val rows = Tables.t(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = rows.map(_._2).sum
+    def brute(p: Double): Double = {
+      var cum = 0L
+      rows.find { case (_, w) => cum += w; cum.toDouble >= p * total.toDouble }
+        .get._1.toDouble
+    }
+    val got = AggPack.weightedPercentiles(spark, dir).collect().head
+    Seq(0.25, 0.5, 0.75, 0.95).zipWithIndex.foreach { case (p, i) =>
+      assert(got.getDouble(i) == brute(p),
+        s"wp$p: got ${got.getDouble(i)} expected ${brute(p)}")
+    }
+  }
+
+  test("weighted percentile plan: every window partitioned") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = AggPack.weightedPercentiles(spark, dir).queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the bucket-local cumsum window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"partitionless window (single-partition exchange) in:\n$plan"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("TopKLongs aggregator == window row_number top-k formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -439,6 +439,24 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeTws rejects a non-NONE TTL eagerly (event-time mode forbids it)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.TTLConfig
+    import spark.implicits._
+    import EventStreamJobs.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // Spark 4.1.2's StatefulProcessorHandleImpl.validateTTLConfig throws for
+    // any non-NONE TTL outside processing-time mode; sessionizeTws must fail
+    // at call time with a message naming the keepCounter=false alternative,
+    // not deep inside the first microbatch
+    val e = intercept[IllegalArgumentException] {
+      EventStreamJobs.sessionizeTws(input.toDS(), 1000L,
+        tombstoneTtl = TTLConfig(java.time.Duration.ofMinutes(5)))
+    }
+    assert(e.getMessage.contains("keepCounter"))
+  }
+
   test("transformWithState sessionization matches the flatMapGroupsWithState path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -29,4 +29,24 @@ class SparkEntrySpec extends AnyFunSuite {
     val prefixes = qs.map(_.takeWhile(_ != '_'))
     assert(prefixes.size == qs.size, "qNN prefix collision")
   }
+
+  test("no oracle SQL embeds an absolute scratch path (hermetic aux rule)") {
+    // oracles that read persisted aux dumps must go through
+    // Tables.AuxPlaceholder (substituted by Verify with a root under its
+    // own out_dir) — an absolute /tmp literal couples the DuckDB check to
+    // a scratch dir shared between build and check processes
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("/tmp"), s"$name oracle embeds an absolute /tmp path")
+    }
+  }
+
+  test("no two query names are bound to the same pack function (no aliases)") {
+    // q85/q105 historically double-registered one function, inflating the
+    // query count and duplicating ~3 s of bench work per round
+    SparkEntry.allPacks.foreach { p =>
+      val fns = p.queries.values.toSeq
+      assert(fns.size == fns.distinct.size,
+        s"duplicate function registration in ${p.getClass.getSimpleName}")
+    }
+  }
 }
