@@ -51,16 +51,22 @@ object DedupPack extends QueryPack {
     * df filter rides the same shingle-partitioned exchange the downstream
     * self-join needs.
     */
-  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+  /** (doc_id, shingle-hash) pairs, one per DISTINCT shingle per document —
+    * the universe the df cap counts over. Joining on the 64-bit hash, not
+    * the string, keeps every downstream shuffle moving 8-byte keys instead
+    * of ~20-byte text (collision probability over n shingles ≈ n²/2⁶⁵ —
+    * irrelevant at any corpus size that fits a cluster).
+    */
+  private def rawShingles(spark: SparkSession, dir: String): DataFrame = {
     NGramShingles.register(spark)
-    // join on the 64-bit shingle hash, not the string: the self-join
-    // shuffle then moves 8-byte keys instead of ~20-byte text (collision
-    // probability over n shingles ≈ n²/2⁶⁵ — irrelevant at any corpus size
-    // that fits a cluster)
-    val raw = t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(NGramShingles.shinglesFast(tokens(col("text")), 3)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+  }
+
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val raw = rawShingles(spark, dir)
     // document frequency via a window over the SAME shingle-partitioned
     // exchange the self-join needs: every consumer of `sh` (both join
     // sides, the sizes aggregate) canonicalizes to an identical subplan,
@@ -471,6 +477,97 @@ object DedupPack extends QueryPack {
       .orderBy(col("d_new"), col("d_old"))
   }
 
+  /** Incremental dedup with STORED document frequencies — the 100 TB
+    * design q127's scaladoc names and round-6 left as the one residue:
+    * q127 still recomputed the df cap with a window over the FULL corpus
+    * (old + new), so every ingest paid a whole-corpus pass. Here the
+    * index persists, per shingle, both the old-side postings AND the
+    * old-side df, and serve time touches ONLY the new batch and the
+    * index:
+    *
+    *   df_total(s) = df_old(s, stored) + df_new(s, batch)
+    *
+    * which equals q117's full-corpus document frequency exactly, because
+    * every document sits on exactly one side of the ingest boundary. The
+    * index stays bounded: postings are stored only for df_old ≤ cap (a
+    * shingle over the cap on the old side alone can never survive the
+    * total cap), and the stored df is clamped to cap+1 (beyond the cap
+    * only "over" matters). Cap resolution is a shingle-keyed full-outer
+    * join of the two df tables — batch-sized ∪ vocabulary-sized, never a
+    * corpus window. The shingle universe therefore shifts between ingests
+    * exactly when a shingle CROSSES the cap (df_old ≤ cap but
+    * df_old + df_new > cap excludes it everywhere, including from old-doc
+    * sizes) — the boundary semantics DedupSpec pins. Build is the q127
+    * sentinel-committed build-once; the oracle is q117's SQL verbatim:
+    * stored-df serve must equal full recompute, bit for bit.
+    */
+  def dedupIncrementalStoredDf(spark: SparkSession, dir: String,
+                               threshold: Double = 0.5, dfCap: Int = 100,
+                               tableOverride: String = "",
+                               locationOverride: String = ""): DataFrame = {
+    import spark.implicits._
+    val tag = graft.Tables.sfTag(spark, dir)
+    val table =
+      if (tableOverride.nonEmpty) tableOverride
+      else s"graft_shingle_dfidx_${tag}_n3_cap${dfCap}_v1"
+    val loc =
+      if (locationOverride.nonEmpty) locationOverride
+      else s"${graft.Tables.oracleAuxDir(spark)}/shingle_dfidx_${tag}_n3_cap${dfCap}_v1"
+    graft.sources.KeyedStore.create(spark, table, loc)
+    val resolved0 = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+    val sentinel = resolved0.filter(col("family") === "m")
+      .select(col("value")).collect().headOption.map(_.getString(0).toLong)
+    val built = sentinel.exists(_ == resolved0.filter(col("family") =!= "m").count())
+    if (!built) {
+      val oldSh = rawShingles(spark, dir).filter(col("doc_id") % 2 === 0)
+      val dfOld = oldSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val postings = oldSh
+        .join(dfOld.filter(col("df") <= dfCap).select(col("shingle")), "shingle")
+        .select(col("shingle").cast("string").as("rowkey"), lit("p").as("family"),
+          col("doc_id").cast("string").as("qualifier"), lit("1").as("value"))
+      val dfCells = dfOld
+        .select(col("shingle").cast("string").as("rowkey"), lit("d").as("family"),
+          lit("df").as("qualifier"),
+          least(col("df"), lit(dfCap + 1L)).cast("string").as("value"))
+      val cells = postings.unionByName(dfCells)
+      val ver = spark.table(table).agg(coalesce(max(col("version")), lit(0L)))
+        .head.getLong(0) + 1
+      graft.sources.KeyedStore.put(spark, table, cells.withColumn("version", lit(ver)))
+      val n = cells.count()
+      graft.sources.KeyedStore.put(spark, table,
+        Seq(("__meta__", "m", "n_cells", n.toString, ver))
+          .toDF("rowkey", "family", "qualifier", "value", "version"))
+    }
+    val cells = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+    val idx = cells.filter(col("family") === "p")
+      .select(col("rowkey").cast("long").as("shingle"),
+        col("qualifier").cast("long").as("d_old"))
+    val dfOldStored = cells.filter(col("family") === "d")
+      .select(col("rowkey").cast("long").as("shingle"),
+        col("value").cast("long").as("df_old"))
+    val newShRaw = rawShingles(spark, dir).filter(col("doc_id") % 2 === 1)
+    val dfNew = newShRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df_new"))
+    val survivors = dfNew.join(dfOldStored, Seq("shingle"), "full_outer")
+      .filter(coalesce(col("df_new"), lit(0L)) +
+        coalesce(col("df_old"), lit(0L)) <= dfCap)
+      .select(col("shingle"))
+    val newSh = newShRaw.join(survivors, "shingle")
+    val idxKept = idx.join(survivors, "shingle")
+    val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesOld = idxKept.groupBy(col("d_old").as("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = newSh.join(idxKept, "shingle")
+      .groupBy(col("doc_id").as("d_new"), col("d_old"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizesNew.as("s1"), col("d_new") === col("s1.doc_id"))
+      .join(sizesOld.as("s2"), col("d_old") === col("s2.doc_id"))
+      .select(col("d_new"), col("d_old"),
+        (col("inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d_new"), col("d_old"))
+  }
+
   /** Keep-list — the deliverable the whole dedup family exists to produce:
     * per source, how many documents survive near-dup collapse (one
     * representative — the component-minimum doc_id — per cluster; docs in
@@ -579,6 +676,8 @@ object DedupPack extends QueryPack {
     "q117_incremental_dedup" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "q127_incremental_dedup_indexed" ->
       ((s: SparkSession, d: String) => dedupIncrementalIndexed(s, d)),
+    "q135_incremental_dedup_storeddf" ->
+      ((s: SparkSession, d: String) => dedupIncrementalStoredDf(s, d)),
     "q73_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),
     "q66_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccard(s, d)),
     "q67_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
@@ -684,6 +783,9 @@ object DedupPack extends QueryPack {
     // postings index — same oracle text: store-served == recomputed
     "q127_incremental_dedup_indexed" -> incrementalSql,
     "q117_incremental_dedup" -> incrementalSql,
+    // q135 serves from stored postings + stored per-shingle df — no
+    // full-corpus pass at all; same oracle: must equal full recompute
+    "q135_incremental_dedup_storeddf" -> incrementalSql,
     "q115_dedup_keeplist" ->
       // q64's component labels folded to the per-source survivor counts
       """WITH RECURSIVE toks AS (

@@ -182,6 +182,64 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(DedupPack.dedupIncrementalIndexed(spark, dir)) == recomputed)
   }
 
+  test("q135 stored-df incremental == q117 recomputed, and the serve path never touches old docs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // private corpus copy so we can mutate it: q135's store is keyed by SF
+    // fingerprint, so the spec passes its own table/location to keep the
+    // real sf0.001 index out of the blast radius
+    val tmp = java.nio.file.Files.createTempDirectory("dfidx").toString
+    val docs = Tables.t(spark, dir, "documents")
+    docs.write.parquet(s"$tmp/documents.parquet")
+    Tables.t(spark, dir, "lineitem").write.parquet(s"$tmp/lineitem.parquet")
+    def run() = rows(DedupPack.dedupIncrementalStoredDf(spark, tmp,
+      tableOverride = "dfidx_spec_store", locationOverride = s"$tmp/store"))
+    val recomputed = rows(DedupPack.dedupIncremental(spark, tmp))
+    val first = run()
+    assert(first == recomputed, "stored-df serve must equal full recompute")
+    // PROOF the serve path reads only the index + the new batch: replace
+    // every old (even) document's text with garbage and serve again — a
+    // path with any dependence on the old corpus (q127's df-cap window
+    // had one) would shift dfs/sizes/pairs; q135 must not move a row
+    val corrupted = docs.withColumn("text",
+      org.apache.spark.sql.functions.when(col("doc_id") % 2 === 0,
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.lit("corrupted"),
+          col("doc_id").cast("string"))).otherwise(col("text")))
+      .collect().toSeq
+    val schema = docs.schema
+    spark.createDataFrame(spark.sparkContext.parallelize(corrupted, 2), schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(run() == first,
+      "serve after corrupting old docs must be byte-identical (index-only old side)")
+  }
+
+  test("q135 cap-universe boundary: a shingle crossing the cap between ingests is excluded everywhere") {
+    import spark.implicits._
+    // dfCap = 3. Shingle "x y z" has df_old = 2 (docs 0, 2) — under the
+    // cap at build time, so its postings ARE stored — but df_new = 2
+    // (docs 1, 3) pushes the TOTAL to 4 > cap: the serve must drop it
+    // from the universe (pairs AND sizes), exactly like q117's
+    // full-corpus recompute does. "y z q" stays at df_total = 2.
+    val tmp = java.nio.file.Files.createTempDirectory("dfidx_edge").toString
+    Seq(
+      (0L, "x y z q", "s"), (2L, "x y z r", "s"),
+      (1L, "x y z q", "s"), (3L, "x y z s", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$tmp/documents.parquet")
+    Seq(1, 2, 3).toDF("l_dummy").write.parquet(s"$tmp/lineitem.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = rows(DedupPack.dedupIncrementalStoredDf(spark, tmp, dfCap = 3,
+      tableOverride = "dfidx_edge_store", locationOverride = s"$tmp/store"))
+    val recomputed = rows(DedupPack.dedupIncremental(spark, tmp, dfCap = 3))
+    assert(served == recomputed)
+    // the surviving universe is exactly {"y z q"}: doc 1 pairs with doc 0
+    // at jaccard 1/(1+1-1) = 1.0 and nothing else pairs
+    assert(served == Seq((1L, 0L, 1.0)))
+  }
+
   test("q115 keep-list totals are consistent with the cluster labels") {
     val kl = DedupPack.dedupKeepList(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
