@@ -44,4 +44,29 @@ class GoldenDriftSpec extends AnyFunSuite {
   test("q116 semantic dedup matches its pinned golden snapshot") {
     assert(asCsv("q116_semantic_dedup") == golden("q116_semantic_dedup"))
   }
+
+  // The seeded-LSH family is likewise bit-deterministic (fixed hash seeds,
+  // fixed hyperplanes/permutations, no RNG) but only recall/error-BOUNDED
+  // against its exact twins — drift inside the bound could pass silently.
+  // Full sf0.001 snapshots close that gap.
+
+  test("q67 minhash-LSH dedup matches its pinned golden snapshot") {
+    assert(asCsv("q67_dedup_minhash_lsh") == golden("q67_dedup_minhash_lsh"))
+  }
+
+  test("q68 simhash dedup matches its pinned golden snapshot") {
+    assert(asCsv("q68_dedup_simhash") == golden("q68_dedup_simhash"))
+  }
+
+  test("q71 LSH ANN top-k matches its pinned golden snapshot") {
+    assert(asCsv("q71_ann_lsh_topk") == golden("q71_ann_lsh_topk"))
+  }
+
+  test("q73 embedding-LSH dedup matches its pinned golden snapshot") {
+    assert(asCsv("q73_dedup_embedding_lsh") == golden("q73_dedup_embedding_lsh"))
+  }
+
+  test("q124 LSH keep-list matches its pinned golden snapshot") {
+    assert(asCsv("q124_dedup_keeplist_lsh") == golden("q124_dedup_keeplist_lsh"))
+  }
 }
