@@ -186,7 +186,13 @@ object EventsPack extends QueryPack {
     "q57_sessionize" -> sessionize _,
     "q120_session_window" -> sessionWindowNative _,
     "q58_json_extract" -> jsonExtract _,
-    "q99_click_attribution" -> clickAttribution _)
+    "q99_click_attribution" -> clickAttribution _,
+    // a REAL StreamingQuery (readStream → windowed agg → foreachBatch
+    // parquet), not a batch twin — puts the streaming engine itself under
+    // the driver's DuckDB gate
+    "q136_streamed_tumbling_counts" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStreamJobs.tumblingCountsStreamed(s, d)._2))
 
   private val sessionizeOracleSql =
     """SELECT user_id, session_id, count(*) AS n_events,
@@ -240,6 +246,12 @@ object EventsPack extends QueryPack {
     "q55_tumbling_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n, round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    // the streamed run must land exactly on the batch aggregation —
+    // counts only (integer-exact across micro-batch accumulation order)
+    "q136_streamed_tumbling_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+        |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
     "q56_sliding_window" ->
       """SELECT bucket_ms, count(*) AS n FROM (

@@ -32,13 +32,63 @@ object EventStreamJobs {
     * streaming file source tails a DIRECTORY — new files become new
     * micro-batches).
     */
-  def readEvents(spark: SparkSession, watchDir: String): DataFrame = {
+  def readEvents(spark: SparkSession, watchDir: String,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(watchDir)
+    val reader = spark.readStream.schema(rawSchema)
+    // >0 caps files per micro-batch — lets a static dir exercise a genuine
+    // multi-batch incremental execution under Trigger.AvailableNow
+    val tuned =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    tuned.parquet(watchDir)
       // integer div — see Tables.events (ns longs exceed double precision)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** q136 — the streaming ENGINE itself under the driver's oracle. Every
+    * other streaming form is spec-verified batch≡stream; this one runs a
+    * real StreamingQuery inside a registered query, so the driver's
+    * DuckDB gate adjudicates the streaming execution path end-to-end:
+    * the events table is staged into a watch directory as TWO files,
+    * consumed one file per micro-batch (maxFilesPerTrigger=1 +
+    * Trigger.AvailableNow — a provably incremental, ≥2-batch run), and
+    * the tumbling counts land in parquet via foreachBatch. COMPLETE
+    * output mode makes the result batch-file-split invariant: the final
+    * micro-batch re-emits the whole aggregation state, so the overwrite
+    * sink holds exactly the batch-equivalent answer no matter how the
+    * source chopped the input. Counts only (no float sums): streaming
+    * accumulates across batches in a different order than a batch agg,
+    * and integer counts are the cross-engine-exact slice of q55.
+    * Returns the finished query handle too, so the spec can assert a
+    * StreamingQuery really executed (≥2 progress entries with rows).
+    */
+  def tumblingCountsStreamed(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val scratch = s"${graft.Tables.oracleAuxDir(spark)}/stream_q136"
+    val scratchP = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(scratchP, true) // fresh watch/checkpoint/out every invocation
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(2).write.parquet(s"$scratch/watch")
+    val counts = readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 1)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"))
+    val query = counts.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$scratch/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    (query, spark.read.parquet(s"$scratch/out")
+      .orderBy(col("bucket_ms"), col("event_type")))
   }
 
   /** Watermarked tumbling-window counts — the streaming twin of

@@ -439,6 +439,22 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q136 runs a real multi-batch StreamingQuery and matches the batch tumbling counts") {
+    import org.apache.spark.sql.functions.col
+    val (q, df) = EventStreamJobs.tumblingCountsStreamed(spark, dir)
+    // the registered query must not be a batch job in streaming clothes:
+    // a StreamingQuery executed, and maxFilesPerTrigger=1 over the 2-file
+    // stage makes it provably INCREMENTAL (≥2 micro-batches consumed rows)
+    val withRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(withRows >= 2,
+      s"expected >=2 micro-batches with input rows, got $withRows")
+    val streamed = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.operators.EventsPack.tumbling(spark, dir)
+      .select(col("bucket_ms"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
   test("sessionizeTws rejects a non-NONE TTL eagerly (event-time mode forbids it)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.TTLConfig
