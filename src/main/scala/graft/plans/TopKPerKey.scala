@@ -60,7 +60,9 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of distinct keys"),
     "numSpills" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of heap-map spills"))
+      .createMetric(sparkContext, "number of heap-map spills"),
+    "numRunMerges" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of spill-run compactions"))
 
   /** All rows of a key on one partition — Catalyst plans the shuffle (or
     * elides it when the child is already clustered on the keys, e.g. a
@@ -76,14 +78,27 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     * of keys per partition is data-dependent and unbounded. Above the
     * `spark.graft.topkPerKey.maxKeysInMemory` budget (default 2²¹ keys)
     * the heap map SPILLS, mirroring ExternalAppendOnlyMap's shape: each
-    * spill writes the map's per-key top-k runs to a local file SORTED BY
-    * KEY BYTES (UnsafeRow equality is byte equality under one projection,
-    * so byte order is a valid grouping order), clears the map, and the
-    * final pass streams a k-way merge over the runs — per key, only the
-    * ≤ k·nSpills candidate rows from the run heads are ever resident, so
+    * spill appends the map's per-key top-k rows as a run SORTED BY KEY
+    * BYTES (UnsafeRow equality is byte equality under one projection, so
+    * byte order is a valid grouping order), clears the map, and the final
+    * pass streams a k-way merge over the runs — per key, only the
+    * ≤ k·nRuns candidate rows from the run heads are ever resident, so
     * memory is ⊥ the number of distinct keys. Spilled runs hold top-k per
     * spill generation, never raw inputs, so spill volume is also bounded
     * by keys × k, not by input rows.
+    *
+    * Spill STORAGE is a single append-only file per task (from Spark's
+    * managed local dirs), with runs addressed as (offset, length) slices
+    * read back via positional FileChannel reads — ONE file descriptor per
+    * task no matter how many runs, and no per-spill file creation. When a
+    * key set cycles through the map (keys recur after being spilled — the
+    * adversarial order for any spill-on-new-key design), the run count
+    * grows with input size, not key count; above
+    * `spark.graft.topkPerKey.maxSpillRuns` (default 64) the runs are
+    * COMPACTED: merged into a single run in a fresh file (re-bounded to k
+    * per key, so the compacted size is ≤ distinctKeys × k rows) and the
+    * old file deleted. Merge fan-in and reader buffers are therefore
+    * bounded by maxSpillRuns regardless of spill count.
     */
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -93,10 +108,15 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     val numOutputRows = longMetric("numOutputRows")
     val numKeys = longMetric("numKeys")
     val numSpills = longMetric("numSpills")
+    val numRunMerges = longMetric("numRunMerges")
     // clamped to >= 1: a non-positive budget would write one empty run
-    // file per incoming key instead of ever holding a heap
+    // per incoming key instead of ever holding a heap
     val maxKeysInMemory = math.max(1L, conf.getConfString(
       "spark.graft.topkPerKey.maxKeysInMemory", (1 << 21).toString).toLong)
+    // clamped to >= 2: compaction must still be able to make progress
+    // (merge >1 run) or it would rewrite a single run forever
+    val maxSpillRuns = math.max(2, conf.getConfString(
+      "spark.graft.topkPerKey.maxSpillRuns", "64").toInt)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
@@ -109,39 +129,157 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
       }
       val nFields = childOutput.length
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
 
       def cmpBytes(a: Array[Byte], b: Array[Byte]): Int =
         java.util.Arrays.compareUnsigned(a, b)
 
-      /** Drain the map to a key-sorted run file and clear it. */
+      /** One append-only spill file: runs are (offset, length) slices. The
+        * file comes from Spark's managed executor local dirs (disk-usage
+        * accounted, operator-provisioned disks, swept on JVM death) — not
+        * bare java.io.tmpdir; see GraftCoreBridge. Closed + deleted on
+        * task completion or on compaction swap; close() is idempotent.
+        */
+      class SpillStore {
+        val file: java.io.File = org.apache.spark.graftbridge.GraftCoreBridge
+          .createLocalSpillFile("graft-topk-spill")
+        private val raf = new java.io.RandomAccessFile(file, "rw")
+        val channel: java.nio.channels.FileChannel = raf.getChannel
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        // buffered appender over the raf's file pointer; positional channel
+        // reads never move that pointer, so it always sits at end-of-file
+        private val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.OutputStream {
+            override def write(b: Int): Unit = raf.write(b)
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              raf.write(b, off, len)
+          }, 1 << 16))
+        private var closed = false
+
+        /** Append one key-sorted run of (keyBytes, rows) groups. */
+        def writeRun(groups: Iterator[(Array[Byte], Iterator[UnsafeRow], Int)]): Unit = {
+          val start = raf.getFilePointer
+          groups.foreach { case (keyBytes, rows, n) =>
+            out.writeInt(keyBytes.length)
+            out.write(keyBytes)
+            out.writeInt(n)
+            rows.foreach { r =>
+              val b = r.getBytes
+              out.writeInt(b.length)
+              out.write(b)
+            }
+          }
+          out.flush()
+          runs += ((start, raf.getFilePointer - start))
+        }
+
+        def close(): Unit = if (!closed) {
+          closed = true
+          raf.close() // closes the channel too
+          file.delete(): Unit
+        }
+      }
+      var store: SpillStore = null
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => if (store != null) store.close()))
+
+      /** Streaming reader over one run slice: positional channel reads only
+        * (no shared file-pointer races between the merge's many readers),
+        * one small buffer each, fan-in bounded by maxSpillRuns.
+        */
+      class RunReader(ch: java.nio.channels.FileChannel, start: Long, len: Long) {
+        private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.InputStream {
+            private var pos = start
+            private val end = start + len
+            override def read(): Int = {
+              val b = new Array[Byte](1)
+              if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
+            }
+            override def read(b: Array[Byte], off: Int, l: Int): Int =
+              if (pos >= end) -1
+              else {
+                val n = math.min(l.toLong, end - pos).toInt
+                val r = ch.read(java.nio.ByteBuffer.wrap(b, off, n), pos)
+                if (r > 0) pos += r
+                r
+              }
+          }, 1 << 15))
+        var key: Array[Byte] = _
+        var rows: Array[UnsafeRow] = _
+        advance()
+        def advance(): Unit = {
+          val kl = try in.readInt() catch { case _: java.io.EOFException => -1 }
+          if (kl < 0) { key = null; rows = null; in.close() }
+          else {
+            key = new Array[Byte](kl)
+            in.readFully(key)
+            rows = Array.fill(in.readInt()) {
+              val b = new Array[Byte](in.readInt())
+              in.readFully(b)
+              val r = new UnsafeRow(nFields)
+              r.pointTo(b, b.length)
+              r
+            }
+          }
+        }
+      }
+
+      /** K-way merge over key-sorted runs: group run heads with equal key
+        * bytes, re-bound their ≤ k·nRuns candidates to k, emit groups in
+        * key-byte order with rows sorted by the requested order.
+        */
+      def mergeRuns(readers: Seq[RunReader]): Iterator[(Array[Byte], Array[UnsafeRow])] =
+        new Iterator[(Array[Byte], Array[UnsafeRow])] {
+          override def hasNext: Boolean = readers.exists(_.key != null)
+          override def next(): (Array[Byte], Array[UnsafeRow]) = {
+            var minKey: Array[Byte] = null
+            readers.foreach { r =>
+              if (r.key != null && (minKey == null || cmpBytes(r.key, minKey) < 0))
+                minKey = r.key
+            }
+            val heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+            readers.foreach { r =>
+              if (r.key != null && cmpBytes(r.key, minKey) == 0) {
+                r.rows.foreach { row =>
+                  if (heap.size < kLocal) heap.add(row)
+                  else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row) }
+                }
+                r.advance()
+              }
+            }
+            val arr = heap.toArray(new Array[UnsafeRow](heap.size))
+            java.util.Arrays.sort(arr, ord)
+            (minKey, arr)
+          }
+        }
+
+      /** Drain the map as one key-sorted run and clear it; compact the run
+        * set whenever it reaches the fan-in bound.
+        */
       def spill(): Unit = {
         import scala.jdk.CollectionConverters._
-        // allocated from Spark's managed executor local dirs (disk-usage
-        // accounted, operator-provisioned disks, swept on JVM death) — not
-        // bare java.io.tmpdir; see GraftCoreBridge
-        val file = org.apache.spark.graftbridge.GraftCoreBridge
-          .createLocalSpillFile("graft-topk-spill")
-        spillFiles += file
+        if (store == null) store = new SpillStore
         val entries = heaps.entrySet().asScala.toArray
           .map(e => (e.getKey.getBytes, e.getValue))
           .sortWith((a, b) => cmpBytes(a._1, b._1) < 0)
-        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(file), 1 << 16))
-        try entries.foreach { case (keyBytes, heap) =>
-          out.writeInt(keyBytes.length)
-          out.write(keyBytes)
-          out.writeInt(heap.size)
-          heap.iterator().asScala.foreach { r =>
-            val b = r.getBytes
-            out.writeInt(b.length)
-            out.write(b)
-          }
-        } finally out.close()
+        store.writeRun(entries.iterator.map { case (keyBytes, heap) =>
+          (keyBytes, heap.iterator().asScala, heap.size)
+        })
         heaps.clear()
         numSpills += 1
+        if (store.runs.size >= maxSpillRuns) {
+          val old = store
+          store = new SpillStore
+          try {
+            val merged = mergeRuns(old.runs.toSeq.map { case (off, len) =>
+              new RunReader(old.channel, off, len)
+            })
+            store.writeRun(merged.map { case (keyBytes, arr) =>
+              (keyBytes, arr.iterator, arr.length)
+            })
+            numRunMerges += 1
+          } finally old.close()
+        }
       }
 
       while (iter.hasNext) {
@@ -162,7 +300,7 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
       }
 
       import scala.jdk.CollectionConverters._
-      if (spillFiles.isEmpty) {
+      if (store == null) {
         numKeys += heaps.size()
         heaps.values().iterator().asScala.flatMap { heap =>
           val arr = heap.toArray(new Array[UnsafeRow](heap.size))
@@ -172,65 +310,13 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
         }
       } else {
         if (!heaps.isEmpty) spill() // the remainder becomes the last run
-        // streaming k-way merge over the key-sorted runs: group run heads
-        // with equal key bytes, re-bound their ≤ k·nRuns candidates to k
-        class RunReader(file: java.io.File) {
-          private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-            new java.io.FileInputStream(file), 1 << 16))
-          var key: Array[Byte] = _
-          var rows: Array[UnsafeRow] = _
-          advance()
-          def advance(): Unit = {
-            val kl = try in.readInt() catch { case _: java.io.EOFException => -1 }
-            if (kl < 0) { key = null; rows = null; in.close() }
-            else {
-              key = new Array[Byte](kl)
-              in.readFully(key)
-              rows = Array.fill(in.readInt()) {
-                val b = new Array[Byte](in.readInt())
-                in.readFully(b)
-                val r = new UnsafeRow(nFields)
-                r.pointTo(b, b.length)
-                r
-              }
-            }
-          }
-        }
-        val readers = spillFiles.map(new RunReader(_))
-        new Iterator[InternalRow] {
-          private var pending: Iterator[UnsafeRow] = Iterator.empty
-          private def refill(): Unit = {
-            var minKey: Array[Byte] = null
-            readers.foreach { r =>
-              if (r.key != null && (minKey == null || cmpBytes(r.key, minKey) < 0))
-                minKey = r.key
-            }
-            if (minKey != null) {
-              val heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
-              readers.foreach { r =>
-                if (r.key != null && cmpBytes(r.key, minKey) == 0) {
-                  r.rows.foreach { row =>
-                    if (heap.size < kLocal) heap.add(row)
-                    else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row) }
-                  }
-                  r.advance()
-                }
-              }
-              val arr = heap.toArray(new Array[UnsafeRow](heap.size))
-              java.util.Arrays.sort(arr, ord)
-              numKeys += 1
-              numOutputRows += arr.length
-              pending = arr.iterator
-            }
-          }
-          override def hasNext: Boolean = {
-            if (!pending.hasNext) refill()
-            pending.hasNext
-          }
-          override def next(): InternalRow = {
-            if (!hasNext) throw new NoSuchElementException
-            pending.next()
-          }
+        val groups = mergeRuns(store.runs.toSeq.map { case (off, len) =>
+          new RunReader(store.channel, off, len)
+        })
+        groups.flatMap { case (_, arr) =>
+          numKeys += 1
+          numOutputRows += arr.length
+          arr.iterator
         }
       }
     }, preservesPartitioning = true)

@@ -142,6 +142,40 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("run compaction bounds merge fan-in when keys cycle through the map") {
+    // adversarial order for any spill-on-new-key design: keys RECUR after
+    // being spilled, so the run count grows with input size, not key count.
+    // With the fan-in bound forced to 2, every second spill must compact
+    // the run set back to one — and the merged output must stay exact.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "4")
+    spark.conf.set("spark.graft.topkPerKey.maxSpillRuns", "2")
+    try {
+      // l_orderkey % 16: 16 keys cycling against a 4-key budget — each
+      // full pass over lineitem re-spills every key repeatedly
+      val src = Tables.t(spark, dir, "lineitem")
+        .select((col("l_orderkey") % 16).as("kmod"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+      val topk = TopKPerKey(src, Seq("kmod"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), k = 3)
+      val w = Window.partitionBy(col("kmod"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val win = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      assert(rowSet(topk) == rowSet(win))
+      val exec = topk.queryExecution.executedPlan.collect {
+        case e: TopKPerKeyExec => e
+      }.head
+      assert(exec.metrics("numSpills").value > 0, "expected the spill path to run")
+      assert(exec.metrics("numRunMerges").value > 0,
+        "expected run compaction to fire at maxSpillRuns=2")
+    } finally {
+      spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
+      spark.conf.unset("spark.graft.topkPerKey.maxSpillRuns")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("spill path handles variable-length string keys (byte-order grouping)") {
     // the spill merge groups runs by raw UnsafeRow key bytes — string keys
     // exercise the variable-length layout (offset+len words + padded UTF-8
@@ -167,6 +201,41 @@ class TopKPerKeySpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
+  }
+
+  test("registered corpus queries (q119/q123) survive a forced spill at sf0.1") {
+    // the synthetic spill tests above prove the mechanism; this drives the
+    // REAL registered query paths over the full sf0.1 corpus with the budget
+    // floored at 1 key, so every multi-key partition spills — output must be
+    // bit-identical to the unforced run and the spill metric must fire
+    val bigDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(bigDir).isDirectory, s"$bigDir not present")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for (name <- Seq("q119_topk_per_key_native", "q123_sample_per_source")) {
+      val unforced = SparkEntry.queries(name)(spark, bigDir).collect().map(_.mkString("|"))
+      // a spill needs >1 distinct key in one partition: both queries have
+      // single-digit key cardinality, so hash partitioning into 32 gives
+      // each partition at most one key and a 1-key budget never overflows —
+      // collapse the exchange to one partition so every key co-resides
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "1")
+      try {
+        val forcedDf = SparkEntry.queries(name)(spark, bigDir)
+        val forced = forcedDf.collect().map(_.mkString("|"))
+        // ordered comparison: both queries end in a deterministic orderBy,
+        // so spilling must not reorder, drop, or duplicate a single row
+        assert(forced.toSeq == unforced.toSeq, s"$name diverged under spill")
+        val exec = forcedDf.queryExecution.executedPlan.collect {
+          case e: TopKPerKeyExec => e
+        }.head
+        assert(exec.metrics("numSpills").value > 0,
+          s"$name: expected the spill path to run at maxKeysInMemory=1")
+      } finally {
+        spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("exchange is elided on a bucketed child clustered on the key") {
