@@ -18,6 +18,31 @@ import graft.functions._
   */
 object DedupPack extends QueryPack {
 
+  /** Sign-LSH band width (bits per band) for a corpus of n vectors: the
+    * smallest r whose 2^r buckets hold expected occupancy ≤ `targetOcc`,
+    * clamped to [4, 16]. Fixed geometry saturates — occupancy grows
+    * linearly in n and blocked pairs quadratically (measured exponent 1.18
+    * at 10×, docs/SCALE_MEASURED.md); deriving r = ⌈log₂(n/targetOcc)⌉
+    * pins occupancy and keeps blocked pairs ≈ bands·n·targetOcc/2, linear
+    * in n. The floor of 4 makes the rule identity at every driver SF.
+    */
+  def autoLshRows(n: Long, targetOcc: Long = 128L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOcc)) / math.log(2.0)).toInt
+    math.min(16, math.max(4, needed))
+  }
+
+  /** k-means cell count for semantic-dedup blocking of n vectors: cells
+    * grow linearly (⌈n/targetOcc⌉, clamped to [8, 65536]) so per-cell
+    * occupancy — and with it the blocked cosine-pair budget
+    * ≈ nProbe²·n·targetOcc/2 — stays constant as the corpus grows. At a
+    * fixed k the pair budget is n²·nProbe²/(2k), the quadratic the
+    * sf0.1→sf1 rehearsal measured as a near-9× step. The floor of 8 makes
+    * the rule identity at every driver SF (500/500/2000 → 8).
+    */
+  def autoCells(n: Long, targetOcc: Long = 256L): Int =
+    math.min(65536, math.max(8, math.ceil(n.toDouble / targetOcc).toInt))
+
   /** Exact dedup: keep the smallest doc_id per distinct text, counting
     * copies. Grouping directly on md5(text) keeps shuffle rows narrow — at
     * 100 TB the text column never crosses the wire.
@@ -339,9 +364,26 @@ object DedupPack extends QueryPack {
     * DedupSpec against the unblocked brute-force ground truth. On real
     * clustered data (near-dup cos ≥ 0.9, per-bit 0.9+) the identical code
     * with the same geometry prunes ≫99% at recall ≈ 1.
+    *
+    * GEOMETRY MUST SCALE WITH THE CORPUS: a band of r bits has only 2^r
+    * buckets, so at fixed r bucket occupancy grows linearly with n and
+    * candidate pairs quadratically — the sf0.1→sf1 rehearsal measured
+    * exponent 1.18 (docs/SCALE_MEASURED.md) at frozen 4-bit bands. The
+    * default (`nBits = -1`) therefore derives the band width from the
+    * corpus: r = clamp(⌈log₂(n/128)⌉, 4, 16) holds expected occupancy at
+    * ≤ ~128 regardless of n (the blocked-pair budget stays ≈ bands·n·64,
+    * linear). Identity at every driver SF (n = 500/500/2000 all derive
+    * r = 4 — the calibrated geometry above, so the golden pin and the
+    * DedupSpec recall bound keep meaning). Wider bands lower per-band
+    * match probability p^r; on real high-agreement dup data (p ≥ 0.9)
+    * recall holds, on adversarial near-orthogonal data the recall knob is
+    * `bands` (OR-amplification), which stays caller-controlled.
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                        nBits: Int = 32, bands: Int = 8): DataFrame = {
+                        nBitsArg: Int = -1, bands: Int = 8): DataFrame = {
+    val nBits =
+      if (nBitsArg >= 0) nBitsArg
+      else bands * autoLshRows(t(spark, dir, "embeddings").count())
     require(nBits % bands == 0,
       s"nBits=$nBits must divide evenly into bands=$bands (trailing signature " +
         "bits would silently never participate in blocking)")
@@ -457,7 +499,12 @@ object DedupPack extends QueryPack {
         Seq(("__meta__", "m", "n_postings", n.toString, ver))
           .toDF("rowkey", "family", "qualifier", "value", "version"))
     }
-    val idx = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+    // serve pass: the validated resolution IS the index — rescanning would
+    // pay the version-resolution window twice per invocation
+    val resolvedIdx =
+      if (built) resolved0
+      else graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+    val idx = resolvedIdx
       .filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
         col("qualifier").cast("long").as("d_old"))
@@ -538,7 +585,11 @@ object DedupPack extends QueryPack {
         Seq(("__meta__", "m", "n_cells", n.toString, ver))
           .toDF("rowkey", "family", "qualifier", "value", "version"))
     }
-    val cells = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+    // serve pass: reuse the validated resolution instead of paying the
+    // version-resolution window a second time
+    val cells =
+      if (built) resolved0
+      else graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
     val idx = cells.filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
         col("qualifier").cast("long").as("d_old"))
@@ -607,9 +658,20 @@ object DedupPack extends QueryPack {
     * verified), recall is bounded in DedupSpec against the unblocked brute
     * force. On real clustered data near-dups co-assign almost surely; the
     * near-orthogonal fixture is the adversarial case.
+    *
+    * CELL COUNT MUST SCALE WITH THE CORPUS (SemDeDup runs k ≈ n/10⁴ at
+    * production scale for the same reason): at fixed k the per-cell pair
+    * budget grows n²/(2k) — the rehearsal's near-9× step at 10× data
+    * (docs/SCALE_MEASURED.md). The default (`nCellsArg = -1`) derives
+    * k = [[autoCells]](n), which pins per-cell occupancy and keeps the
+    * budget linear; identity (k = 8) at every driver SF, so the q116
+    * golden pin and recall bound keep meaning.
     */
   def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                    nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+                    nCellsArg: Int = -1, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val nCells =
+      if (nCellsArg >= 0) nCellsArg
+      else autoCells(t(spark, dir, "embeddings").count())
     CosineSimilarity.register(spark)
     graft.functions.TopCells.register(spark)
     // session-memoized model: shared with the q106 IVF search instead of

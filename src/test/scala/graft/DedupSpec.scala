@@ -320,4 +320,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!analyzed.toString.contains("ResolvedHint"),
       s"keep-list join still hinted:\n$analyzed")
   }
+
+  test("adaptive blocking geometry: identity at driver SFs, occupancy-pinned beyond") {
+    // identity at every driver corpus (embeddings = 500/500/2000): the
+    // calibrated 4-bit/8-cell geometry — golden pins and recall bounds
+    // keep meaning
+    for (n <- Seq(1L, 500L, 2000L)) {
+      assert(DedupPack.autoLshRows(n) == 4, s"rows(n=$n)")
+      assert(DedupPack.autoCells(n) == 8, s"cells(n=$n)")
+    }
+    // beyond: band width grows with log2(n) so expected bucket occupancy
+    // n / 2^rows stays <= the 128 target; cells grow linearly at /256
+    assert(DedupPack.autoLshRows(20000L) == 8)
+    assert(DedupPack.autoCells(20000L) == 79)
+    for (n <- Seq(20000L, 1000000L, 100000000L)) {
+      val occ = n.toDouble / (1L << DedupPack.autoLshRows(n))
+      assert(occ <= 128.0 || DedupPack.autoLshRows(n) == 16,
+        s"occupancy $occ at n=$n escaped the target without hitting the clamp")
+      assert(n.toDouble / DedupPack.autoCells(n) <= 257.0 ||
+        DedupPack.autoCells(n) == 65536,
+        s"cell occ at n=$n escaped the target without hitting the clamp")
+    }
+    // monotone: more data never coarsens the blocking
+    val ns = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+    assert(ns.map(DedupPack.autoLshRows(_)) == ns.map(DedupPack.autoLshRows(_)).sorted)
+    assert(ns.map(n => DedupPack.autoCells(n)) == ns.map(n => DedupPack.autoCells(n)).sorted)
+  }
 }
