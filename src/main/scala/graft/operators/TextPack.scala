@@ -250,6 +250,49 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination at the 100 TB probe-set shape. q94 ships the probe
+    * list itself into the scan (`array_contains` over a broadcast list) —
+    * right for 20 bigrams, wrong for the millions of eval-benchmark
+    * n-grams a production decontamination pass screens against. Here the
+    * probe set is summarized as a Bloom filter built by a DISTRIBUTED
+    * aggregate (`BloomFilterAggregate`: partial blooms OR-merge on the
+    * executors, only the final `numBits/8`-byte sketch reaches the
+    * driver), the corpus is prefiltered map-side with
+    * `exists(bigrams, b -> might_contain(bloom, xxhash64(b)))`, and the
+    * exact semi-join runs ONLY over surviving candidates. A Bloom false
+    * positive costs one candidate row in the confirm join; false
+    * negatives are impossible — so the result is EXACT and shares q94's
+    * oracle shape. At 16 bits/item (fpp ≈ 5e-4) a 10M-probe set is a
+    * ~20 MB broadcast instead of a shuffled join against every shingle
+    * of a 100 TB corpus.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    graft.functions.NGramShingles.register(spark)
+    val probes = topBigrams(spark, dir, k).select(col("bigram"))
+    // the aggregate hashes LongType input; feed xxhash64 on both sides
+    val bloomAgg = new BloomFilterAggregate(
+      GraftSqlBridge.expression(xxhash64(col("bigram"))),
+      Literal(k.toLong), Literal(k.toLong * 16))
+    val bloomBytes = probes
+      .select(GraftSqlBridge.column(bloomAgg.toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    val mightHit = (b: Column) => GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), GraftSqlBridge.expression(xxhash64(b))))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 2).as("bigrams"))
+    docs.filter(exists(col("bigrams"), mightHit))
+      .join(broadcast(probes),
+        array_contains(col("bigrams"), col("bigram")), "left_semi")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition signals — the quality filters that catch
     * degenerate/boilerplate text which length and stopword ratios miss:
     * top-token concentration (max single-token frequency / tokens) and
@@ -540,6 +583,7 @@ object TextPack extends QueryPack {
     "q92_corpus_filter" -> corpusFilter _,
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
     "q94_decontaminate" -> decontaminate _,
+    "q137_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "q59_normalize" -> normalizeDocs _,
     "q110_pii_scrub" -> piiScrub _,
     "q111_train_val_test" -> trainValTestSplit _,
@@ -758,6 +802,20 @@ object TextPack extends QueryPack {
         |top AS (
         |  SELECT bigram FROM sh GROUP BY bigram
         |  ORDER BY count(*) DESC, bigram LIMIT 20)
+        |SELECT DISTINCT doc_id FROM sh JOIN top USING (bigram)
+        |ORDER BY doc_id""".stripMargin,
+    // q137: identical semantics to q94 at probe size 500 — the Bloom
+    // prefilter is exact-by-construction, so the oracle needs no notion
+    // of the sketch at all
+    "q137_decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        |top AS (
+        |  SELECT bigram FROM sh GROUP BY bigram
+        |  ORDER BY count(*) DESC, bigram LIMIT 500)
         |SELECT DISTINCT doc_id FROM sh JOIN top USING (bigram)
         |ORDER BY doc_id""".stripMargin,
     "q92_corpus_filter" ->

@@ -19,4 +19,6 @@ object GraftSqlBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -25,17 +25,8 @@ class GoldenDriftSpec extends AnyFunSuite {
     finally in.close()
   }
 
-  private def asCsv(name: String): Seq[String] = {
-    val df = SparkEntry.queries(name)(spark, dir)
-    val header = df.columns.mkString(",")
-    // match pandas' default float repr: shortest round-trip, ints bare
-    def cell(v: Any): String = v match {
-      case d: Double if d == d.floor && math.abs(d) < 1e15 && d.toString.endsWith(".0") =>
-        d.toString.dropRight(2)
-      case x => String.valueOf(x)
-    }
-    header +: df.collect().map(_.toSeq.map(cell).mkString(",")).toSeq
-  }
+  // shared with the GoldenDump regeneration main — same format both ways
+  private def asCsv(name: String): Seq[String] = GoldenCsv.asCsv(name)
 
   test("q63 lang-ID rollup matches its pinned golden snapshot") {
     assert(asCsv("q63_langid_rollup") == golden("q63_langid_rollup"))
@@ -68,5 +59,18 @@ class GoldenDriftSpec extends AnyFunSuite {
 
   test("q124 LSH keep-list matches its pinned golden snapshot") {
     assert(asCsv("q124_dedup_keeplist_lsh") == golden("q124_dedup_keeplist_lsh"))
+  }
+
+  // The HLL sketch queries are likewise deterministic: register-wise max
+  // makes both the HLL++ estimate (q34) and the DataSketches union (q112)
+  // order-independent functions of the input multiset — only error-BOUNDED
+  // vs exact counts in AggSpec, so estimator drift could pass silently.
+
+  test("q34 approx distinct matches its pinned golden snapshot") {
+    assert(asCsv("q34_approx_distinct") == golden("q34_approx_distinct"))
+  }
+
+  test("q112 HLL sketch union matches its pinned golden snapshot") {
+    assert(asCsv("q112_hll_sketch_union") == golden("q112_hll_sketch_union"))
   }
 }

@@ -115,6 +115,26 @@ class TextSpec extends AnyFunSuite {
       }
   }
 
+  test("q137: bloom prefilter result equals the exact probe-join over all docs") {
+    // exactness hinges on the Bloom guarantee of no false negatives: the
+    // prefilter may only ADD candidates (removed again by the confirm
+    // join), never drop a true positive. Compare against the q94-shaped
+    // exact path run over the FULL corpus with the same 500-probe list.
+    graft.functions.NGramShingles.register(spark)
+    val probes = broadcast(TextPack.topBigrams(spark, dir, 500).select(col("bigram")))
+    val exact = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.NGramShingles.shinglesFast(
+          graft.functions.tokens(col("text")), 2).as("bigrams"))
+      .join(probes, array_contains(col("bigrams"), col("bigram")), "left_semi")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val bloomed = TextPack.decontaminateBloom(spark, dir, 500)
+    assert(bloomed.queryExecution.executedPlan.toString.contains("might_contain"),
+      "prefilter must run through the native BloomFilterMightContain expression")
+    assert(bloomed.collect().map(_.getLong(0)).toSeq == exact)
+  }
+
   test("repetition signals: crafted docs give exact ratios, 1-token doc gives null bigram ratio") {
     import spark.implicits._
     graft.functions.NGramShingles.register(spark)
