@@ -426,7 +426,9 @@ object DedupPack extends QueryPack {
     */
   def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5,
                        dfCap: Int = 100): DataFrame = {
-    val sh = cappedShingles(spark, dir, dfCap)
+    // one materialized cap-window pass: sizes + both join sides read this
+    // snapshot (3 branch recomputes of the df-cap window before)
+    val sh = cappedShingles(spark, dir, dfCap).localCheckpoint(eager = true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.filter(col("doc_id") % 2 === 1).as("a")
       .join(sh.filter(col("doc_id") % 2 === 0).as("b"),
@@ -471,7 +473,9 @@ object DedupPack extends QueryPack {
     val tag = graft.Tables.sfTag(spark, dir)
     val table = s"graft_shingle_index_${tag}_n3_cap${dfCap}_v1"
     val loc = s"${graft.Tables.oracleAuxDir(spark)}/shingle_index_${tag}_n3_cap${dfCap}_v1"
-    val sh = cappedShingles(spark, dir, dfCap)
+    // snapshot the (documented-residue) full-corpus df-cap window once:
+    // build postings, sizesNew, and the pair join otherwise each re-run it
+    val sh = cappedShingles(spark, dir, dfCap).localCheckpoint(eager = true)
     graft.sources.KeyedStore.create(spark, table, loc)
     // Build-once guard, crash-safe: a put that dies mid-append would leave a
     // non-empty PARTIAL postings set that "non-empty ⇒ built" would forever
@@ -481,7 +485,13 @@ object DedupPack extends QueryPack {
     // matches it. A failed attempt (no/mismatched sentinel) is rebuilt by
     // re-appending everything at max(version)+1 — the store is append-only,
     // and maxVersions=1 resolution makes the newest complete attempt win.
+    // One materialization of the scan+version-resolution per invocation:
+    // the sentinel read, the validation count, and the serve plan all read
+    // this snapshot instead of re-running the store window 3–4× (measured
+    // 2.8 s/serve at sf0.1 before; checkpoint blocks are index-sized and
+    // reclaimed by the ContextCleaner when the reference drops).
     val resolved0 = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      .localCheckpoint(eager = true)
     val sentinel = resolved0.filter(col("family") === "m")
       .select(col("value")).collect().headOption.map(_.getString(0).toLong)
     val built = sentinel.exists(_ == resolved0.filter(col("family") === "p").count())
@@ -504,6 +514,7 @@ object DedupPack extends QueryPack {
     val resolvedIdx =
       if (built) resolved0
       else graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+        .localCheckpoint(eager = true)
     val idx = resolvedIdx
       .filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
@@ -561,7 +572,11 @@ object DedupPack extends QueryPack {
       if (locationOverride.nonEmpty) locationOverride
       else s"${graft.Tables.oracleAuxDir(spark)}/shingle_dfidx_${tag}_n3_cap${dfCap}_v1"
     graft.sources.KeyedStore.create(spark, table, loc)
+    // snapshot the scan+version-resolution once (see q127's note): the
+    // sentinel read, validation count, and both serve branches (postings +
+    // stored df) otherwise each re-run the store window
     val resolved0 = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      .localCheckpoint(eager = true)
     val sentinel = resolved0.filter(col("family") === "m")
       .select(col("value")).collect().headOption.map(_.getString(0).toLong)
     val built = sentinel.exists(_ == resolved0.filter(col("family") =!= "m").count())
@@ -590,20 +605,26 @@ object DedupPack extends QueryPack {
     val cells =
       if (built) resolved0
       else graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+        .localCheckpoint(eager = true)
     val idx = cells.filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
         col("qualifier").cast("long").as("d_old"))
     val dfOldStored = cells.filter(col("family") === "d")
       .select(col("rowkey").cast("long").as("shingle"),
         col("value").cast("long").as("df_old"))
+    // the ONE batch pass the scaladoc promises: dfNew and the survivor
+    // join both read this snapshot instead of re-exploding the batch
     val newShRaw = rawShingles(spark, dir).filter(col("doc_id") % 2 === 1)
+      .localCheckpoint(eager = true)
     val dfNew = newShRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df_new"))
     val survivors = dfNew.join(dfOldStored, Seq("shingle"), "full_outer")
       .filter(coalesce(col("df_new"), lit(0L)) +
         coalesce(col("df_old"), lit(0L)) <= dfCap)
       .select(col("shingle"))
-    val newSh = newShRaw.join(survivors, "shingle")
-    val idxKept = idx.join(survivors, "shingle")
+    // both cap-filtered frames feed two consumers each (sizes + the pair
+    // join) — snapshot them so the survivor join runs once per side
+    val newSh = newShRaw.join(survivors, "shingle").localCheckpoint(eager = true)
+    val idxKept = idx.join(survivors, "shingle").localCheckpoint(eager = true)
     val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sizesOld = idxKept.groupBy(col("d_old").as("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = newSh.join(idxKept, "shingle")
