@@ -293,6 +293,73 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Supervised linear-model training by SUFFICIENT STATISTICS — the
+    * third member of the distributed-ML trio (k-means clusters, PCA
+    * projects, this FITS): a least-squares regressor predicting the
+    * BPE-ish token count from cheap surface features (whitespace tokens,
+    * characters). The registered query returns the normal-equation
+    * sufficient statistics X'X and X'y as ONE row of exact BIGINTs: every
+    * feature is a per-document integer, so every entry is an integer sum
+    * of integer products — bit-identical in any engine, immune to FP
+    * order-of-addition (the reason the query surface is the statistics
+    * and not the d-vector of float coefficients: a distributed float
+    * reduction is not deterministic, integer sums are). The d×d solve is
+    * `solveNormalEquations` — driver-side, O(d³) on a 3×3, tested for
+    * residual orthogonality in TextSpec.
+    *
+    * Scale shape: ONE map pass over the corpus computing the products +
+    * one all-to-one partial aggregate (d(d+3)/2 longs per partition cross
+    * the network, nothing else) — the classic "train on 100 TB with
+    * driver state that fits in a cache line" pattern. Overflow headroom:
+    * n_chars ≤ 10⁴ ⇒ per-row products ≤ 10⁸, so ~9·10¹⁰ rows fit a long.
+    */
+  def regressionSuffStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(size(tokens(col("text"))).cast("long").as("x1"),
+        length(col("text")).cast("long").as("x2"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
+          .cast("long").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s_x1"), sum(col("x2")).as("s_x2"),
+        sum(col("x1") * col("x1")).as("s_x1x1"),
+        sum(col("x1") * col("x2")).as("s_x1x2"),
+        sum(col("x2") * col("x2")).as("s_x2x2"),
+        sum(col("y")).as("s_y"),
+        sum(col("x1") * col("y")).as("s_x1y"),
+        sum(col("x2") * col("y")).as("s_x2y"))
+
+  /** Driver-side solve of the 3-feature (intercept, x1, x2) normal
+    * equations from a q138 statistics row: Gaussian elimination with
+    * partial pivoting on the 3×3 system — returns (b0, b1, b2).
+    */
+  def solveNormalEquations(n: Long, sX1: Long, sX2: Long, sX1X1: Long,
+                           sX1X2: Long, sX2X2: Long, sY: Long, sX1Y: Long,
+                           sX2Y: Long): (Double, Double, Double) = {
+    val a = Array(
+      Array(n.toDouble, sX1.toDouble, sX2.toDouble, sY.toDouble),
+      Array(sX1.toDouble, sX1X1.toDouble, sX1X2.toDouble, sX1Y.toDouble),
+      Array(sX2.toDouble, sX1X2.toDouble, sX2X2.toDouble, sX2Y.toDouble))
+    var col0 = 0
+    while (col0 < 3) {
+      val piv = (col0 until 3).maxBy(r => math.abs(a(r)(col0)))
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      require(math.abs(a(col0)(col0)) > 1e-12,
+        "singular normal equations (degenerate features)")
+      var r = 0
+      while (r < 3) {
+        if (r != col0) {
+          val f = a(r)(col0) / a(col0)(col0)
+          var c = col0
+          while (c < 4) { a(r)(c) -= f * a(col0)(c); c += 1 }
+        }
+        r += 1
+      }
+      col0 += 1
+    }
+    (a(0)(3) / a(0)(0), a(1)(3) / a(1)(1), a(2)(3) / a(2)(2))
+  }
+
   /** Gopher-style repetition signals — the quality filters that catch
     * degenerate/boilerplate text which length and stopword ratios miss:
     * top-token concentration (max single-token frequency / tokens) and
@@ -584,6 +651,7 @@ object TextPack extends QueryPack {
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
     "q94_decontaminate" -> decontaminate _,
     "q137_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
+    "q138_regression_suffstats" -> regressionSuffStats _,
     "q59_normalize" -> normalizeDocs _,
     "q110_pii_scrub" -> piiScrub _,
     "q111_train_val_test" -> trainValTestSplit _,
@@ -804,6 +872,21 @@ object TextPack extends QueryPack {
         |  ORDER BY count(*) DESC, bigram LIMIT 20)
         |SELECT DISTINCT doc_id FROM sh JOIN top USING (bigram)
         |ORDER BY doc_id""".stripMargin,
+    // q138: every statistic is an integer sum of integer products —
+    // exact in both engines regardless of aggregation order
+    "q138_regression_suffstats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x1) AS BIGINT) AS s_x1, CAST(sum(x2) AS BIGINT) AS s_x2,
+        |  CAST(sum(x1*x1) AS BIGINT) AS s_x1x1,
+        |  CAST(sum(x1*x2) AS BIGINT) AS s_x1x2,
+        |  CAST(sum(x2*x2) AS BIGINT) AS s_x2x2,
+        |  CAST(sum(y) AS BIGINT) AS s_y,
+        |  CAST(sum(x1*y) AS BIGINT) AS s_x1y,
+        |  CAST(sum(x2*y) AS BIGINT) AS s_x2y
+        |FROM (
+        |  SELECT len(string_split(text, ' ')) AS x1, length(text) AS x2,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS y
+        |  FROM documents) t""".stripMargin,
     // q137: identical semantics to q94 at probe size 500 — the Bloom
     // prefilter is exact-by-construction, so the oracle needs no notion
     // of the sketch at all

@@ -135,6 +135,44 @@ class TextSpec extends AnyFunSuite {
     assert(bloomed.collect().map(_.getLong(0)).toSeq == exact)
   }
 
+  test("q138: normal-equation solve fits a planted exact-linear fixture to machine precision") {
+    import spark.implicits._
+    // y = 2 + 3*x1 + 5*x2 planted exactly: the sufficient statistics must
+    // recover (2, 3, 5) up to solver round-off
+    val rows = Seq((1L, 4L), (2L, 9L), (3L, 5L), (7L, 11L), (10L, 2L), (6L, 6L))
+      .map { case (x1, x2) => (x1, x2, 2L + 3 * x1 + 5 * x2) }
+    val st = rows.toDF("x1", "x2", "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s_x1"), sum(col("x2")).as("s_x2"),
+        sum(col("x1") * col("x1")).as("s_x1x1"),
+        sum(col("x1") * col("x2")).as("s_x1x2"),
+        sum(col("x2") * col("x2")).as("s_x2x2"),
+        sum(col("y")).as("s_y"),
+        sum(col("x1") * col("y")).as("s_x1y"),
+        sum(col("x2") * col("y")).as("s_x2y")).head()
+    val (b0, b1, b2) = TextPack.solveNormalEquations(
+      st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3),
+      st.getLong(4), st.getLong(5), st.getLong(6), st.getLong(7), st.getLong(8))
+    assert(math.abs(b0 - 2) < 1e-9 && math.abs(b1 - 3) < 1e-9 &&
+      math.abs(b2 - 5) < 1e-9, s"got ($b0, $b1, $b2)")
+  }
+
+  test("q138: corpus fit satisfies residual orthogonality (the least-squares witness)") {
+    // X'(y − Xβ) = 0 characterizes the least-squares solution; evaluate
+    // each component from the same statistics row the query returns
+    val st = TextPack.regressionSuffStats(spark, dir).head()
+    val Seq(n, sX1, sX2, sX1X1, sX1X2, sX2X2, sY, sX1Y, sX2Y) =
+      (0 until 9).map(st.getLong)
+    val (b0, b1, b2) = TextPack.solveNormalEquations(
+      n, sX1, sX2, sX1X1, sX1X2, sX2X2, sY, sX1Y, sX2Y)
+    val r0 = sY - (b0 * n + b1 * sX1 + b2 * sX2)
+    val r1 = sX1Y - (b0 * sX1 + b1 * sX1X1 + b2 * sX1X2)
+    val r2 = sX2Y - (b0 * sX2 + b1 * sX1X2 + b2 * sX2X2)
+    val scale = math.max(1.0, math.abs(sX2Y.toDouble))
+    assert(math.abs(r0) / scale < 1e-9 && math.abs(r1) / scale < 1e-9 &&
+      math.abs(r2) / scale < 1e-9, s"residuals ($r0, $r1, $r2)")
+  }
+
   test("repetition signals: crafted docs give exact ratios, 1-token doc gives null bigram ratio") {
     import spark.implicits._
     graft.functions.NGramShingles.register(spark)
