@@ -391,6 +391,9 @@ object DedupPack extends QueryPack {
     HyperplaneSignature.register(spark)
     val rows = nBits / bands
     val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // NOTE: no snapshot needed — the banded self-join's two sides are
+    // canonically identical subplans, so ReuseExchange computes the
+    // signature exchange once and reuses it (verified in PLANS.md)
     val sig = e.select(col("vec_id"),
       HyperplaneSignature.signature(col("embedding"), nBits).as("sig"))
     // band key = hash of one contiguous signature slice; only
@@ -699,6 +702,10 @@ object DedupPack extends QueryPack {
     // retraining the quantizer per invocation
     val (centroids, _) = SimilarityPack.kmeansModel(spark, dir, nCells, iters)
     val cents = centroids.map(_.toSeq).toSeq
+    // NOTE: no snapshot — AQE broadcasts one side, so cell scoring runs
+    // once per side but both passes are map-only over the (small)
+    // embeddings scan; materializing the exploded frame measured slower
+    // at bench scale and at production scale would store nProbe× corpus
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.TopCells.topCells(col("embedding"), cents, nProbe))
