@@ -329,6 +329,64 @@ object TextPack extends QueryPack {
         sum(col("x1") * col("y")).as("s_x1y"),
         sum(col("x2") * col("y")).as("s_x2y"))
 
+  /** Grouped supervised fit, solve included — per-SOURCE least-squares
+    * coefficients with NO driver participation: where q138 collects one
+    * statistics row and solves on the driver (right for one global
+    * model), a 100 TB corpus fits thousands of per-domain calibration
+    * models, so here the 3×3 normal-equation solve itself runs inside
+    * the executors as closed-form Cramer's-rule column expressions over
+    * the grouped integer sums. One groupBy(source) shuffle of
+    * d(d+3)/2 longs per group; everything after is a map-only codegen'd
+    * projection. Oracle-checkable because both engines evaluate the
+    * LITERAL SAME formula: sums stay exact longs, each is cast to
+    * double once, and the determinant/cofactor arithmetic is the
+    * identical IEEE op sequence on both sides (the q126 PCA-oracle
+    * precedent), rounded to 6 decimals at the boundary.
+    */
+  def regressionBySource(spark: SparkSession, dir: String): DataFrame = {
+    val stats = t(spark, dir, "documents")
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("x1"),
+        length(col("text")).cast("long").as("x2"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
+          .cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x1")).cast("double").as("s1"),
+        sum(col("x2")).cast("double").as("s2"),
+        sum(col("x1") * col("x1")).cast("double").as("s11"),
+        sum(col("x1") * col("x2")).cast("double").as("s12"),
+        sum(col("x2") * col("x2")).cast("double").as("s22"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x1") * col("y")).cast("double").as("s1y"),
+        sum(col("x2") * col("y")).cast("double").as("s2y"))
+    // Cramer on the symmetric 3×3 [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]:
+    // column replacement by [sy,s1y,s2y]; op order mirrors the oracle SQL
+    // token for token
+    val det =
+      col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 =
+      col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+        col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 =
+      col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+        col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 =
+      col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+        col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+        col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    stats.select(col("source"), col("n").cast("long").as("n_docs"),
+        round(det0 / det, 6).as("b0"),
+        round(det1 / det, 6).as("b1"),
+        round(det2 / det, 6).as("b2"))
+      .orderBy(col("source"))
+  }
+
   /** Driver-side solve of the 3-feature (intercept, x1, x2) normal
     * equations from a q138 statistics row: Gaussian elimination with
     * partial pivoting on the 3×3 system — returns (b0, b1, b2).
@@ -652,6 +710,7 @@ object TextPack extends QueryPack {
     "q94_decontaminate" -> decontaminate _,
     "q137_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "q138_regression_suffstats" -> regressionSuffStats _,
+    "q139_regression_by_source" -> regressionBySource _,
     "q59_normalize" -> normalizeDocs _,
     "q110_pii_scrub" -> piiScrub _,
     "q111_train_val_test" -> trainValTestSplit _,
@@ -887,6 +946,28 @@ object TextPack extends QueryPack {
         |  SELECT len(string_split(text, ' ')) AS x1, length(text) AS x2,
         |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS y
         |  FROM documents) t""".stripMargin,
+    // q139: the closed-form solve is the LITERAL same double formula on
+    // both engines (sums exact longs, one cast each, identical op order)
+    "q139_regression_by_source" ->
+      """WITH f AS (
+        |  SELECT source, len(string_split(text, ' ')) AS x1, length(text) AS x2,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS y
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x1*x1) AS DOUBLE) AS s11, CAST(sum(x1*x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x2*x2) AS DOUBLE) AS s22, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x1*y) AS DOUBLE) AS s1y, CAST(sum(x2*y) AS DOUBLE) AS s2y
+        |  FROM f GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  round((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS b0,
+        |  round((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS b1,
+        |  round((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS b2
+        |FROM s ORDER BY source""".stripMargin,
     // q137: identical semantics to q94 at probe size 500 — the Bloom
     // prefilter is exact-by-construction, so the oracle needs no notion
     // of the sketch at all

@@ -173,6 +173,40 @@ class TextSpec extends AnyFunSuite {
       math.abs(r2) / scale < 1e-9, s"residuals ($r0, $r1, $r2)")
   }
 
+  test("q139: distributed Cramer solve agrees with the driver Gaussian solve per source") {
+    // two independent solvers over the same statistics: the codegen'd
+    // closed form (q139) and solveNormalEquations (q138's driver path)
+    val byCramer = TextPack.regressionBySource(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val stats = Tables.t(spark, dir, "documents")
+      .select(col("source"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("x1"),
+        length(col("text")).cast("long").as("x2"),
+        size(regexp_extract_all(col("text"), lit(TextPack.bpeishPattern), lit(0)))
+          .cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .collect()
+    assert(stats.nonEmpty && stats.length == byCramer.size)
+    stats.foreach { r =>
+      val (b0, b1, b2) = TextPack.solveNormalEquations(
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+      val (c0, c1, c2) = byCramer(r.getString(0))
+      assert(math.abs(b0 - c0) < 1e-4 && math.abs(b1 - c1) < 1e-4 &&
+        math.abs(b2 - c2) < 1e-4,
+        s"${r.getString(0)}: gaussian ($b0,$b1,$b2) vs cramer ($c0,$c1,$c2)")
+    }
+  }
+
   test("repetition signals: crafted docs give exact ratios, 1-token doc gives null bigram ratio") {
     import spark.implicits._
     graft.functions.NGramShingles.register(spark)
