@@ -40,20 +40,45 @@ object Tables {
   /** Token oracle SQL uses in place of the aux root (see [[oracleAuxDir]]). */
   val AuxPlaceholder = "__GRAFT_AUX__"
 
-  /** `events` with `ts` normalized to a µs-precision TIMESTAMP.
+  /** Scratch root for intra-process working state the oracle never reads
+    * (streaming watch dirs, checkpoints). Deliberately SEPARATE from
+    * [[oracleAuxDir]]: the aux tree is parquet-globbed wholesale by the
+    * driver's check, so only clean parquet dumps may live there.
+    */
+  def scratchDir(spark: SparkSession): String =
+    spark.conf.get("spark.graft.scratchDir", "/tmp/graft_scratch")
+
+  /** `events` with `ts` normalized to a µs-precision TIMESTAMP, whatever
+    * physical type the source stored.
     *
-    * The parquet stores TIMESTAMP(NANOS), which Spark only reads as a raw
-    * nanosecond long under the legacy flag; we truncate ns→µs (matching what
-    * DuckDB's epoch_ms sees at ms granularity) and expose a real timestamp
-    * column so downstream window/bucketing code is type-clean.
+    * The driver's testdata has shipped `ts` in two formats across rounds:
+    * TIMESTAMP(NANOS) (readable only as a raw nanosecond long under the
+    * legacy flag) and plain TIMESTAMP(µs) (read as TIMESTAMP_NTZ when the
+    * parquet is not UTC-adjusted). [[normalizeTs]] dispatches on the dtype
+    * the scan actually produced, so both formats — plus our own ScaleData
+    * rehearsal parquet, which keeps a BIGINT ts — resolve to one canonical
+    * TimestampType column and downstream window/bucketing code stays
+    * type-clean.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
-    // mantissa, so float division drifts by whole milliseconds.
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(spark, dir, "events"))
   }
+
+  /** Canonicalize an events frame's `ts` to µs TimestampType. Long = epoch
+    * nanos (legacy-flag read); NTZ wall-clock is reinterpreted in the
+    * session TZ (pinned UTC), which is exactly the instant DuckDB's naive
+    * epoch_ms sees.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
+      // mantissa, so float division drifts by whole milliseconds.
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** Epoch milliseconds of a (possibly NTZ) timestamp column — the one
     * timestamp representation that hash-compares cleanly against DuckDB's

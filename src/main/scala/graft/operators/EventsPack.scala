@@ -92,6 +92,48 @@ object EventsPack extends QueryPack {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Time-series resample to a dense hourly grid with forward-fill — the
+    * gap-filling half of every monitoring/feature pipeline (`ASOF`-style
+    * carry-forward of the last observed hourly total into silent hours).
+    *
+    * Shape at scale: one hash aggregation to hourly grain (the only pass
+    * over the raw fact table — everything after runs on |keys|·|hours|
+    * rows, already ~10⁶× smaller at 100 TB), a per-key bounds aggregate
+    * whose `sequence()` explode generates the dense spine DISTRIBUTED
+    * (one generator row per key; no driver-side calendar loop), a left
+    * join spine←agg on (key, hour), and one per-key window for the
+    * carry-forward (`last(_, ignoreNulls)` over unbounded-preceding —
+    * Spark evaluates it in a single running pass, not a per-row rescan).
+    * The window partitions by event_type, so parallelism is key-bounded —
+    * fine here (the grid is hours-per-key rows); a deployment with few
+    * keys and decades of hours would salt on hour-blocks and stitch the
+    * fill at block boundaries with one extra per-key pass.
+    */
+  def resampleGapfill(spark: SparkSession, dir: String): DataFrame = {
+    // decimal, not double: the carried metric must be bit-identical under
+    // any partial-aggregation order (a double avg flips its 3rd decimal at
+    // .0005 boundaries depending on reduce order — decimal addition is
+    // exact and commutative on both engines)
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("v"))
+    val spine = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val fill = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), tsMillis(col("h")).as("bucket_ms"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("v"), ignoreNulls = true).over(fill)
+          .cast("decimal(28,6)").as("sum_value"),
+        col("n").isNull.as("gap_filled"))
+      .orderBy(col("event_type"), col("bucket_ms"))
+  }
+
   /** JSON property extraction: `props` like {"k": 87} → typed int, then a
     * small rollup — get_json_object is codegen'd, no UDF.
     */
@@ -186,6 +228,7 @@ object EventsPack extends QueryPack {
     "q57_sessionize" -> sessionize _,
     "q120_session_window" -> sessionWindowNative _,
     "q58_json_extract" -> jsonExtract _,
+    "q140_resample_gapfill" -> resampleGapfill _,
     "q99_click_attribution" -> clickAttribution _,
     // a REAL StreamingQuery (readStream → windowed agg → foreachBatch
     // parquet), not a batch twin — puts the streaming engine itself under
@@ -253,6 +296,25 @@ object EventsPack extends QueryPack {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "q140_resample_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi
+        |        FROM hourly GROUP BY 1) b)
+        |SELECT s.event_type, epoch_ms(s.h) AS bucket_ms,
+        |  coalesce(a.n, 0) AS n,
+        |  CAST(last_value(a.v IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(28,6)) AS sum_value,
+        |  a.n IS NULL AS gap_filled
+        |FROM spine s LEFT JOIN hourly a
+        |  ON s.event_type = a.event_type AND s.h = a.h
+        |ORDER BY s.event_type, bucket_ms""".stripMargin,
     "q56_sliding_window" ->
       """SELECT bucket_ms, count(*) AS n FROM (
         |  SELECT 1800000 * (epoch_ms(ts) // 1800000) - k * 1800000 AS bucket_ms

@@ -15,10 +15,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreamJobs {
 
-  /** The events parquet schema, spelled out because a streaming source
-    * cannot infer schemas. `ts` arrives as a raw nanosecond long (the
-    * driver's parquet is TIMESTAMP(NANOS) — same legacy-flag handling as
-    * Tables.events) and is normalized to a µs timestamp here.
+  /** The events parquet schema with `ts` as a raw long, spelled out because
+    * a streaming source cannot infer schemas. Used when the staged files
+    * store TIMESTAMP(NANOS)/BIGINT (same legacy-flag handling as
+    * Tables.events); [[readEvents]] probes the actual file format and
+    * swaps in the matching `ts` dtype.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -31,20 +32,29 @@ object EventStreamJobs {
   /** Streaming events source over a directory of event parquet files (the
     * streaming file source tails a DIRECTORY — new files become new
     * micro-batches).
+    *
+    * The declared schema must match the files' physical `ts` type, which
+    * has varied across testdata generations (raw ns longs vs real µs
+    * timestamps — see Tables.events). A one-time batch footer probe of the
+    * already-staged files picks the right variant; every variant is then
+    * normalized to canonical µs TimestampType by Tables.normalizeTs, so
+    * downstream watermarks/windows see one type regardless of source era.
     */
   def readEvents(spark: SparkSession, watchDir: String,
                  maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema)
+    val probedTs = scala.util.Try(
+      spark.read.parquet(watchDir).schema("ts").dataType).getOrElse(LongType)
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = probedTs) else f))
+    val reader = spark.readStream.schema(schema)
     // >0 caps files per micro-batch — lets a static dir exercise a genuine
     // multi-batch incremental execution under Trigger.AvailableNow
     val tuned =
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
-    tuned.parquet(watchDir)
-      // integer div — see Tables.events (ns longs exceed double precision)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(tuned.parquet(watchDir))
   }
 
   /** q136 — the streaming ENGINE itself under the driver's oracle. Every
@@ -66,7 +76,13 @@ object EventStreamJobs {
     */
   def tumblingCountsStreamed(spark: SparkSession, dir: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
-    val scratch = s"${graft.Tables.oracleAuxDir(spark)}/stream_q136"
+    // NOT under oracleAuxDir: the aux tree is parquet-globbed wholesale by
+    // the driver's oracle check, and a streaming run necessarily litters
+    // its scratch with non-parquet checkpoint/commit metadata (this crashed
+    // the round-7 aux verification). q136's oracle reads only the events
+    // table; the streamed output is read back in-process, so plain local
+    // scratch is correct and hermetic enough.
+    val scratch = s"${graft.Tables.scratchDir(spark)}/stream_q136"
     val scratchP = new org.apache.hadoop.fs.Path(scratch)
     val fs = scratchP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(scratchP, true) // fresh watch/checkpoint/out every invocation

@@ -333,11 +333,19 @@ class EventStreamSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       // append mode only emits sessions the watermark has passed; a far-
-      // future sentinel event (user -1) in a second file closes them all
-      val farNs = (Tables.events(spark, dir).agg(max(unix_millis(col("ts"))))
-        .head().getLong(0) + 365L * 24 * 3600 * 1000) * 1000000L
-      Seq((99999999L, farNs, -1L, "view", 0.0, "{}"))
+      // future sentinel event (user -1) in a second file closes them all.
+      // The sentinel must be written in the SAME physical ts encoding as
+      // the staged source files (raw-ns long era vs timestamp[us] era —
+      // readEvents probed the dir once and pinned its schema to it).
+      val farUs = (Tables.events(spark, dir).agg(max(unix_millis(col("ts"))))
+        .head().getLong(0) + 365L * 24 * 3600 * 1000) * 1000L
+      val probedTs = spark.read.parquet(watch.toString).schema("ts").dataType
+      Seq((99999999L, farUs, -1L, "view", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts",
+          if (probedTs == org.apache.spark.sql.types.LongType)
+            col("ts") * 1000L // epoch-ns long era
+          else timestamp_micros(col("ts")).cast(probedTs))
         .write.parquet(watch.resolve("late").toString)
       java.nio.file.Files.list(watch.resolve("late")).forEach { p =>
         if (p.toString.endsWith(".parquet"))
