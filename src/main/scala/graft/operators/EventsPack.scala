@@ -235,7 +235,12 @@ object EventsPack extends QueryPack {
     // the driver's DuckDB gate
     "q136_streamed_tumbling_counts" ->
       ((s: SparkSession, d: String) =>
-        graft.streaming.EventStreamJobs.tumblingCountsStreamed(s, d)._2))
+        graft.streaming.EventStreamJobs.tumblingCountsStreamed(s, d)._2),
+    // the stateful session-merge sibling: a real watermarked session_window
+    // StreamingQuery in append mode, closed out by a far-future sentinel
+    "q141_streamed_sessions" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStreamJobs.sessionsStreamed(s, d)._2))
 
   private val sessionizeOracleSql =
     """SELECT user_id, session_id, count(*) AS n_events,
@@ -296,6 +301,28 @@ object EventsPack extends QueryPack {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    // q141: the streamed session output must land exactly on the batch
+    // gap-sessionization (same inner construction as q57's oracle; the
+    // engine-side session_window ≡ lag/cumsum equivalence is the spec-
+    // pinned three-way triangle in EventStreamSpec)
+    "q141_streamed_sessions" ->
+      """SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_ms(ts) - epoch_ms(prev_ts) > 30 * 60 * 1000 THEN 1 ELSE 0 END
+        |        AS new_session
+        |    FROM (SELECT user_id, event_id, ts,
+        |            lag(ts, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS prev_ts
+        |          FROM events) l) f) s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_ms""".stripMargin,
     "q140_resample_gapfill" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,

@@ -57,6 +57,23 @@ object EventStreamJobs {
     graft.Tables.normalizeTs(tuned.parquet(watchDir))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * a stateful streaming query materializes one state-store instance per
+    * shuffle partition per batch, and on the registered finite runs the
+    * aggregation state is tiny (thousands of windows/sessions), so the
+    * batch-tuned 32 partitions buy nothing but 32× state-store file churn
+    * per micro-batch. The override binds at checkpoint creation (both
+    * registered queries start from a fresh checkpoint every invocation);
+    * a real deployment sizes this to state volume ÷ executor memory, not
+    * to the batch shuffle default.
+    */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** q136 — the streaming ENGINE itself under the driver's oracle. Every
     * other streaming form is spec-verified batch≡stream; this one runs a
     * real StreamingQuery inside a registered query, so the driver's
@@ -94,15 +111,18 @@ object EventStreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"))
-    val query = counts.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", s"$scratch/ckpt")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(s"$scratch/out")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val query = withShufflePartitions(spark, 8) {
+      val q = counts.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.mode("overwrite").parquet(s"$scratch/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("bucket_ms"), col("event_type")))
   }
@@ -187,6 +207,83 @@ object EventStreamJobs {
         unix_millis(col("session_window.start")).as("start_ms"),
         (unix_millis(col("session_window.end")) - gapMs).as("end_ms"),
         col("n_events"))
+
+  /** q141 — session windows through the REAL streaming engine, under the
+    * driver's oracle (the stateful-merge sibling of q136's tumbling
+    * counts: q136 gates windowed aggregation state, this gates the
+    * session-merge + append-mode emission + state-eviction path).
+    *
+    * Append mode only emits a session once the watermark passes its end,
+    * so the run is engineered to make every real session provably closed
+    * AND no real event ever late, with zero result dependence on how the
+    * source split into micro-batches:
+    *  - the watch dir is the events table in two random-split files
+    *    consumed one per micro-batch (maxFilesPerTrigger=1 — a genuine
+    *    ≥3-batch incremental run);
+    *  - the watermark delay is the DATA SPAN + 1 h, so an event in batch 2
+    *    that precedes batch 1's max can never be dropped as late (the
+    *    split is random — correctness must not depend on it);
+    *  - a far-future sentinel event (user −1, staged last by mtime) then
+    *    pushes the watermark past every real session's end + gap, so the
+    *    engine emits and evicts ALL real sessions; the sentinel's own
+    *    session stays open and is never emitted.
+    * At 100 TB the same shape holds with an honest delay (minutes, not the
+    * span): state is watermark-bounded per key and emission is continuous;
+    * the span-sized delay here is the batch-replay artifact that makes the
+    * finite run exactly equal its batch twin.
+    */
+  def sessionsStreamed(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val gapMs = 30 * 60 * 1000L
+    val scratch = s"${graft.Tables.scratchDir(spark)}/stream_q141"
+    val scratchP = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(scratchP, true)
+    val ev = graft.Tables.events(spark, dir)
+    ev.repartition(2).write.parquet(s"$scratch/watch")
+    val (minUs, maxUs) = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    val spanMs = (maxUs - minUs) / 1000L
+    val delayMs = spanMs + 3600L * 1000
+    val sentinelUs = maxUs + (delayMs + gapMs + 3600L * 1000) * 1000L
+    val watchP = new org.apache.hadoop.fs.Path(s"$scratch/watch")
+    def parquetFiles() = fs.listStatus(watchP)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
+    val before = parquetFiles()
+    spark.range(1).select(lit(999999999L).as("event_id"),
+        timestamp_micros(lit(sentinelUs)).as("ts"), lit(-1L).as("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("append").parquet(s"$scratch/watch")
+    // the sentinel must be the LAST micro-batch: the file source orders by
+    // modification time, and ms-granularity mtimes can collide inside one
+    // fast local write — push the sentinel's part file a minute ahead
+    (parquetFiles() -- before).foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(watchP, name)
+      fs.setTimes(p, fs.getFileStatus(p).getModificationTime + 60000L, -1)
+    }
+    // 2 files per trigger: the two data files share one micro-batch, the
+    // mtime-bumped sentinel lands in the next — still a genuine ≥2-batch
+    // incremental run (q136 pins the one-file-per-batch shape), at half
+    // the stateful-batch overhead
+    val counts = sessionWindowCounts(
+      readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 2),
+      gapMs, s"$delayMs milliseconds")
+    val query = withShufflePartitions(spark, 8) {
+      val q = counts.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(s"$scratch/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    (query, spark.read.parquet(s"$scratch/out")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("start_ms")))
+  }
 
   case class SessionEvent(user_id: Long, event_id: Long, tsMs: Long)
   case class SessionState(sessionId: Long, lastMs: Long, nEvents: Long, startMs: Long)

@@ -41,10 +41,11 @@ object ScaleData {
       .appName("graft-scale-data")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS): only readable as a raw
-      // nanosecond long (graft.Tables.events does the same; downstream
-      // readers normalize via `ts div 1000`, so a BIGINT ts in the scaled
-      // copy is transparent)
+      // events.ts has shipped as TIMESTAMP(NANOS) or timestamp[us] across
+      // testdata generations; the legacy flag makes the nanos era readable
+      // (as a raw long) and is a no-op on the µs era. Whatever form the
+      // replica inherits, every reader canonicalizes through
+      // Tables.normalizeTs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -49,7 +49,12 @@ object ScaleRehearsal {
     "q124_dedup_keeplist_lsh",
     "q128_ann_quantized_topk",
     "q134_source_length_percentiles",
-    "q135_incremental_dedup_storeddf")
+    "q135_incremental_dedup_storeddf",
+    // events/time family (round 8): gap-sessionization windows, the dense
+    // resample spine, and the real streaming engine run
+    "q57_sessionize",
+    "q140_resample_gapfill",
+    "q141_streamed_sessions")
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")

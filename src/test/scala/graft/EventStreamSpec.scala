@@ -463,6 +463,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q141 runs a real multi-batch StreamingQuery and matches batch sessionization") {
+    import org.apache.spark.sql.functions.col
+    val (q, df) = EventStreamJobs.sessionsStreamed(spark, dir)
+    // data batch(es) before the sentinel batch: >=2 micro-batches consumed
+    // rows, so append-mode emission really crossed a watermark advance
+    val withRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(withRows >= 2,
+      s"expected >=2 micro-batches with input rows, got $withRows")
+    val streamed = df
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventsPack.sessionize(spark, dir)
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("sessionizeTws rejects a non-NONE TTL eagerly (event-time mode forbids it)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.TTLConfig
