@@ -346,4 +346,36 @@ class DedupSpec extends AnyFunSuite {
     assert(ns.map(DedupPack.autoLshRows(_)) == ns.map(DedupPack.autoLshRows(_)).sorted)
     assert(ns.map(n => DedupPack.autoCells(n)) == ns.map(n => DedupPack.autoCells(n)).sorted)
   }
+
+  test("fuzzyPairs: deletion-variant blocking has perfect recall across all three edit kinds") {
+    import spark.implicits._
+    // every distance-1 relationship the blocking must find: substitution
+    // (same length, same deletion position), insertion/deletion (cross
+    // length, self-vs-deletion match), equality, plus true negatives at
+    // distance 2 (substitute+insert) and unrelated strings
+    val names = Seq(
+      1L -> "kitten", 2L -> "mitten",   // substitution
+      3L -> "kitten2",                  // insertion at the end vs 1
+      4L -> "itten",                    // deletion at the front vs 1
+      5L -> "kitten",                   // exact duplicate of 1
+      6L -> "mittens",                  // dist 1 of 2/3... and 2 of 1
+      7L -> "zebra").toDF("id", "name")
+    val got = DedupPack.fuzzyPairs(names)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force oracle via Spark's own levenshtein on the cross join
+    val a = names.select($"id".as("id1"), $"name".as("name1"))
+    val b = names.select($"id".as("id2"), $"name".as("name2"))
+    val want = a.crossJoin(b).filter($"id1" < $"id2")
+      .filter(org.apache.spark.sql.functions.levenshtein($"name1", $"name2") <= 1)
+      .select($"id1", $"id2",
+        org.apache.spark.sql.functions.levenshtein($"name1", $"name2").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // the handcrafted set really exercises all three arms
+    assert(want.contains((1L, 2L, 1)), "substitution pair missing from fixture")
+    assert(want.contains((1L, 3L, 1)), "insertion pair missing from fixture")
+    assert(want.contains((1L, 4L, 1)), "deletion pair missing from fixture")
+    assert(want.contains((1L, 5L, 0)), "exact-duplicate pair missing from fixture")
+    assert(!want.exists(p => p._1 == 7L || p._2 == 7L), "unrelated string must pair with nothing")
+  }
 }
