@@ -279,7 +279,46 @@ object JoinsPack extends QueryPack {
       .orderBy(col("c_custkey"))
   }
 
+  /** Snapshot diff (change-data-capture report): classify every key across
+    * two versions of the documents table as insert / update / delete.
+    *
+    * The old snapshot is derived deterministically from the driver data so
+    * both engines construct the identical "yesterday": keys ≡0 (mod 5) are
+    * absent from old (today's inserts), keys ≡0 (mod 7) carry a different
+    * old text (today's updates), and a band of synthetic retired keys
+    * exists only in old (today's deletes).
+    *
+    * Shape at scale — the standard 100 TB snapshot-reconciliation plan:
+    * each side collapses to (key, md5(payload)) IN ITS SCAN (the wide text
+    * never crosses the exchange; the diff of two 50 TB snapshots shuffles
+    * only keys + 32-hex digests), then ONE full-outer equi-join on the key
+    * classifies everything; unchanged rows (the overwhelming majority) are
+    * filtered out before the ordered report. Partition-aligned snapshots
+    * (bucketed by key) would elide even that exchange.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val newSide = docs.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    val oldSide = docs
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(lit("v0:"), col("text")))
+          .otherwise(col("text"))).as("old_md5"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(lit("retired:"), col("doc_id"))).as("old_md5")))
+    oldSide.join(newSide, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_md5").isNull, lit("insert"))
+          .when(col("new_md5").isNull, lit("delete"))
+          .when(col("old_md5") =!= col("new_md5"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("doc_id"), col("change"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
+    "q143_snapshot_diff" -> snapshotDiff _,
     "q17_shipping_priority" -> shippingPriority _,
     "q54_local_volume" -> localSupplierVolume _,
     "q96_merge_upsert" -> mergeUpsert _,
@@ -299,6 +338,25 @@ object JoinsPack extends QueryPack {
     "q133_salted_join" -> ((s: SparkSession, d: String) => saltedJoin(s, d)))
 
   val oracle = Map(
+    "q143_snapshot_diff" ->
+      """SELECT doc_id, change FROM (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.old_md5 IS NULL THEN 'insert'
+        |         WHEN n.new_md5 IS NULL THEN 'delete'
+        |         WHEN o.old_md5 <> n.new_md5 THEN 'update' END AS change
+        |  FROM (
+        |    SELECT doc_id,
+        |      md5(CASE WHEN doc_id % 7 = 0 THEN 'v0:' || text ELSE text END) AS old_md5
+        |    FROM documents WHERE doc_id % 5 <> 0
+        |    UNION ALL
+        |    SELECT doc_id + 1000000,
+        |      md5('retired:' || doc_id)
+        |    FROM documents WHERE doc_id % 11 = 0) o
+        |  FULL OUTER JOIN (
+        |    SELECT doc_id, md5(text) AS new_md5 FROM documents) n
+        |  ON o.doc_id = n.doc_id) d
+        |WHERE change IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "q17_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
