@@ -559,6 +559,45 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based domain rebalancing — the √-temperature (T = 2)
+    * mixture weighting training corpora use to keep small domains from
+    * drowning: each source's selection quota scales with the SQUARE ROOT
+    * of its size relative to the largest source, so a 100×-smaller domain
+    * still contributes 10× fewer (not 100× fewer) documents. Where q103
+    * applies hand-set per-source rates and q123 a fixed k per source, the
+    * quota here is DATA-DRIVEN: quota_d = max(1, ⌊k·√(tok_d/tok_max)⌋).
+    *
+    * Cross-engine exactness by construction: tok_d and tok_max are integer
+    * aggregates, and /, √, ×, ⌊⌋ are each IEEE correctly-rounded single
+    * ops, so the quota is bit-identical on both engines — deliberately NO
+    * cross-domain normalization sum (Σ√tok_d), whose float reduction order
+    * would differ between engines. Selection within a source is the q123
+    * deterministic-md5 order. Shape at scale: one two-phase corpus agg for
+    * the sizes, a broadcast quota table, one per-source ranking window
+    * (the TopKPerKey shape — a deployment with giant sources serves it as
+    * top-(max quota) heaps, then trims per-key against the broadcast
+    * quota).
+    */
+  def temperatureMix(spark: SparkSession, dir: String, k: Double = 15.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val tok = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("tok"))
+    val tokMax = tok.agg(max(col("tok")).as("tok_max"))
+    val quota = tok.crossJoin(broadcast(tokMax))
+      .select(col("source"),
+        greatest(lit(1L), floor(lit(k) *
+          sqrt(col("tok").cast("double") / col("tok_max").cast("double"))).cast("long"))
+          .as("quota"))
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(bySource).cast("long"))
+      .join(broadcast(quota), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Deterministic train/val/test split — the assignment a training run
     * makes ONCE and must be able to recompute identically forever (any
     * engine, any partitioning, any rerun): split = hash-uniform
@@ -704,6 +743,7 @@ object TextPack extends QueryPack {
     "q100_repetition_signals" -> repetitionSignals _,
     "q107_lm_quality_score" -> lmQualityScore _,
     "q103_domain_mix_sample" -> ((s: SparkSession, d: String) => domainMixSample(s, d)),
+    "q144_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q102_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "q92_corpus_filter" -> corpusFilter _,
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
@@ -845,6 +885,22 @@ object TextPack extends QueryPack {
         |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
         |FROM tok JOIN lm USING (tok) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q144_temperature_mix" ->
+      """WITH tok AS (
+        |  SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, CAST(greatest(1, floor(15 * sqrt(
+        |    CAST(tok AS DOUBLE) / CAST((SELECT max(tok) FROM tok) AS DOUBLE))))
+        |    AS BIGINT) AS quota
+        |  FROM tok),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT r.source AS source, rk, doc_id FROM r JOIN q ON r.source = q.source
+        |WHERE rk <= quota
+        |ORDER BY r.source, rk""".stripMargin,
     "q103_domain_mix_sample" ->
       // DuckDB casts '0x….' hex strings natively; Spark's conv(…,16,10)
       // computes the same integer, so u and the compare are bit-identical
