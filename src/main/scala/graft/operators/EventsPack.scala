@@ -134,6 +134,36 @@ object EventsPack extends QueryPack {
       .orderBy(col("event_type"), col("bucket_ms"))
   }
 
+  /** Daily + 7-day rolling distinct active users (DAU/WAU) — the sliding
+    * count-distinct every activity dashboard needs, in the shape that
+    * scales: windows can't COUNT(DISTINCT) over a moving range, and a
+    * per-day self-join against a 7-day band re-reads the activity table
+    * once per window day. Instead each (user, active-day) pair — already
+    * deduped by the first aggregation, the only pass over the raw events —
+    * is exploded to the ≤7 report days whose trailing window it falls in
+    * (a fixed ×7 fan-out of the SMALL deduped set), then one
+    * count-distinct per report day. Report days are clipped to the
+    * observed [min, max] so partial leading windows (fewer than 7 days of
+    * history) report honestly and no phantom trailing days appear.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val dau = userDays.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val bounds = dau.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("rd"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("rd") <= col("hi"))
+      .groupBy(col("rd")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("d") === col("rd"))
+      .select(tsMillis(col("d")).as("day_ms"), col("dau"), col("wau"))
+      .orderBy(col("day_ms"))
+  }
+
   /** JSON property extraction: `props` like {"k": 87} → typed int, then a
     * small rollup — get_json_object is codegen'd, no UDF.
     */
@@ -229,6 +259,7 @@ object EventsPack extends QueryPack {
     "q120_session_window" -> sessionWindowNative _,
     "q58_json_extract" -> jsonExtract _,
     "q140_resample_gapfill" -> resampleGapfill _,
+    "q145_rolling_dau" -> rollingActiveUsers _,
     "q99_click_attribution" -> clickAttribution _,
     // a REAL StreamingQuery (readStream → windowed agg → foreachBatch
     // parquet), not a batch twin — puts the streaming engine itself under
@@ -301,6 +332,21 @@ object EventsPack extends QueryPack {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    // q145: the oracle states the DEFINITION (band join per report day);
+    // the Spark path is the linear explode-to-report-day rewrite — both
+    // count distinct users over the same trailing 7-day windows on active
+    // days only
+    "q145_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |dd AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+        |ww AS (
+        |  SELECT dd.d AS d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |  FROM dd JOIN ud ON ud.d BETWEEN dd.d - INTERVAL 6 DAY AND dd.d
+        |  GROUP BY dd.d)
+        |SELECT epoch_ms(dd.d) AS day_ms, dd.dau AS dau, ww.wau AS wau
+        |FROM dd JOIN ww ON dd.d = ww.d
+        |ORDER BY day_ms""".stripMargin,
     // q141: the streamed session output must land exactly on the batch
     // gap-sessionization (same inner construction as q57's oracle; the
     // engine-side session_window ≡ lag/cumsum equivalence is the spec-
