@@ -819,7 +819,47 @@ object DedupPack extends QueryPack {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    * token 3-gram, slide a w=5 window over the per-doc hash sequence, keep
+    * each window's MINIMUM — the classic local fingerprint selection with
+    * a guarantee the random samplers lack: any shared token run of length
+    * ≥ w+k−1 (= 7 tokens) between two documents shares at least one
+    * selected fingerprint, at expected density 2/(w+1) of the grams.
+    * Output: document pairs sharing ≥2 fingerprints with the shared count
+    * (the plagiarism-candidate report).
+    *
+    * Cross-engine exact: gram hashes are md5-derived 60-bit integers (both
+    * engines compute the identical value), and window-min over integers
+    * has no FP or ordering sensitivity. Shape at scale: one corpus pass
+    * explodes grams (per-doc data parallel), the window-min partitions by
+    * doc_id, and the pair report is an inverted-index equi-join on the
+    * fingerprint value — the q66 bucketed shape, ~Σ df(fp)² bounded; a
+    * 100 TB run caps fingerprint df exactly like the shingle df cap.
+    */
+  def winnowingPairs(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), (size(col("toks")) - 2).as("g"),
+        posexplode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), col("g"), (col("pos") + 1).as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("h"))
+    val winMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    val sel = grams.withColumn("wmin", min(col("h")).over(winMin))
+      .filter(col("pos") <= col("g") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("wmin")).distinct()
+    sel.as("a").join(sel.as("b"),
+        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries = Map(
+    "q147_winnowing_pairs" -> ((s: SparkSession, d: String) => winnowingPairs(s, d)),
     "q142_fuzzy_name_pairs" -> ((s: SparkSession, d: String) => fuzzyNamePairs(s, d)),
     "q122_dup_spans" -> ((s: SparkSession, d: String) => dupSpans(s, d)),
     "q65_dedup_exact" -> dedupExact _,
@@ -865,6 +905,26 @@ object DedupPack extends QueryPack {
       |ORDER BY d_new, d_old""".stripMargin
 
   val oracle = Map(
+    "q147_winnowing_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, len(w) - 2 AS g, i AS pos,
+        |    CAST(('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) s
+        |  WHERE len(w) >= 3),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, wmin FROM (
+        |    SELECT doc_id, g, pos,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+        |    FROM grams) x
+        |  WHERE pos <= g - 4)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY d1, d2""".stripMargin,
     // ground truth for the blocked fuzzy join is the literal O(n²)
     // definition — integer edit distances, no FP comparison caveats
     "q142_fuzzy_name_pairs" ->

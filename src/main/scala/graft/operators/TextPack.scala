@@ -598,6 +598,29 @@ object TextPack extends QueryPack {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Deterministic corpus shuffle → shard → position: the reproducible
+    * global permutation a training run needs (same data order on any
+    * engine, any cluster size, any rerun). NO global sort/rank: the shard
+    * is a salted-hash bucket (map-only) and the position is a row_number
+    * per shard ordered by a second salted hash — the only sort is within
+    * each shard's partition, so the plan is one hash exchange on shard
+    * regardless of corpus size. Readers consume shards in (shard, pos)
+    * order; the two salts decorrelate shard membership from intra-shard
+    * order.
+    */
+  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = (conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % nShards)
+      .cast("int").as("shard")
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(md5(concat(lit("order:"), col("doc_id").cast("string"))), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), shard)
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Deterministic train/val/test split — the assignment a training run
     * makes ONCE and must be able to recompute identically forever (any
     * engine, any partitioning, any rerun): split = hash-uniform
@@ -744,6 +767,7 @@ object TextPack extends QueryPack {
     "q107_lm_quality_score" -> lmQualityScore _,
     "q103_domain_mix_sample" -> ((s: SparkSession, d: String) => domainMixSample(s, d)),
     "q144_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
+    "q146_shuffle_shards" -> ((s: SparkSession, d: String) => shuffleShards(s, d)),
     "q102_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "q92_corpus_filter" -> corpusFilter _,
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
@@ -885,6 +909,15 @@ object TextPack extends QueryPack {
         |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
         |FROM tok JOIN lm USING (tok) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q146_shuffle_shards" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(md5('shard:' || doc_id), 1, 4)) AS BIGINT)
+        |       % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(('0x' || substring(md5('shard:' || doc_id), 1, 4)) AS BIGINT) % 16
+        |    ORDER BY md5('order:' || doc_id), doc_id) AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY shard, pos""".stripMargin,
     "q144_temperature_mix" ->
       """WITH tok AS (
         |  SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
