@@ -271,7 +271,12 @@ object EventsPack extends QueryPack {
     // StreamingQuery in append mode, closed out by a far-future sentinel
     "q141_streamed_sessions" ->
       ((s: SparkSession, d: String) =>
-        graft.streaming.EventStreamJobs.sessionsStreamed(s, d)._2))
+        graft.streaming.EventStreamJobs.sessionsStreamed(s, d)._2),
+    // the stream-stream join state path: q99's interval join run by the
+    // real engine across micro-batches
+    "q148_streamed_attribution" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStreamJobs.attributionStreamed(s, d)._2))
 
   private val sessionizeOracleSql =
     """SELECT user_id, session_id, count(*) AS n_events,
@@ -405,6 +410,17 @@ object EventsPack extends QueryPack {
         |      FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q99_click_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id AS user_id, epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+        | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600 * 1000
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // q148: the streamed interval join must land exactly on the batch
+    // attribution semantics — q99's oracle verbatim
+    "q148_streamed_attribution" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.user_id AS user_id, epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
         |FROM events p JOIN events c

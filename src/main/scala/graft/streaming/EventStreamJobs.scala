@@ -57,7 +57,7 @@ object EventStreamJobs {
     graft.Tables.normalizeTs(tuned.parquet(watchDir))
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered (to 4) —
     * a stateful streaming query materializes one state-store instance per
     * shuffle partition per batch, and on the registered finite runs the
     * aggregation state is tiny (thousands of windows/sessions), so the
@@ -111,7 +111,7 @@ object EventStreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"))
-    val query = withShufflePartitions(spark, 8) {
+    val query = withShufflePartitions(spark, 4) {
       val q = counts.writeStream
         .outputMode("complete")
         .option("checkpointLocation", s"$scratch/ckpt")
@@ -268,7 +268,7 @@ object EventStreamJobs {
     val counts = sessionWindowCounts(
       readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 2),
       gapMs, s"$delayMs milliseconds")
-    val query = withShufflePartitions(spark, 8) {
+    val query = withShufflePartitions(spark, 4) {
       val q = counts.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$scratch/ckpt")
@@ -283,6 +283,68 @@ object EventStreamJobs {
     (query, spark.read.parquet(s"$scratch/out")
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("start_ms")))
+  }
+
+  /** q148 — the stream-stream interval join (q99's click→purchase
+    * attribution) through the REAL streaming engine, under the driver's
+    * oracle. Third stateful path gated after q136 (windowed agg state) and
+    * q141 (session-merge state): here the engine buffers BOTH sides'
+    * events keyed by user and emits a pair the moment the in-band match
+    * arrives, across micro-batches.
+    *
+    * Inner interval joins never withhold results on the watermark — it
+    * only bounds how long unmatched state is buffered — so exact batch
+    * equality needs only that no state is evicted before the finite run
+    * ends: the span-sized watermark delay (the q141 trick) guarantees a
+    * click staged in batch 1 still sits in state when its purchase arrives
+    * in batch 2, whatever the random file split did. No sentinel needed.
+    * At 100 TB the same plan runs with an honest minutes-scale delay and
+    * state bounded by watermark + interval per user.
+    */
+  def attributionStreamed(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val scratch = s"${graft.Tables.scratchDir(spark)}/stream_q148"
+    val scratchP = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(scratchP, true)
+    // stage only the two event types the join consumes — the ingest-side
+    // projection every production attribution topic does; the watch files,
+    // both sources' scans, and the buffered join state all shrink to the
+    // relevant slice while the engine still runs a genuine 2-batch
+    // stream-stream join over them
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+    ev.repartition(2).write.parquet(s"$scratch/watch")
+    val (minUs, maxUs) = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    val delayMs = (maxUs - minUs) / 1000L + 3600L * 1000
+    // two independent file sources over the same staged dir — each side
+    // of a stream-stream join is its own source with its own offsets
+    val purchases = readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 1)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("l_ts"))
+    val clicks = readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 1)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("event_id").as("click_id"),
+        col("ts").as("r_ts"))
+    val joined = intervalJoin(purchases, clicks, intervalMinutes = 60,
+        watermark = s"$delayMs milliseconds")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("l_ts")) - unix_millis(col("r_ts"))).as("gap_ms"))
+    val query = withShufflePartitions(spark, 4) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(s"$scratch/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    (query, spark.read.parquet(s"$scratch/out")
+      .orderBy(col("purchase_id"), col("click_id")))
   }
 
   case class SessionEvent(user_id: Long, event_id: Long, tsMs: Long)

@@ -480,6 +480,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("q148 runs a real multi-batch stream-stream join and matches batch attribution") {
+    import org.apache.spark.sql.functions.col
+    val (q, df) = EventStreamJobs.attributionStreamed(spark, dir)
+    val withRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(withRows >= 2,
+      s"expected >=2 micro-batches with input rows, got $withRows")
+    val streamed = df
+      .select(col("purchase_id"), col("click_id"), col("user_id"), col("gap_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventsPack.clickAttribution(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("sessionizeTws rejects a non-NONE TTL eagerly (event-time mode forbids it)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.TTLConfig
