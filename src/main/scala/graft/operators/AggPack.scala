@@ -431,6 +431,46 @@ object AggPack extends QueryPack {
           .as("corr_qty_price"))
   }
 
+  /** Declarative data-quality constraint suite (the Deequ/dbt-test shape):
+    * row count, key uniqueness, null rate, accepted values, numeric range
+    * on `orders`, plus lineitem→orders referential integrity — each as a
+    * named check with its violation metric and pass flag. The five orders
+    * checks fold into ONE conditional aggregation (one scan, map-side
+    * partial — adding a constraint costs a column, not a pass), the FK
+    * check is one left-anti count; a 100 TB deployment runs exactly this
+    * shape nightly and alerts on `passed = false` rows.
+    */
+  def qualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val orderAgg = o.agg(
+      count(lit(1)).as("rowcount"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_price"))
+    val orphans = t(spark, dir, "lineitem")
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val checks = orderAgg.crossJoin(orphans).select(explode(array(
+      struct(lit("orders_fk_lineitem_orphans").as("check"),
+        col("orphans").as("metric"), (col("orphans") === 0).as("passed")),
+      struct(lit("orders_orderkey_unique").as("check"),
+        col("dup_keys").as("metric"), (col("dup_keys") === 0).as("passed")),
+      struct(lit("orders_custkey_not_null").as("check"),
+        col("null_custkey").as("metric"), (col("null_custkey") === 0).as("passed")),
+      struct(lit("orders_rowcount_nonempty").as("check"),
+        col("rowcount").as("metric"), (col("rowcount") > 0).as("passed")),
+      struct(lit("orders_status_accepted").as("check"),
+        col("bad_status").as("metric"), (col("bad_status") === 0).as("passed")),
+      struct(lit("orders_totalprice_positive").as("check"),
+        col("bad_price").as("metric"), (col("bad_price") === 0).as("passed")))).as("c"))
+    checks.select(col("c.check").as("check"), col("c.metric").as("metric"),
+        col("c.passed").as("passed"))
+      .orderBy(col("check"))
+  }
+
   /** Fixed-width histogram of order totals (12 × 50k buckets) — one pass,
     * bucket id from identical IEEE division on both engines.
     */
@@ -529,6 +569,7 @@ object AggPack extends QueryPack {
     "q105_weighted_percentiles" -> weightedPercentiles _,
     "q89_approx_percentiles" -> approxPercentiles _,
     "q86_stats" -> stats _,
+    "q149_quality_checks" -> qualityChecks _,
     "q87_histogram" -> histogram _,
     "q88_pivot" -> pivotStatus _,
     "q91_hash_sample" -> hashSample _,
@@ -554,6 +595,30 @@ object AggPack extends QueryPack {
       |FROM lineitem""".stripMargin
 
   val oracle = Map(
+    "q149_quality_checks" ->
+      """WITH oa AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rowcount,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+        |  FROM orders),
+        |orph AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT "check", metric, passed FROM (
+        |  SELECT 'orders_fk_lineitem_orphans' AS "check", orphans AS metric, orphans = 0 AS passed FROM oa, orph
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique', dup_keys, dup_keys = 0 FROM oa
+        |  UNION ALL
+        |  SELECT 'orders_custkey_not_null', null_custkey, null_custkey = 0 FROM oa
+        |  UNION ALL
+        |  SELECT 'orders_rowcount_nonempty', rowcount, rowcount > 0 FROM oa
+        |  UNION ALL
+        |  SELECT 'orders_status_accepted', bad_status, bad_status = 0 FROM oa
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive', bad_price, bad_price = 0 FROM oa) u
+        |ORDER BY "check"""".stripMargin,
     "q118_topk_sketch_union" ->
       // the sketch is exact here (tracked items ≥ distinct tokens), so the
       // oracle is the plain per-source + global token counts

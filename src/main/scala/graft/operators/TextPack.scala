@@ -559,6 +559,30 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Percentile-threshold corpus pruning: drop each source's shortest
+    * quartile of documents — the "cut the bottom-p% by quality signal per
+    * domain" step of corpus curation, phrased so the cut is EXACT and
+    * engine-independent: rank-based (row_number over (n_tokens, doc_id)
+    * vs ⌊p·n⌋, all integer math plus one correctly-rounded multiply), not
+    * a float quantile threshold whose interpolation could disagree across
+    * engines at group-size boundaries. One corpus pass computes the token
+    * counts; the rank and group count ride a single per-source window
+    * exchange.
+    */
+  def qualityPrune(spark: SparkSession, dir: String, p: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    val bySrc = Window.partitionBy(col("source"))
+    t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(byLen).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .filter(col("rk") > floor(lit(p) * col("n").cast("double")))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Temperature-based domain rebalancing — the √-temperature (T = 2)
     * mixture weighting training corpora use to keep small domains from
     * drowning: each source's selection quota scales with the SQUARE ROOT
@@ -768,6 +792,7 @@ object TextPack extends QueryPack {
     "q103_domain_mix_sample" -> ((s: SparkSession, d: String) => domainMixSample(s, d)),
     "q144_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q146_shuffle_shards" -> ((s: SparkSession, d: String) => shuffleShards(s, d)),
+    "q150_quality_prune" -> ((s: SparkSession, d: String) => qualityPrune(s, d)),
     "q102_sequence_packing" -> ((s: SparkSession, d: String) => sequencePacking(s, d)),
     "q92_corpus_filter" -> corpusFilter _,
     "q93_top_bigrams" -> ((s: SparkSession, d: String) => topBigrams(s, d)),
@@ -909,6 +934,20 @@ object TextPack extends QueryPack {
         |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
         |FROM tok JOIN lm USING (tok) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q150_quality_prune" ->
+      """WITH tk AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM tk)
+        |SELECT source, doc_id, n_tokens FROM r
+        |WHERE rk > floor(0.25 * CAST(n AS DOUBLE))
+        |ORDER BY source, doc_id""".stripMargin,
     "q146_shuffle_shards" ->
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('shard:' || doc_id), 1, 4)) AS BIGINT)
