@@ -86,7 +86,18 @@ object ScaleData {
     for (t <- Seq("region", "nation"))
       rd(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    replicate("customer", Map("c_custkey" -> custS), 8)
+    // c_name gets a per-replica two-distinct-char suffix (replica 0
+    // unchanged): verbatim name copies would make every replica a
+    // Levenshtein-0 twin of its clones and every cross-replica pair a
+    // candidate, growing the q142 fuzzy join ~N² — the same quadratic
+    // replication artifact the documents/embeddings transforms prevent.
+    // Any two suffixes differ in both chars (distance ≥ 2 > the join's
+    // d=1), so cross-replica pairs vanish and intra-replica edit-distance
+    // structure replicates exactly.
+    replicate("customer", Map("c_custkey" -> custS), 8, (d, i) =>
+      if (i == 0) d
+      else d.withColumn("c_name",
+        concat(col("c_name"), lit(s"-${('a' + i).toChar}${('A' + i).toChar}"))))
     replicate("supplier", Map("s_suppkey" -> suppS), 4)
     replicate("part", Map("p_partkey" -> partS), 8)
     replicate("orders", Map("o_orderkey" -> ordS, "o_custkey" -> custS), 16)

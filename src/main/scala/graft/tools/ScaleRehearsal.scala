@@ -51,10 +51,15 @@ object ScaleRehearsal {
     "q134_source_length_percentiles",
     "q135_incremental_dedup_storeddf",
     // events/time family (round 8): gap-sessionization windows, the dense
-    // resample spine, and the real streaming engine run
+    // resample spine, and the real streaming engine runs
     "q57_sessionize",
     "q140_resample_gapfill",
-    "q141_streamed_sessions")
+    "q141_streamed_sessions",
+    "q148_streamed_attribution",
+    // round-8 pair-join ops: deletion-variant fuzzy join (names
+    // decorrelated per replica in ScaleData) and winnowing fingerprints
+    "q142_fuzzy_name_pairs",
+    "q147_winnowing_pairs")
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
