@@ -44,9 +44,17 @@ object Tables {
     * (streaming watch dirs, checkpoints). Deliberately SEPARATE from
     * [[oracleAuxDir]]: the aux tree is parquet-globbed wholesale by the
     * driver's check, so only clean parquet dumps may live there.
+    *
+    * The default is salted with the Spark application id: streaming jobs
+    * start by `fs.delete(scratch)`-ing their watch dirs, so two concurrent
+    * sessions (e.g. a bench run next to a test run) sharing one fixed /tmp
+    * path would delete each other's checkpoints mid-query. An explicit
+    * `spark.graft.scratchDir` override is taken verbatim (the caller owns
+    * isolation then — Verify does this to keep its tree hermetic).
     */
   def scratchDir(spark: SparkSession): String =
-    spark.conf.get("spark.graft.scratchDir", "/tmp/graft_scratch")
+    spark.conf.get("spark.graft.scratchDir",
+      s"/tmp/graft_scratch/${spark.sparkContext.applicationId}")
 
   /** `events` with `ts` normalized to a µs-precision TIMESTAMP, whatever
     * physical type the source stored.

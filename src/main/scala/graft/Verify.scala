@@ -4,6 +4,30 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Paths within `dt` holding a decimal wider than 18 digits. Such
+    * columns are int128-backed in parquet, and the driver's two readers
+    * (pyarrow for the Spark dump, DuckDB for the oracle) canonicalize
+    * them asymmetrically — round 8's q140 failed `hash_match` on
+    * bit-identical values for exactly this. Verify refuses to dump them
+    * (fail loudly at build time, not as a red hash row at merge time);
+    * SparkEntrySpec gates the same rule in `sbt test`.
+    */
+  def wideDecimals(dt: org.apache.spark.sql.types.DataType,
+                   path: String = ""): Seq[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => s.fields.toSeq.flatMap(f =>
+        wideDecimals(f.dataType, if (path.isEmpty) f.name else s"$path.${f.name}"))
+      case a: ArrayType => wideDecimals(a.elementType, s"$path[]")
+      case m: MapType =>
+        wideDecimals(m.keyType, s"$path<key>") ++
+          wideDecimals(m.valueType, s"$path<value>")
+      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case _ => Nil
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -31,8 +55,15 @@ object Verify {
     // nonzero so the failure can't slide through a snapshot unnoticed.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val wide = wideDecimals(df.schema)
+        if (wide.nonEmpty) throw new IllegalStateException(
+          s"dump schema has decimal precision > 18 (${wide.mkString(", ")}) — " +
+            "int128-backed parquet hashes asymmetrically in the driver " +
+            "compare; cast to <= DECIMAL(18,s) on both sides")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -793,8 +793,11 @@ object DedupPack extends QueryPack {
     //  - insert/delete pairs differ in length and match self-vs-deletion
     //    (pos 0 vs p), so the cross-length arm drops the pos constraint.
     // Only (id, v, pos, len) crosses the candidate shuffle — names rejoin
-    // broadcast AFTER the id-pair distinct, so the wide strings never ride
-    // the big exchange.
+    // AFTER the id-pair distinct, so the wide strings never ride the big
+    // exchange. The rejoin carries no broadcast hint: the names table is
+    // the FULL input (every id can appear in a pair), so at 100 TB it is
+    // driver-unbounded and must shuffle; AQE broadcasts it automatically
+    // when it actually fits.
     val variants = names.select(col("id"), length(col("name")).as("len"),
         explode(expr(
           """transform(sequence(0, length(name)), i -> struct(
@@ -811,8 +814,8 @@ object DedupPack extends QueryPack {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand
-      .join(broadcast(names.select(col("id").as("id1"), col("name").as("name1"))), "id1")
-      .join(broadcast(names.select(col("id").as("id2"), col("name").as("name2"))), "id2")
+      .join(names.select(col("id").as("id1"), col("name").as("name1")), "id1")
+      .join(names.select(col("id").as("id2"), col("name").as("name2")), "id2")
       .filter(levenshtein(col("name1"), col("name2")) <= 1)
       .select(col("id1"), col("id2"),
         levenshtein(col("name1"), col("name2")).as("dist"))
@@ -836,7 +839,12 @@ object DedupPack extends QueryPack {
     * fingerprint value — the q66 bucketed shape, ~Σ df(fp)² bounded; a
     * 100 TB run caps fingerprint df exactly like the shingle df cap.
     */
-  def winnowingPairs(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+  /** Winnowing window width, shared by [[winnowingPairs]] and its oracle
+    * SQL (string-interpolated below) so the two sides cannot drift.
+    */
+  val WinnowW = 5
+
+  def winnowingPairs(spark: SparkSession, dir: String, w: Int = WinnowW): DataFrame = {
     val grams = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -918,13 +926,17 @@ object DedupPack extends QueryPack {
         |  SELECT DISTINCT doc_id, wmin FROM (
         |    SELECT doc_id, g, pos,
         |      min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+        |        ROWS BETWEEN CURRENT ROW AND WFOLLOW FOLLOWING) AS wmin
         |    FROM grams) x
-        |  WHERE pos <= g - 4)
+        |  WHERE pos <= g - WFOLLOW)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY d1, d2""".stripMargin,
+        |ORDER BY d1, d2""".stripMargin
+        // derive the window width from the one shared constant — a caller
+        // passing a non-default w to winnowingPairs is a different query
+        // and must bring its own oracle
+        .replace("WFOLLOW", (WinnowW - 1).toString),
     // ground truth for the blocked fuzzy join is the literal O(n²)
     // definition — integer edit distances, no FP comparison caveats
     "q142_fuzzy_name_pairs" ->

@@ -128,8 +128,13 @@ object EventsPack extends QueryPack {
     spine.join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"), tsMillis(col("h")).as("bucket_ms"),
         coalesce(col("n"), lit(0L)).as("n"),
+        // decimal(18,6), NOT wider: precision ≤ 18 keeps the parquet dump
+        // int64-backed, which both pyarrow and DuckDB canonicalize the same
+        // way (precision > 18 → int128 parquet → asymmetric hash in the
+        // driver's compare even when values are identical). The fold itself
+        // stays exact decimal; only the final reported width is clamped.
         last(col("v"), ignoreNulls = true).over(fill)
-          .cast("decimal(28,6)").as("sum_value"),
+          .cast("decimal(18,6)").as("sum_value"),
         col("n").isNull.as("gap_filled"))
       .orderBy(col("event_type"), col("bucket_ms"))
   }
@@ -388,7 +393,7 @@ object EventsPack extends QueryPack {
         |  CAST(last_value(a.v IGNORE NULLS) OVER (
         |    PARTITION BY s.event_type ORDER BY s.h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(28,6)) AS sum_value,
+        |    AS DECIMAL(18,6)) AS sum_value,
         |  a.n IS NULL AS gap_filled
         |FROM spine s LEFT JOIN hourly a
         |  ON s.event_type = a.event_type AND s.h = a.h

@@ -569,7 +569,16 @@ object TextPack extends QueryPack {
     * counts; the rank and group count ride a single per-source window
     * exchange.
     */
-  def qualityPrune(spark: SparkSession, dir: String, p: Double = 0.25): DataFrame = {
+  /** Constants shared between the curation operators and their oracle SQL
+    * (string-interpolated into the `oracle` map below) so the two sides
+    * cannot drift: a caller passing a non-default value is a different
+    * query and must bring its own oracle.
+    */
+  val PruneP = 0.25
+  val MixK = 15.0
+  val ShardN = 16
+
+  def qualityPrune(spark: SparkSession, dir: String, p: Double = PruneP): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLen = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
     val bySrc = Window.partitionBy(col("source"))
@@ -602,7 +611,7 @@ object TextPack extends QueryPack {
     * top-(max quota) heaps, then trims per-key against the broadcast
     * quota).
     */
-  def temperatureMix(spark: SparkSession, dir: String, k: Double = 15.0): DataFrame = {
+  def temperatureMix(spark: SparkSession, dir: String, k: Double = MixK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
     val tok = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("tok"))
@@ -632,7 +641,7 @@ object TextPack extends QueryPack {
     * order; the two salts decorrelate shard membership from intra-shard
     * order.
     */
-  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = ShardN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shard = (conv(substring(md5(concat(lit("shard:"),
       col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % nShards)
@@ -946,22 +955,24 @@ object TextPack extends QueryPack {
         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
         |  FROM tk)
         |SELECT source, doc_id, n_tokens FROM r
-        |WHERE rk > floor(0.25 * CAST(n AS DOUBLE))
-        |ORDER BY source, doc_id""".stripMargin,
+        |WHERE rk > floor(PRUNE_P * CAST(n AS DOUBLE))
+        |ORDER BY source, doc_id""".stripMargin
+        .replace("PRUNE_P", PruneP.toString),
     "q146_shuffle_shards" ->
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('shard:' || doc_id), 1, 4)) AS BIGINT)
-        |       % 16 AS INT) AS shard,
+        |       % SHARD_N AS INT) AS shard,
         |  CAST(row_number() OVER (
-        |    PARTITION BY CAST(('0x' || substring(md5('shard:' || doc_id), 1, 4)) AS BIGINT) % 16
+        |    PARTITION BY CAST(('0x' || substring(md5('shard:' || doc_id), 1, 4)) AS BIGINT) % SHARD_N
         |    ORDER BY md5('order:' || doc_id), doc_id) AS BIGINT) AS pos
         |FROM documents
-        |ORDER BY shard, pos""".stripMargin,
+        |ORDER BY shard, pos""".stripMargin
+        .replace("SHARD_N", ShardN.toString),
     "q144_temperature_mix" ->
       """WITH tok AS (
         |  SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
         |q AS (
-        |  SELECT source, CAST(greatest(1, floor(15 * sqrt(
+        |  SELECT source, CAST(greatest(1, floor(MIX_K * sqrt(
         |    CAST(tok AS DOUBLE) / CAST((SELECT max(tok) FROM tok) AS DOUBLE))))
         |    AS BIGINT) AS quota
         |  FROM tok),
@@ -972,7 +983,8 @@ object TextPack extends QueryPack {
         |  FROM documents)
         |SELECT r.source AS source, rk, doc_id FROM r JOIN q ON r.source = q.source
         |WHERE rk <= quota
-        |ORDER BY r.source, rk""".stripMargin,
+        |ORDER BY r.source, rk""".stripMargin
+        .replace("MIX_K", MixK.toString),
     "q103_domain_mix_sample" ->
       // DuckDB casts '0x….' hex strings natively; Spark's conv(…,16,10)
       // computes the same integer, so u and the compare are bit-identical

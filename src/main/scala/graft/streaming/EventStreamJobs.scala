@@ -146,6 +146,14 @@ object EventStreamJobs {
     * the condition Structured Streaming needs to ever evict state in an
     * equi-key + time-band join. Left columns (l_ts, user_id), right
     * (r_ts, r_user).
+    *
+    * The band compares l_ts/r_ts at their native precision (it must — the
+    * state-eviction analysis only recognizes a range predicate directly on
+    * the watermarked event-time columns). A caller whose reference
+    * semantics are coarser (e.g. q99's ms-epoch comparison) must stage
+    * l_ts/r_ts already truncated to that granularity, as
+    * [[attributionStreamed]] does — otherwise a sub-ms component exactly at
+    * a band boundary diverges from the ms-truncated batch form.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    intervalMinutes: Int, watermark: String = "1 hour"): DataFrame =
@@ -320,13 +328,20 @@ object EventStreamJobs {
     val delayMs = (maxUs - minUs) / 1000L + 3600L * 1000
     // two independent file sources over the same staged dir — each side
     // of a stream-stream join is its own source with its own offsets
+    // ms-truncate the event-time columns BEFORE the join so the band
+    // compares exactly what q99's batch twin and the oracle compare
+    // (epoch-ms longs); truncating the column itself — rather than wrapping
+    // the join predicate in unix_millis() — keeps the range condition
+    // directly on the watermarked attributes, which is what the engine's
+    // state-eviction analysis requires
+    val msTs = timestamp_millis(unix_millis(col("ts")))
     val purchases = readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 1)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("l_ts"))
+      .select(col("user_id"), col("event_id").as("purchase_id"), msTs.as("l_ts"))
     val clicks = readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 1)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("r_user"), col("event_id").as("click_id"),
-        col("ts").as("r_ts"))
+        msTs.as("r_ts"))
     val joined = intervalJoin(purchases, clicks, intervalMinutes = 60,
         watermark = s"$delayMs milliseconds")
       .select(col("purchase_id"), col("click_id"), col("user_id"),
