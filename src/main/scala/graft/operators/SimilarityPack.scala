@@ -580,13 +580,31 @@ object SimilarityPack extends QueryPack {
     * cells keep their centroid. Returns (unit centroids, per-iteration
     * mean cosine) — Lloyd guarantees the mean cosine is non-decreasing
     * (asserted in SimilaritySpec along with determinism).
+    *
+    * BIT-DETERMINISTIC REDUCTION (the pcaTrain precedent): the update's
+    * float sums are folded in an order fixed by the DATA, not the cluster —
+    * the corpus is hash-repartitioned on vec_id into a fixed 16 partitions
+    * (independent of file splits and core count) and sorted within each,
+    * one mapPartitions pass accumulates per-partition (cell, dim) partial
+    * sums plus the cost numerator in that order, and the driver merges the
+    * ≤16 partials in partition-index order. A distributed avg() here would
+    * instead merge map-side partials in shuffle-ARRIVAL order, which varies
+    * run to run — the q106 output then can't be golden-pinned. Cost: one
+    * extra exchange of the corpus at train start (once per session via
+    * kmeansModel); partials are nPartitions × k·(dim+1) doubles — model-
+    * sized, never corpus-sized.
     */
   def kmeansTrain(spark: SparkSession, dir: String, k: Int = 16,
                   iters: Int = 3): (Array[Array[Double]], Seq[Double]) = {
+    import spark.implicits._
     graft.functions.TopCells.register(spark)
     CosineSimilarity.register(spark)
+    val nParts = 16
     val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")).cache()
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nParts, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .cache()
     var centroids: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -598,37 +616,60 @@ object SimilarityPack extends QueryPack {
       // the same codegen path the IVF search uses) + native cosine to the
       // assigned centroid for the objective (centroids are unit-norm, so
       // cosine ≡ dot / |emb|)
-      // cached for the iteration: the cost probe and the mean aggregation
-      // are separate actions and would otherwise each re-run the
-      // assignment pass over the corpus
-      val assigned = emb
+      val partials = emb
         .select(col("vec_id"), col("embedding"),
           element_at(graft.functions.TopCells.topCells(col("embedding"), cents, 1), 1)
             .as("cell"))
-        .select(col("vec_id"), col("embedding"), col("cell"),
+        .select(col("cell"),
           CosineSimilarity.cosineFast(col("embedding"),
             element_at(typedlit(cents), col("cell") + 1)).as("cos"),
           // |x| for the unit-normalized update below (interpreted HOF, but
           // this is a once-per-iteration training pass, not a query path)
           sqrt(aggregate(col("embedding"), lit(0.0),
-            (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
-        .cache()
-      costs += assigned.agg(avg(col("cos"))).head().getDouble(0)
-      // per-(cell, dim) means of the UNIT members: the only shuffle,
-      // k·dim rows out (zero-norm vectors contribute zeros, matching
-      // unitNorm's zero-vector convention)
-      val dimMeans = assigned
-        .select(col("cell"), col("nrm"), posexplode(col("embedding")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(when(col("nrm") > 0, col("col").cast("double") / col("nrm"))
-          .otherwise(lit(0.0))).as("m"))
-        .collect() // k·dim rows — this IS the model, bounded by design
-      assigned.unpersist()
-      val byCell = dimMeans.groupBy(_.getInt(0))
+            (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"),
+          col("embedding"))
+        .as[(Int, Double, Double, Array[Float])]
+        .mapPartitions { it =>
+          // fold in the partition's stored (vec_id-sorted) order; zero-norm
+          // vectors count toward the mean's denominator but contribute zero
+          // components, matching unitNorm's zero-vector convention
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var n = 0L
+          var cosSum = 0.0
+          val counts = new Array[Long](k)
+          var sums: Array[Array[Double]] = null
+          it.foreach { case (cell, cos, nrm, v) =>
+            if (sums == null) sums = Array.ofDim[Double](k, v.length)
+            n += 1; cosSum += cos; counts(cell) += 1
+            if (nrm > 0) {
+              var d = 0
+              while (d < v.length) { sums(cell)(d) += v(d) / nrm; d += 1 }
+            }
+          }
+          if (n == 0) Iterator.empty
+          else Iterator.single((pid, n, cosSum,
+            counts.toSeq, sums.map(_.toSeq).toSeq))
+        }
+        .collect().sortBy(_._1) // merge in partition-index order
+      val dim = partials.head._5.head.length
+      val counts = new Array[Long](k)
+      val sums = Array.ofDim[Double](k, dim)
+      var n = 0L
+      var cosSum = 0.0
+      partials.foreach { case (_, pn, pcos, pcounts, psums) =>
+        n += pn; cosSum += pcos
+        var c = 0
+        while (c < k) {
+          counts(c) += pcounts(c)
+          var d = 0
+          while (d < dim) { sums(c)(d) += psums(c)(d); d += 1 }
+          c += 1
+        }
+      }
+      costs += cosSum / n
       centroids = centroids.indices.map { c =>
-        byCell.get(c)
-          .map(rows => unitNorm(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray))
-          .getOrElse(centroids(c))
+        if (counts(c) == 0) centroids(c)
+        else unitNorm(sums(c).map(_ / counts(c)))
       }.toArray
     }
     emb.unpersist()

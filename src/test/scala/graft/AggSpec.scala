@@ -18,7 +18,9 @@ class AggSpec extends AnyFunSuite {
     // the driver's correctness gate only checks queries WITH oracle SQL; a
     // query that silently loses its oracle would look green while being
     // unverified. Pin the exact allowed set (each member is probabilistic/
-    // engine-specific and spec-bounded elsewhere — SURVEY §8).
+    // engine-specific, spec-bounded elsewhere — SURVEY §8 — and since
+    // round 9 ALSO golden-pinned in GoldenDriftSpec: 12 of 12, zero
+    // unpinned).
     val allowedNoOracle = Set(
       "q34_approx_distinct",    // HLL sketch (AggSpec bound vs exact)
       "q63_langid_rollup",      // heuristic (TextSpec crafted fixtures)

@@ -73,4 +73,30 @@ class GoldenDriftSpec extends AnyFunSuite {
   test("q112 HLL sketch union matches its pinned golden snapshot") {
     assert(asCsv("q112_hll_sketch_union") == golden("q112_hll_sketch_union"))
   }
+
+  // Round 9 closes the last three unpinned no-oracle rows, so ALL 12
+  // members of AggSpec's allowed-no-oracle set are now drift-pinned:
+  //  - q72's quantizer trains on a driver-local 256-vector sample in
+  //    vec_id order — deterministic fold, pin-able as-is;
+  //  - q106's cluster-wide k-means folds its update sums in fixed
+  //    (partition, vec_id) order and merges partials in partition-index
+  //    order (see kmeansTrain), so training is bit-deterministic;
+  //  - q89's approx_percentile sketch holds accuracy=10000 entries, and
+  //    sf0.001's lineitem (6 000 rows) fits entirely — no lossy
+  //    compression ever triggers, so the sketch is an exact, merge-order-
+  //    independent function of the multiset AT THIS SF (at sf0.01+ it is
+  //    genuinely approximate, which is exactly what the pin must not
+  //    constrain).
+
+  test("q72 sampled-IVF top-k matches its pinned golden snapshot") {
+    assert(asCsv("q72_ann_ivf_topk") == golden("q72_ann_ivf_topk"))
+  }
+
+  test("q106 trained-IVF top-k matches its pinned golden snapshot") {
+    assert(asCsv("q106_ann_ivf_trained_topk") == golden("q106_ann_ivf_trained_topk"))
+  }
+
+  test("q89 approx percentiles match their pinned golden snapshot") {
+    assert(asCsv("q89_approx_percentiles") == golden("q89_approx_percentiles"))
+  }
 }
