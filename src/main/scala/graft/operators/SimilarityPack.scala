@@ -473,20 +473,27 @@ object SimilarityPack extends QueryPack {
                              nCells: Int = 16, iters: Int = 2,
                              table: String = "graft_kmeans_model_store",
                              location: String = "",
-                             compactAfter: Int = 32): DataFrame = {
+                             compactAfter: Int = 8): DataFrame = {
     import spark.implicits._
     val loc =
       if (location.nonEmpty) location else s"${oracleAuxDir(spark)}/kmeans_store"
     val (centroids, _) = kmeansModel(spark, dir, nCells, iters)
     val prefix = f"S${sfTag(spark, dir)}%09d#"
     kmeansSave(spark, table, loc, centroids, prefix)
-    // store maintenance in production position: the append-only history
-    // grows one generation per save — past `compactAfter` generations,
-    // major-compact down to the newest 3 versions per cell (read
-    // amplification stays bounded; the newest save — what load and the
-    // oracle resolve — is untouched)
-    val maxVer = spark.table(table).agg(max(col("version"))).head().getLong(0)
-    if (maxVer > compactAfter)
+    // store maintenance in production position: each save appends one
+    // generation — past `compactAfter` LIVE generations, major-compact down
+    // to the newest 3 versions per cell (read amplification stays bounded;
+    // the newest save — what load and the oracle resolve — is untouched).
+    // The trigger counts generations actually present, NOT the monotonic
+    // version counter: versions survive compaction un-renumbered, so a
+    // counter threshold would flip permanently true after the first
+    // compaction and pay a full store rewrite on every later save. With
+    // the generation count the steady state oscillates in [3, compactAfter]
+    // — bounded reads AND amortized rewrites, so long bench sessions see a
+    // stable q125 median instead of a slow climb (or a constant rewrite
+    // tax) as saves accumulate.
+    val generations = spark.table(table).select(col("version")).distinct().count()
+    if (generations > compactAfter)
       graft.sources.KeyedStore.compact(spark, table, 3)
     val loaded = kmeansLoad(spark, table, prefix)
     loaded.zipWithIndex.flatMap { case (c, ci) =>

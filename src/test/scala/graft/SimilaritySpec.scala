@@ -293,8 +293,11 @@ class SimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS kmeans_persist_c")
     try {
       // 6 saves against a compact-after-4 budget: every round-trip must
-      // stay all-matches_trained, and the history must shrink to <= 3
-      // retained generations once compaction fires
+      // stay all-matches_trained, and the LIVE generation count must stay
+      // within the budget — the trigger counts generations present (not
+      // the monotonic version counter), so the steady state oscillates in
+      // [3, 4]: saves 1-4 accumulate, save 5 trips >4 and compacts to the
+      // newest 3, save 6 appends a 4th
       (1 to 6).foreach { _ =>
         val out = SimilarityPack.kmeansPersistRoundtrip(spark, dir,
           nCells = 2, iters = 1, table = "kmeans_persist_c",
@@ -303,7 +306,8 @@ class SimilaritySpec extends AnyFunSuite {
       }
       val versions = spark.table("kmeans_persist_c")
         .select(col("version")).distinct().count()
-      assert(versions <= 3, s"store holds $versions generations after compaction")
+      assert(versions <= 4,
+        s"store holds $versions generations — compaction never fired or the budget leaked")
     } finally spark.sql("DROP TABLE IF EXISTS kmeans_persist_c")
   }
 
