@@ -18,6 +18,15 @@ import graft.functions._
   */
 object DedupPack extends QueryPack {
 
+  /** Constants shared between the jaccard/span operators and their oracle
+    * SQL (string-interpolated into the `oracle` map below — the WinnowW
+    * pattern) so the two sides cannot drift; a caller passing non-default
+    * values is a different query and must bring its own oracle.
+    */
+  val JaccardThreshold = 0.5
+  val DfCap = 100
+  val SpanN = 8
+
   /** Sign-LSH band width (bits per band) for a corpus of n vectors: the
     * smallest r whose 2^r buckets hold expected occupancy ≤ `targetOcc`,
     * clamped to [4, 16]. Fixed geometry saturates — occupancy grows
@@ -106,8 +115,8 @@ object DedupPack extends QueryPack {
       .drop("df")
   }
 
-  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   dfCap: Int = 100): DataFrame = {
+  def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold,
+                   dfCap: Int = DfCap): DataFrame = {
     val sh = cappedShingles(spark, dir, dfCap)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
@@ -131,7 +140,7 @@ object DedupPack extends QueryPack {
     * shape as dedupJaccard; recall is probabilistic (asserted ≥ bound in
     * DedupSpec), precision is exact thanks to verification.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold): DataFrame = {
     NGramShingles.register(spark)
     MinHashSig.register(spark)
     val docs = t(spark, dir, "documents")
@@ -311,7 +320,7 @@ object DedupPack extends QueryPack {
     * (the production path at scale: only (doc_id, band-key) crosses the
     * candidate shuffle, exact verification on candidates only).
     */
-  def clusterIndex(spark: SparkSession, dir: String, threshold: Double = 0.5,
+  def clusterIndex(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold,
                    pairSource: String = "exact"): DataFrame = {
     hookEviction(spark)
     clusterMemo.computeIfAbsent(
@@ -332,7 +341,7 @@ object DedupPack extends QueryPack {
     * representative per duplicate cluster" output a pipeline actually
     * consumes.
     */
-  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold): DataFrame =
     clusterIndex(spark, dir, threshold).orderBy(col("doc_id"))
 
   /** Embedding near-dup pairs by cosine ≥ threshold, brute force within
@@ -427,8 +436,8 @@ object DedupPack extends QueryPack {
     * df cap. Sizes are computed over the full capped universe so the
     * jaccard denominator means the same thing as in the batch job.
     */
-  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                       dfCap: Int = 100): DataFrame = {
+  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold,
+                       dfCap: Int = DfCap): DataFrame = {
     // one materialized cap-window pass: sizes + both join sides read this
     // snapshot (3 branch recomputes of the df-cap window before)
     val sh = cappedShingles(spark, dir, dfCap).localCheckpoint(eager = true)
@@ -471,7 +480,7 @@ object DedupPack extends QueryPack {
     * their own index (a stale index can never masquerade as current).
     */
   def dedupIncrementalIndexed(spark: SparkSession, dir: String,
-                              threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+                              threshold: Double = JaccardThreshold, dfCap: Int = DfCap): DataFrame = {
     import spark.implicits._
     val tag = graft.Tables.sfTag(spark, dir)
     val table = s"graft_shingle_index_${tag}_n3_cap${dfCap}_v1"
@@ -563,7 +572,7 @@ object DedupPack extends QueryPack {
     * stored-df serve must equal full recompute, bit for bit.
     */
   def dedupIncrementalStoredDf(spark: SparkSession, dir: String,
-                               threshold: Double = 0.5, dfCap: Int = 100,
+                               threshold: Double = JaccardThreshold, dfCap: Int = DfCap,
                                tableOverride: String = "",
                                locationOverride: String = ""): DataFrame = {
     import spark.implicits._
@@ -658,7 +667,7 @@ object DedupPack extends QueryPack {
     * pair graph and serves as the oracle-checked ground-truth twin the LSH
     * keep-list is recall-bounded against in DedupSpec.
     */
-  def dedupKeepList(spark: SparkSession, dir: String, threshold: Double = 0.5,
+  def dedupKeepList(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold,
                     pairSource: String = "exact"): DataFrame = {
     val clusters = clusterIndex(spark, dir, threshold, pairSource)
       .withColumnRenamed("doc_id", "member_id")
@@ -734,7 +743,7 @@ object DedupPack extends QueryPack {
     * (xxhash64 — collision-tolerant for a dup SIGNAL) which cuts shuffle
     * bytes ~n×.
     */
-  def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def dupSpans(spark: SparkSession, dir: String, n: Int = SpanN): DataFrame = {
     NGramShingles.register(spark)
     val grams = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -912,7 +921,21 @@ object DedupPack extends QueryPack {
       |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
       |ORDER BY d_new, d_old""".stripMargin
 
-  val oracle = Map(
+  // The jaccard-family oracles all embed the df cap and the pair threshold;
+  // derive both from the shared constants in one post-pass (the patterns are
+  // written to match ONLY those two sites — `HAVING count(*) > <cap>` is the
+  // hot-shingle cut, `- inter) >= <t>` the jaccard cut), and q122's span
+  // width from SpanN, so no oracle can drift from the operator defaults.
+  private def shareConstants(sql: String): String = sql
+    .replace("HAVING count(*) > 100", s"HAVING count(*) > $DfCap")
+    .replace("- inter) >= 0.5", s"- inter) >= $JaccardThreshold")
+    .replace("SPAN_HI", (SpanN - 1).toString)   // n-gram slice end: i+n-1
+    .replace("SPAN_R", (SpanN - 2).toString)    // range end: len-(n-2) ⇒ len-n+1 grams
+    .replace("SPAN_N", SpanN.toString)
+
+  val oracle = rawOracle.view.mapValues(shareConstants).toMap
+
+  private def rawOracle = Map(
     "q147_winnowing_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -949,10 +972,10 @@ object DedupPack extends QueryPack {
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |grams AS (
-        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |  SELECT doc_id, array_to_string(toks[i:i+SPAN_HI], ' ') AS gram
         |  FROM docs,
-        |    LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) spans
-        |  WHERE len(toks) >= 8),
+        |    LATERAL (SELECT unnest(range(1, len(toks) - SPAN_R)) AS i) spans
+        |  WHERE len(toks) >= SPAN_N),
         |dup AS (
         |  SELECT gram, 1 AS is_dup FROM grams
         |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
