@@ -152,7 +152,15 @@ object ScaleRehearsal {
     rows.foreach { case (n, a, b, r, e) =>
       md.append(s"| $n | ${f(a)} | ${f(b)} | ${f2(r)} | ${f2(e)} |\n")
     }
-    Files.writeString(Paths.get(outMd), md.toString)
+    // regeneration replaces only the header + table; hand-written analysis
+    // sections ("## ..." onward, e.g. the q141 decomposition) survive
+    val appendix =
+      try {
+        val old = Files.readString(Paths.get(outMd))
+        val i = old.indexOf("\n## ")
+        if (i >= 0) old.substring(i) else ""
+      } catch { case _: Throwable => "" }
+    Files.writeString(Paths.get(outMd), md.toString + appendix)
     println(md.toString)
 
     val json = rows.map { case (n, a, b, r, e) =>
