@@ -41,6 +41,18 @@ import org.apache.spark.sql.SparkSession
   * second suite.
   */
 object Bench {
+
+  /** Parse a BENCH_HISTORY/BENCH_LOCAL-style line back to per-query medians.
+    * The files are self-written (one flat JSON object whose only numeric
+    * pairs are `"qNN_name":seconds`, plus string fields like "sf"), so a
+    * regex pull of exactly those pairs is total — and importantly IGNORES
+    * string fields, the "failed"/"retried" arrays, and any qNN short-key
+    * compact line content that lacks the `_name` suffix.
+    */
+  def parseHistory(text: String): Map[String, Double] =
+    "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,14 +103,9 @@ object Bench {
     val sfTag = Paths.get(sfDir).getFileName.toString
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       s"/root/repo/BENCH_HISTORY.$sfTag.json")
-    // the file is self-written (one flat object of "name":seconds pairs
-    // plus a "sf" string) — a regex pull of the numeric pairs is exact
     val history: Map[String, Double] =
-      (try {
-        val txt = Files.readString(Paths.get(historyPath))
-        "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty[String, Double] })
+      (try parseHistory(Files.readString(Paths.get(historyPath)))
+       catch { case _: Throwable => Map.empty[String, Double] })
     val suspect = medians0.collect {
       case (n, m) if m > 0.5 && history.get(n).exists(h => m > 2 * h) =>
         (n, m, m - history(n))
