@@ -265,6 +265,55 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join boundary: ms-truncated event times match batch semantics on sub-ms data") {
+    // q99/q148 compare epoch-MILLISECOND values; intervalJoin compares its
+    // event-time columns at native µs precision (it must — eviction analysis
+    // needs the raw watermarked columns in the band predicate). A purchase
+    // at 10:00:00.0004 and a click at 09:00:00.0002 sit EXACTLY on the 1 h
+    // band edge after ms-truncation (included) but 200 µs outside it raw
+    // (excluded) — the divergence attributionStreamed closes by truncating
+    // the staged columns themselves. Pin both directions.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val boundary = Seq(
+      (ts("2024-01-01 10:00:00.0004"), ts("2024-01-01 09:00:00.0002")), // edge pair
+      (ts("2024-01-01 12:00:00"), ts("2024-01-01 11:30:00")))           // mid-band control
+    def run(truncate: Boolean, sink: String): Set[(Long, Long)] = {
+      val purchases = MemoryStream[(java.sql.Timestamp, Long)]
+      val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+      val msTs = (c: org.apache.spark.sql.Column) =>
+        if (truncate) timestamp_millis(unix_millis(c)) else c
+      val joined = EventStreamJobs.intervalJoin(
+        purchases.toDF().select(msTs(col("_1")).as("l_ts"), col("_2").as("user_id")),
+        clicks.toDF().select(msTs(col("_1")).as("r_ts"), col("_2").as("r_user")),
+        intervalMinutes = 60)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        boundary.zipWithIndex.foreach { case ((p, c), i) =>
+          purchases.addData((p, i.toLong)); clicks.addData((c, i.toLong))
+        }
+        q.processAllAvailable()
+        purchases.addData((ts("2024-01-01 20:00:00"), 99L))
+        clicks.addData((ts("2024-01-01 20:00:00"), 99L))
+        q.processAllAvailable()
+        spark.table(sink).select(col("user_id"), col("r_user")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet - ((99L, 99L))
+      } finally q.stop()
+    }
+    val truncated = run(truncate = true, "ivb_trunc")
+    val raw = run(truncate = false, "ivb_raw")
+    // ms-truncated (the q148 staging) matches the batch/oracle inclusion
+    assert(truncated == Set((0L, 0L), (1L, 1L)),
+      s"truncated join must include the ms-boundary pair: $truncated")
+    // native precision excludes the edge pair — the documented divergence
+    // that exists when a caller skips the truncation
+    assert(raw == Set((1L, 1L)),
+      s"raw-precision join must exclude the 200µs-outside pair: $raw")
+  }
+
   test("update mode re-emits only windows a batch changed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
