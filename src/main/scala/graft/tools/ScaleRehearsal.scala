@@ -109,11 +109,17 @@ object ScaleRehearsal {
     // equalize warmth: one untimed pass of the first query per dir
     names.headOption.foreach { n => exec(n, dirA); exec(n, dirB) }
 
-    // pass-ordered: (all queries @ A, all @ B) × runs — back-to-back
-    // repeats of one query would overstate cache warmth
+    // pass-ordered across runs (back-to-back repeats of one query would
+    // overstate cache warmth), but INTERLEAVED A,B within each query: the
+    // exponent is a ratio of the pair, and ambient load drifts over the
+    // ~minutes a pass takes — an all-A-then-all-B pass hands the whole
+    // drift to the B side (round 9 measured q17 at 0.50 suite vs 0.11
+    // isolated, q73 0.57 vs 0.17 for exactly this reason). Adjacent A,B
+    // samples see the same ambient conditions, so drift cancels in the
+    // ratio instead of masquerading as a scaling exponent.
     val samples: Map[(String, String), Seq[Double]] =
       (1 to runs).flatMap { _ =>
-        Seq(dirA, dirB).flatMap(d => names.map(n => (n, d) -> exec(n, d)))
+        names.flatMap(n => Seq(dirA, dirB).map(d => (n, d) -> exec(n, d)))
       }.groupBy(_._1).view
         .mapValues(_.map(_._2).filter(_ >= 0.0).sorted).toMap
 
