@@ -80,7 +80,9 @@ class GoldenDriftSpec extends AnyFunSuite {
   //    vec_id order — deterministic fold, pin-able as-is;
   //  - q106's cluster-wide k-means folds its update sums in fixed
   //    (partition, vec_id) order and merges partials in partition-index
-  //    order (see kmeansTrain), so training is bit-deterministic;
+  //    order (see kmeansTrain), so training is bit-deterministic —
+  //    verified bit-identical between local[4] and local[32] Verify runs
+  //    at sf0.01 (round 9), so the pin holds at ANY core count;
   //  - q89's approx_percentile sketch holds accuracy=10000 entries, and
   //    sf0.001's lineitem (6 000 rows) fits entirely — no lossy
   //    compression ever triggers, so the sketch is an exact, merge-order-
