@@ -41,6 +41,19 @@ class HarnessSpec extends AnyFunSuite {
     assert(Bench.parseHistory("""{"q01":1.065,"q02":0.320}""").isEmpty)
   }
 
+  test("scratchDir default is salted with the application id (concurrent-session isolation)") {
+    // streaming jobs fs.delete their scratch at start — a fixed shared
+    // default would let two concurrent sessions (bench + test run) delete
+    // each other's watch dirs and checkpoints mid-query; an explicit conf
+    // override is taken verbatim (the caller owns isolation then)
+    val spark = SparkTestSession.spark
+    assert(Tables.scratchDir(spark)
+      == s"/tmp/graft_scratch/${spark.sparkContext.applicationId}")
+    spark.conf.set("spark.graft.scratchDir", "/tmp/explicit_scratch")
+    try assert(Tables.scratchDir(spark) == "/tmp/explicit_scratch")
+    finally spark.conf.unset("spark.graft.scratchDir")
+  }
+
   test("Verify.wideDecimals flags precision > 18 at any nesting depth, and only those") {
     assert(Verify.wideDecimals(new StructType()
       .add("a", DecimalType(18, 6)).add("b", LongType)).isEmpty)
