@@ -128,9 +128,12 @@ object Bench {
         case _                  => None
       }
     }
+    // sf field joins the query pairs through ONE mkString so the empty-
+    // merged case (all queries failed, no prior history) still emits valid
+    // JSON — a leading-prefix concat would leave a dangling comma there
     try Files.writeString(Paths.get(historyPath),
-      merged.map { case (n, v) => s""""$n":$v""" }
-        .mkString(s"""{"sf":"$sfDir",""", ",", "}\n"))
+      (s""""sf":"$sfDir"""" +: merged.map { case (n, v) => s""""$n":$v""" })
+        .mkString("{", ",", "}\n"))
     catch { case e: Throwable => System.err.println(s"[bench] write $historyPath: $e") }
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

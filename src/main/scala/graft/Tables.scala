@@ -51,10 +51,41 @@ object Tables {
     * path would delete each other's checkpoints mid-query. An explicit
     * `spark.graft.scratchDir` override is taken verbatim (the caller owns
     * isolation then — Verify does this to keep its tree hermetic).
+    *
+    * App-id salting means every session mints a fresh tree that streaming
+    * jobs only partially clean (each deletes its own watch subdirs at
+    * start) — unbounded /tmp growth across bench/test/profile sessions on
+    * a long-lived host. So the first default-path call per JVM (a)
+    * registers a shutdown hook deleting THIS session's tree and (b) sweeps
+    * sibling app-id dirs untouched for a day (dead sessions whose hook
+    * never ran: kill -9, OOM). Both apply to the default root only — an
+    * explicit override is the caller's to manage.
     */
-  def scratchDir(spark: SparkSession): String =
-    spark.conf.get("spark.graft.scratchDir",
-      s"/tmp/graft_scratch/${spark.sparkContext.applicationId}")
+  def scratchDir(spark: SparkSession): String = {
+    val explicit = spark.conf.getOption("spark.graft.scratchDir")
+    explicit.getOrElse {
+      val root = new java.io.File("/tmp/graft_scratch")
+      val mine = new java.io.File(root, spark.sparkContext.applicationId)
+      if (scratchCleanupArmed.compareAndSet(false, true)) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(mine)))
+        val cutoff = System.currentTimeMillis - 24L * 3600 * 1000
+        Option(root.listFiles).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName != mine.getName
+            && d.lastModified < cutoff)
+          .foreach(deleteTree)
+      }
+      mine.getPath
+    }
+  }
+
+  private val scratchCleanupArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
 
   /** `events` with `ts` normalized to a µs-precision TIMESTAMP, whatever
     * physical type the source stored.

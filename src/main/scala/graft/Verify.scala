@@ -5,25 +5,32 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
-  /** Paths within `dt` holding a decimal wider than 18 digits. Such
-    * columns are int128-backed in parquet, and the driver's two readers
-    * (pyarrow for the Spark dump, DuckDB for the oracle) canonicalize
-    * them asymmetrically — round 8's q140 failed `hash_match` on
-    * bit-identical values for exactly this. Verify refuses to dump them
-    * (fail loudly at build time, not as a red hash row at merge time);
-    * SparkEntrySpec gates the same rule in `sbt test`.
+  /** Paths within `dt` holding a decimal at ANY precision. The driver's
+    * two readers canonicalize decimals asymmetrically at every width:
+    * pyarrow (Spark-dump side) surfaces parquet decimals as
+    * `decimal.Decimal` with the declared scale's trailing zeros
+    * ("194.280000"), while the oracle side surfaces a float ("194.28") —
+    * identical values, different canonical strings, hash FAIL. Rounds 8–9
+    * chased this as a precision->18/int128 problem; round 9's empirical
+    * re-check (all 3,600 q140 rows red on an int64-backed decimal(18,6))
+    * showed the real invariant: NO DecimalType may reach a dump schema.
+    * Sum in decimal internally for reduce-order exactness, then cast the
+    * final projection to double (or bigint micros) on BOTH sides. Verify
+    * refuses to dump offenders (fail loudly at build time, not as a red
+    * hash row at merge time); SparkEntrySpec gates the same rule in
+    * `sbt test`.
     */
-  def wideDecimals(dt: org.apache.spark.sql.types.DataType,
-                   path: String = ""): Seq[String] = {
+  def decimalColumns(dt: org.apache.spark.sql.types.DataType,
+                     path: String = ""): Seq[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case s: StructType => s.fields.toSeq.flatMap(f =>
-        wideDecimals(f.dataType, if (path.isEmpty) f.name else s"$path.${f.name}"))
-      case a: ArrayType => wideDecimals(a.elementType, s"$path[]")
+        decimalColumns(f.dataType, if (path.isEmpty) f.name else s"$path.${f.name}"))
+      case a: ArrayType => decimalColumns(a.elementType, s"$path[]")
       case m: MapType =>
-        wideDecimals(m.keyType, s"$path<key>") ++
-          wideDecimals(m.valueType, s"$path<value>")
-      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+        decimalColumns(m.keyType, s"$path<key>") ++
+          decimalColumns(m.valueType, s"$path<value>")
+      case d: DecimalType => Seq(s"$path: $d")
       case _ => Nil
     }
   }
@@ -57,11 +64,12 @@ object Verify {
     SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        val wide = wideDecimals(df.schema)
-        if (wide.nonEmpty) throw new IllegalStateException(
-          s"dump schema has decimal precision > 18 (${wide.mkString(", ")}) — " +
-            "int128-backed parquet hashes asymmetrically in the driver " +
-            "compare; cast to <= DECIMAL(18,s) on both sides")
+        val decs = decimalColumns(df.schema)
+        if (decs.nonEmpty) throw new IllegalStateException(
+          s"dump schema has DecimalType columns (${decs.mkString(", ")}) — " +
+            "pyarrow surfaces parquet decimals with declared-scale trailing " +
+            "zeros while the oracle surfaces floats; cast the final " +
+            "projection to double (or bigint micros) on both sides")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

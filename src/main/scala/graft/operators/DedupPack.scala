@@ -926,14 +926,41 @@ object DedupPack extends QueryPack {
   // written to match ONLY those two sites — `HAVING count(*) > <cap>` is the
   // hot-shingle cut, `- inter) >= <t>` the jaccard cut), and q122's span
   // width from SpanN, so no oracle can drift from the operator defaults.
-  private def shareConstants(sql: String): String = sql
-    .replace("HAVING count(*) > 100", s"HAVING count(*) > $DfCap")
-    .replace("- inter) >= 0.5", s"- inter) >= $JaccardThreshold")
-    .replace("SPAN_HI", (SpanN - 1).toString)   // n-gram slice end: i+n-1
-    .replace("SPAN_R", (SpanN - 2).toString)    // range end: len-(n-2) ⇒ len-n+1 grams
-    .replace("SPAN_N", SpanN.toString)
+  // Each pattern pins its total occurrence count across the raw oracle map:
+  // a reformat of one SQL literal (e.g. "HAVING count(*)>100" losing a
+  // space) would otherwise silently no-op the substitution for that site
+  // and decouple the oracle from the operator default — the exact drift
+  // this mechanism exists to prevent. Adding/removing a query that uses a
+  // pattern must bump its pin; class-init (so every test run) fails loudly
+  // on a mismatch.
+  private val SharedConstantSites = Seq(
+    // (pattern, replacement, expected occurrences across rawOracle.values)
+    ("HAVING count(*) > 100", s"HAVING count(*) > $DfCap", 6),
+    ("- inter) >= 0.5", s"- inter) >= $JaccardThreshold", 6),
+    ("SPAN_HI", (SpanN - 1).toString, 1), // n-gram slice end: i+n-1
+    ("SPAN_R", (SpanN - 2).toString, 1),  // range end: len-(n-2) ⇒ len-n+1 grams
+    ("SPAN_N", SpanN.toString, 1))
 
-  val oracle = rawOracle.view.mapValues(shareConstants).toMap
+  private def countOccurrences(s: String, p: String): Int =
+    s.sliding(p.length).count(_ == p)
+
+  private def shareConstants(sql: String): String =
+    SharedConstantSites.foldLeft(sql) { case (acc, (pat, value, _)) =>
+      acc.replace(pat, value)
+    }
+
+  val oracle: Map[String, String] = {
+    val raw = rawOracle
+    SharedConstantSites.foreach { case (pat, _, expected) =>
+      val n = raw.valuesIterator.map(countOccurrences(_, pat)).sum
+      require(n == expected,
+        s"oracle constant-substitution pattern '$pat' found $n times across " +
+          s"the raw oracle map, expected $expected — an SQL literal drifted " +
+          "from the shared-constant wiring (or a query was added/removed " +
+          "without bumping the pin)")
+    }
+    raw.view.mapValues(shareConstants).toMap
+  }
 
   private def rawOracle = Map(
     "q147_winnowing_pairs" ->
@@ -959,7 +986,7 @@ object DedupPack extends QueryPack {
         // derive the window width from the one shared constant — a caller
         // passing a non-default w to winnowingPairs is a different query
         // and must bring its own oracle
-        .replace("WFOLLOW", (WinnowW - 1).toString),
+        .replaceChecked("WFOLLOW", (WinnowW - 1).toString),
     // ground truth for the blocked fuzzy join is the literal O(n²)
     // definition — integer edit distances, no FP comparison caveats
     "q142_fuzzy_name_pairs" ->

@@ -957,7 +957,7 @@ object TextPack extends QueryPack {
         |SELECT source, doc_id, n_tokens FROM r
         |WHERE rk > floor(PRUNE_P * CAST(n AS DOUBLE))
         |ORDER BY source, doc_id""".stripMargin
-        .replace("PRUNE_P", PruneP.toString),
+        .replaceChecked("PRUNE_P", PruneP.toString),
     "q146_shuffle_shards" ->
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5('shard:' || doc_id), 1, 4)) AS BIGINT)
@@ -967,7 +967,7 @@ object TextPack extends QueryPack {
         |    ORDER BY md5('order:' || doc_id), doc_id) AS BIGINT) AS pos
         |FROM documents
         |ORDER BY shard, pos""".stripMargin
-        .replace("SHARD_N", ShardN.toString),
+        .replaceChecked("SHARD_N", ShardN.toString),
     "q144_temperature_mix" ->
       """WITH tok AS (
         |  SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
@@ -984,7 +984,7 @@ object TextPack extends QueryPack {
         |SELECT r.source AS source, rk, doc_id FROM r JOIN q ON r.source = q.source
         |WHERE rk <= quota
         |ORDER BY r.source, rk""".stripMargin
-        .replace("MIX_K", MixK.toString),
+        .replaceChecked("MIX_K", MixK.toString),
     "q103_domain_mix_sample" ->
       // DuckDB casts '0x….' hex strings natively; Spark's conv(…,16,10)
       // computes the same integer, so u and the compare are bit-identical

@@ -56,14 +56,19 @@ object TrafficPack extends QueryPack {
 
   /** Exact money aggregation in DECIMAL(18,2) — the type-system answer to
     * float-sum nondeterminism: decimal addition is exact and associative,
-    * so ANY partial-aggregation order gives the same result (results cast
-    * back to DECIMAL(18,2) so both engines dump the identical type).
+    * so ANY partial-aggregation order gives the same result. The REPORTED
+    * value is cast to double (no decimal may reach a dump schema: pyarrow
+    * surfaces parquet decimals with declared-scale trailing zeros while
+    * the oracle side surfaces floats — a sum landing on a 10¢ boundary
+    * would hash-mismatch on identical values). The exact decimal result's
+    * backing integer is < 2^53 at any plausible SF, so decimal→double is
+    * the same correctly-rounded IEEE value in both engines.
     */
   def decimalAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").as("sum_price_dec"))
+        .cast("double").as("sum_price_dec"))
       .orderBy(col("l_returnflag"))
 
   /** The reference's literal output shape: key + tab-joined "%d\t%d\t%d"
@@ -101,7 +106,7 @@ object TrafficPack extends QueryPack {
         |FROM lineitem""".stripMargin,
     "q03_decimal_agg" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price_dec
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q04_formatted_output" ->

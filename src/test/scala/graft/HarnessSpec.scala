@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.types._
 
-/** Unit pins for the round-9 harness defenses themselves — the bench
-  * contention-retry history parser and Verify's wide-decimal gate. Both
+/** Unit pins for the harness defenses themselves — the bench
+  * contention-retry history parser and Verify's decimal-dump gate. Both
   * guard the driver gates silently (a regression would just disable the
   * defense, never fail a query), so they get direct coverage here.
   */
@@ -54,17 +54,50 @@ class HarnessSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.scratchDir")
   }
 
-  test("Verify.wideDecimals flags precision > 18 at any nesting depth, and only those") {
-    assert(Verify.wideDecimals(new StructType()
-      .add("a", DecimalType(18, 6)).add("b", LongType)).isEmpty)
-    assert(Verify.wideDecimals(new StructType()
+  test("Verify.decimalColumns flags EVERY DecimalType at any nesting depth") {
+    // the invariant is any-decimal, not precision>18: round 9 proved an
+    // int64-backed decimal(18,6) dump fails the driver hash on all rows
+    // (pyarrow Decimal("194.280000") vs oracle float 194.28)
+    assert(Verify.decimalColumns(new StructType()
+      .add("a", DoubleType).add("b", LongType).add("c", StringType)).isEmpty)
+    assert(Verify.decimalColumns(new StructType()
+      .add("a", DecimalType(18, 6))) == Seq("a: DecimalType(18,6)"))
+    assert(Verify.decimalColumns(new StructType()
       .add("a", DecimalType(19, 6))) == Seq("a: DecimalType(19,6)"))
     val nested = new StructType()
       .add("s", new StructType().add("x", DecimalType(28, 6)))
       .add("arr", ArrayType(DecimalType(20, 2)))
       .add("m", MapType(StringType, DecimalType(38, 0)))
-      .add("ok", DecimalType(10, 2))
-    assert(Verify.wideDecimals(nested).toSet == Set(
-      "s.x: DecimalType(28,6)", "arr[]: DecimalType(20,2)", "m<value>: DecimalType(38,0)"))
+      .add("low", DecimalType(10, 2))
+      .add("d", DoubleType)
+    assert(Verify.decimalColumns(nested).toSet == Set(
+      "s.x: DecimalType(28,6)", "arr[]: DecimalType(20,2)",
+      "m<value>: DecimalType(38,0)", "low: DecimalType(10,2)"))
+  }
+
+  test("decimal->double reporting is the identical IEEE value both engines produce") {
+    // executable form of the q140/q03 fix's premise: for a decimal whose
+    // backing integer is < 2^53, BigDecimal.doubleValue (Spark's cast) and
+    // backing/10^scale in double arithmetic (DuckDB's int64-decimal cast)
+    // are the same correctly-rounded double — so casting the final
+    // projection to double on both sides hashes identically
+    val cases = Seq(
+      (BigDecimal("194.280000"), 194280000L, 6),
+      (BigDecimal("1061400897.67"), 106140089767L, 2),
+      (BigDecimal("0.000001"), 1L, 6),
+      (BigDecimal("-7.100000"), -7100000L, 6),
+      (BigDecimal("123456789012.345678"), 123456789012345678L, 6))
+    cases.foreach { case (bd, backing, scale) =>
+      val sparkSide = bd.underlying.doubleValue
+      val duckSide = backing.toDouble / math.pow(10, scale)
+      assert(java.lang.Double.doubleToLongBits(sparkSide)
+        == java.lang.Double.doubleToLongBits(duckSide),
+        s"decimal->double divergence for $bd")
+    }
+    // and the canonical-STRING asymmetry the gate exists to prevent: a
+    // declared-scale decimal rendering never equals the float rendering
+    assert(BigDecimal("194.280000").underlying.toPlainString == "194.280000")
+    assert(194.28.toString == "194.28")
+    assert(BigDecimal("194.280000").underlying.toPlainString != 194.28.toString)
   }
 }

@@ -42,25 +42,36 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("no registered query dumps a decimal wider than 18 digits") {
-    // precision <= 18 decimals are int64-backed in parquet and the
-    // driver's two readers (pyarrow for the Spark dump, DuckDB for the
-    // oracle) canonicalize them identically; precision > 18 -> int128
-    // parquet -> asymmetric canonicalization -> hash_match false on
-    // bit-identical values (round-8 q140). Gate the CLASS of bug at the
-    // registry: build every query's frame and walk its schema.
-    // The streaming trio is excluded only because building those frames
-    // RUNS a real StreamingQuery (~13 s combined); their outputs are
-    // all long-typed by construction and adjudicated in EventStreamSpec.
-    val skip = Set("q136_streamed_tumbling_counts", "q141_streamed_sessions",
-      "q148_streamed_attribution")
+  test("streamingQueries markers name real registered queries") {
+    // the marker is the skip set for registry-wide frame-building specs —
+    // a stale entry (renamed query) would silently skip nothing while the
+    // renamed streaming query runs live inside a schema test
+    SparkEntry.allPacks.foreach { p =>
+      val stale = p.streamingQueries -- p.queries.keySet
+      assert(stale.isEmpty,
+        s"${p.getClass.getSimpleName} streamingQueries not in queries: $stale")
+    }
+  }
+
+  test("no registered query dumps a DecimalType column at any precision") {
+    // the driver's two readers canonicalize decimals asymmetrically at
+    // EVERY width: pyarrow (Spark-dump side) yields Decimal with the
+    // declared scale's trailing zeros ("194.280000"), the oracle side a
+    // float ("194.28") — identical values, different canonical strings,
+    // hash FAIL (round-9 q140: all 3,600 rows red on int64-backed
+    // decimal(18,6)). Sum in decimal internally, report as double/bigint.
+    // Gate the CLASS of bug at the registry: build every query's frame
+    // and walk its schema. Streaming-marked queries are excluded only
+    // because building those frames RUNS a real StreamingQuery (~13 s
+    // combined); their outputs are adjudicated in EventStreamSpec.
+    val skip = SparkEntry.allPacks.flatMap(_.streamingQueries).toSet
     val offenders = SparkEntry.queries.filterNot(q => skip(q._1)).flatMap {
       case (name, fn) =>
-        val wide = Verify.wideDecimals(fn(spark, dir).schema)
-        if (wide.isEmpty) Nil else Seq(s"$name -> ${wide.mkString(", ")}")
+        val decs = Verify.decimalColumns(fn(spark, dir).schema)
+        if (decs.isEmpty) Nil else Seq(s"$name -> ${decs.mkString(", ")}")
     }
     assert(offenders.isEmpty,
-      s"queries dumping decimal precision > 18: ${offenders.mkString("; ")}")
+      s"queries dumping DecimalType columns: ${offenders.mkString("; ")}")
   }
 
   test("no two query names are bound to the same pack function (no aliases)") {

@@ -9,20 +9,23 @@ absent dump dir means the query CRASHED during Verify and is counted as FAIL
 (Verify also exits nonzero, but the masking must not depend on the caller
 checking both).
 
-DRIVER-FAITHFUL READ PATHS (the round-8 lesson): the driver reads the SPARK
-dump through pyarrow and the oracle through DuckDB. The two readers agree on
-every type except wide decimals — a decimal with precision > 18 is
-int128-backed in parquet, comes out of pyarrow as `decimal.Decimal` with
-full declared scale ("194.280000"), while the oracle side surfaces a float
-("194.28"): bit-identical values, different canonical strings, hash FAIL
-(q140, round 8). An earlier revision of this script read BOTH sides through
-DuckDB `fetchdf()`, which erased the asymmetry and shipped q140 as green.
-So: Spark side is read via pyarrow here, decimal cells are canonicalized
-explicitly (precision <= 18 -> float, symmetric with DuckDB; > 18 -> kept
-as Decimal so the driver's divergence REPRODUCES), and any dump column
-declared wider than 18 digits is flagged as a hygiene FAIL outright —
-Verify refuses to write such dumps and SparkEntrySpec gates the registry,
-but the replica must also catch a dump produced by older code.
+DRIVER-FAITHFUL READ PATHS (the rounds-8-AND-9 lesson): the driver reads the
+SPARK dump through pyarrow and the oracle through DuckDB. The two readers
+agree on every type except decimals — at ANY precision, pyarrow surfaces a
+parquet decimal as `decimal.Decimal` with the full declared scale
+("194.280000") while the oracle side surfaces a float ("194.28"):
+bit-identical values, different canonical strings, hash FAIL. Round 8's
+revision of this script read BOTH sides through DuckDB `fetchdf()`, erasing
+the asymmetry; round 9's revision float-converted precision<=18 decimals —
+each shipped q140 as green while the driver failed it, because the driver
+NEVER converts decimals to float at any precision (verified empirically in
+round 9 on all 3,600 q140 rows of an int64-backed decimal(18,6)). So:
+Spark side is read via pyarrow here, decimal cells are kept as
+`decimal.Decimal` so driver divergence REPRODUCES locally, and any dump
+column declared as decimal at any width is flagged as a hygiene FAIL
+outright — Verify refuses to write such dumps and SparkEntrySpec gates the
+registry, but the replica must also catch a dump produced by older code.
+Run `python3 tools/test_canon.py` for the executable canonicalization pins.
 
 Registers each parquet table from sfDir under its bare name, runs each SQL in
 <verifyOutDir>/oracle_sql.json, and compares against the Spark parquet dump in
@@ -31,7 +34,6 @@ row-by-row (strict), plus a row-order-insensitive fallback diagnostic.
 
 Builder-side validation tool only — NOT part of the shipped library.
 """
-import decimal
 import json
 import sys
 from pathlib import Path
@@ -57,22 +59,17 @@ def canon(v):
 def read_spark_dump(spark_dir):
     """Read a Verify dump the way the driver does: pyarrow, not DuckDB.
 
-    Returns (DataFrame, [wide-decimal column descriptions]). Decimal columns
-    with precision <= 18 are cast to float64 — the same value DuckDB's
-    fetchdf() surfaces for the oracle side, so the compare is symmetric.
-    Wider decimals are LEFT as decimal.Decimal objects: their canonical
-    string keeps the declared scale's trailing zeros and therefore diverges
-    from the oracle's float exactly as the driver's hash does.
+    Returns (DataFrame, [decimal column descriptions]). Decimal columns at
+    EVERY precision are LEFT as decimal.Decimal objects — the driver never
+    float-converts them, so their canonical string keeps the declared
+    scale's trailing zeros and diverges from the oracle's float exactly as
+    the driver's hash does. Any decimal column is also reported so the
+    caller can fail the hygiene gate outright.
     """
     table = pads.dataset(spark_dir, format="parquet").to_table()
-    wide = [f"{f.name}: {f.type}" for f in table.schema
-            if patypes.is_decimal(f.type) and f.type.precision > 18]
-    df = table.to_pandas()
-    for f in table.schema:
-        if patypes.is_decimal(f.type) and f.type.precision <= 18:
-            df[f.name] = df[f.name].map(
-                lambda v: float(v) if isinstance(v, decimal.Decimal) else v)
-    return df, wide
+    decs = [f"{f.name}: {f.type}" for f in table.schema
+            if patypes.is_decimal(f.type)]
+    return table.to_pandas(), decs
 
 
 def main(sf_dir, out_dir, name_filter=""):
@@ -96,18 +93,21 @@ def main(sf_dir, out_dir, name_filter=""):
             n_fail += 1
             continue
         try:
-            got, wide = read_spark_dump(spark_dir)
+            got, decs = read_spark_dump(spark_dir)
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        if wide:
+        if decs:
             # hygiene gate for the CLASS of bug, independent of whether the
-            # values happen to collide on this dataset
-            print(f"FAIL {name}: dump has decimal precision > 18 ({wide}) — "
-                  f"int128-backed parquet hashes asymmetrically in the "
-                  f"driver compare; cast to <= DECIMAL(18,s) on both sides")
+            # values happen to collide on this dataset (a trailing-zero-free
+            # decimal would string-match the float today and flip red on the
+            # next data regeneration — q03's round-9 near-miss)
+            print(f"FAIL {name}: dump has DecimalType columns ({decs}) — "
+                  f"pyarrow keeps declared-scale trailing zeros, the oracle "
+                  f"surfaces floats; cast the final projection to double "
+                  f"(or bigint micros) on both sides")
             n_fail += 1
             continue
         got = got.reindex(sorted(got.columns), axis=1)

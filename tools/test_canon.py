@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Executable pins for the oracle-compare canonicalization assumptions.
+
+The driver compares the pyarrow-read Spark dump against the DuckDB-read
+oracle by canonical STRING per cell. Two rounds of q140 debugging were spent
+re-deriving which representations collide and which don't — this file makes
+the table executable so the next change to check_oracle.py (or to a dump
+schema) is tested against reality, not folklore.
+
+Run: python3 tools/test_canon.py   (exit 0 = all pins hold)
+Builder-side validation tool only — NOT part of the shipped library.
+"""
+import decimal
+import math
+import sys
+import tempfile
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).parent))
+from check_oracle import canon, read_spark_dump  # noqa: E402
+
+FAILS = []
+
+
+def pin(cond, msg):
+    if not cond:
+        FAILS.append(msg)
+        print(f"PIN FAIL: {msg}")
+
+
+# --- the q140 class: declared-scale decimal vs float -----------------------
+# pyarrow surfaces parquet decimals as decimal.Decimal with the declared
+# scale's trailing zeros; DuckDB fetchdf() surfaces the oracle's value as a
+# float. Identical values, different canonical strings — at ANY precision.
+d = decimal.Decimal("194.280000")
+pin(str(d) == "194.280000", "Decimal keeps declared-scale trailing zeros")
+pin(canon(d) == "194.280000", "canon(Decimal) keeps trailing zeros")
+pin(canon(194.28) == "194.28", "canon(float) drops trailing zeros")
+pin(canon(d) != canon(194.28),
+    "trailing-zero decimal vs float MUST diverge (q140 root cause)")
+# ... and a trailing-zero-FREE decimal still diverges from the float in this
+# replica (str keeps 12 sig figs, %.9g doesn't) — q03's class is caught here
+# even on values where the DRIVER's str-vs-str compare happens to collide:
+pin(canon(decimal.Decimal("1061400897.67")) == "1061400897.67", "Decimal str")
+pin(canon(1061400897.67) == "1.0614009e+09", "%.9g float canon")
+pin(canon(decimal.Decimal("1061400897.67")) != canon(1061400897.67),
+    "q03 class: decimal dump diverges from float oracle in the replica")
+
+# --- the fix's premise: decimal->double is symmetric ------------------------
+# Spark casts via BigDecimal.doubleValue (correctly rounded); DuckDB casts an
+# int64-backed decimal as backing/10^scale in double arithmetic. For backing
+# < 2^53 both are the same correctly-rounded IEEE double.
+for txt, backing, scale in [
+        ("194.280000", 194280000, 6),
+        ("1061400897.67", 106140089767, 2),
+        ("0.000001", 1, 6),
+        ("-7.100000", -7100000, 6),
+        ("123456789012.345678", 123456789012345678, 6)]:
+    spark_side = float(decimal.Decimal(txt))  # correctly rounded, like BigDecimal
+    duck_side = float(backing) / (10.0 ** scale)
+    pin(spark_side == duck_side and canon(spark_side) == canon(duck_side),
+        f"decimal->double divergence for {txt}")
+
+# --- None vs NaN ------------------------------------------------------------
+# pandas renders a float-column null as nan on both read paths; an object
+# column keeps None. str() of the two differ — mixing them across sides
+# would be a silent mismatch.
+pin(canon(None) == "None", "canon(None)")
+pin(canon(float("nan")) == "nan", "canon(nan) via %.9g")
+pin(canon(None) != canon(float("nan")),
+    "None vs NaN diverge — null columns must be float-typed on both sides")
+
+# --- bool -------------------------------------------------------------------
+# numpy.bool_ and python bool both str() as True/False; 0/1 ints do NOT.
+pin(canon(True) == "True" and canon(False) == "False", "canon(bool)")
+pin(canon(1) == "1" and canon(True) != canon(1),
+    "bool vs int diverge — gap_filled-style flags must be bool on both sides")
+
+# --- floats -----------------------------------------------------------------
+pin(canon(0.1 + 0.2) == canon(0.30000000000000004) == "0.3",
+    "%.9g absorbs one-ulp float noise")
+pin(canon(-0.0) == "-0", "negative zero renders distinctly (-0 vs 0)")
+pin(canon(1e300) == "1e+300", "large-float rendering")
+pin(math.isinf(float("inf")) and canon(float("inf")) == "inf", "inf rendering")
+
+# --- end-to-end: a decimal parquet dump must be flagged by the replica ------
+with tempfile.TemporaryDirectory() as td:
+    tab = pa.table({
+        "sum_value": pa.array([decimal.Decimal("194.280000")],
+                              type=pa.decimal128(18, 6)),
+        "n": pa.array([3], type=pa.int64())})
+    pq.write_table(tab, Path(td) / "part-0.parquet")
+    df, decs = read_spark_dump(td)
+    pin(decs == ["sum_value: decimal128(18, 6)"],
+        f"read_spark_dump flags int64-backed decimal(18,6), got {decs}")
+    pin(isinstance(df["sum_value"].iloc[0], decimal.Decimal),
+        "read_spark_dump keeps decimals as Decimal (driver-faithful)")
+    pin(canon(df["sum_value"].iloc[0]) == "194.280000",
+        "round-tripped decimal keeps trailing zeros (reproduces driver red)")
+
+    tab2 = pa.table({"sum_value": pa.array([194.28], type=pa.float64())})
+    pq.write_table(tab2, Path(td) / "d2.parquet")
+    df2, decs2 = read_spark_dump(str(Path(td) / "d2.parquet"))
+    pin(decs2 == [] and canon(df2["sum_value"].iloc[0]) == "194.28",
+        "double dump is clean and canonicalizes to the oracle's float string")
+
+if FAILS:
+    print(f"== {len(FAILS)} canonicalization pins FAILED ==")
+    sys.exit(1)
+print("== all canonicalization pins hold ==")
