@@ -807,18 +807,28 @@ object DedupPack extends QueryPack {
     // the FULL input (every id can appear in a pair), so at 100 TB it is
     // driver-unbounded and must shuffle; AQE broadcasts it automatically
     // when it actually fits.
+    // The join key is xxhash64(variant), not the variant string: only an
+    // (id, hash, pos, len) quad crosses the candidate exchange (~8 bytes
+    // of key vs a name-sized string), and the equality probe compares
+    // longs. Hash COLLISIONS are harmless to correctness in both
+    // directions — a true shared variant always shares the hash (no false
+    // negatives), and a colliding non-variant pair just becomes a
+    // candidate that the exact `levenshtein <= 1` filter below — the very
+    // predicate the oracle defines pairs by — either keeps (then it
+    // belongs in the output) or drops (~2⁻⁶⁴ per pair, a vanishing
+    // candidate-side cost even at 100 TB).
     val variants = names.select(col("id"), length(col("name")).as("len"),
         explode(expr(
           """transform(sequence(0, length(name)), i -> struct(
-            |  CASE WHEN i = 0 THEN name
+            |  xxhash64(CASE WHEN i = 0 THEN name
             |       ELSE concat(substring(name, 1, i - 1),
-            |                   substring(name, i + 1, length(name))) END AS v,
+            |                   substring(name, i + 1, length(name))) END) AS vh,
             |  i AS pos))""".stripMargin)).as("x"))
-      .select(col("id"), col("len"), col("x.v").as("v"), col("x.pos").as("pos"))
+      .select(col("id"), col("len"), col("x.vh").as("vh"), col("x.pos").as("pos"))
     val a = variants.as("a")
     val b = variants.as("b")
     val cand = a.join(b,
-        col("a.v") === col("b.v") && col("a.id") < col("b.id") &&
+        col("a.vh") === col("b.vh") && col("a.id") < col("b.id") &&
           (col("a.len") =!= col("b.len") || col("a.pos") === col("b.pos")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
