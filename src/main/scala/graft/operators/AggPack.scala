@@ -362,19 +362,25 @@ object AggPack extends QueryPack {
       .join(bounds.select(col("g").as("ng"), col("n")), col("pg") === col("ng"))
       .select(col("pg"), col("name"), pos.as("pos"),
         floor(pos).as("lo_r"), ceil(pos).as("hi_r")))
-    val vLo = ranked.join(tgt, col("g") === col("pg") &&
-        col("start") <= col("lo_r") && col("lo_r") < col("end"))
-      .select(col("pg").as("vg"), col("name"), col("pos"), col("lo_r"), col("hi_r"),
-        col("v").as("v_lo"))
-    val vHi = ranked.join(
-        tgt.select(col("pg").as("hg"), col("name").as("hname"), col("hi_r").as("hh")),
-        col("g") === col("hg") && col("start") <= col("hh") && col("hh") < col("end"))
-      .select(col("hg"), col("hname"), col("v").as("v_hi"))
+    // ONE containment probe for both bracketing ranks: the histogram is
+    // scanned once against a join predicate admitting either rank, and a
+    // conditional max per probe name separates v_lo from v_hi afterwards
+    // (when both ranks fall in the same interval the single joined row
+    // supplies both). The previous two-join + rejoin form ran the whole
+    // ranked-histogram pipeline twice.
+    val hits = ranked.join(tgt, col("g") === col("pg") &&
+        ((col("start") <= col("lo_r") && col("lo_r") < col("end")) ||
+          (col("start") <= col("hi_r") && col("hi_r") < col("end"))))
+      .groupBy(col("pg"), col("name"), col("pos"), col("lo_r"), col("hi_r"))
+      .agg(
+        max(when(col("start") <= col("lo_r") && col("lo_r") < col("end"),
+          col("v"))).as("v_lo"),
+        max(when(col("start") <= col("hi_r") && col("hi_r") < col("end"),
+          col("v"))).as("v_hi"))
     val r = when(col("lo_r") === col("hi_r"), col("v_lo"))
       .otherwise((col("hi_r").cast("double") - col("pos")) * col("v_lo") +
         (col("pos") - col("lo_r").cast("double")) * col("v_hi"))
-    vLo.join(vHi, col("vg") === col("hg") && col("name") === col("hname"))
-      .select(col("vg").as("g"), col("name"), r.as("r"))
+    hits.select(col("pg").as("g"), col("name"), r.as("r"))
   }
 
   /** Approximate percentiles — the 100 TB path q85 specializes. Exact
