@@ -53,6 +53,15 @@ object Bench {
     "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** The history-file line. The sf field joins the query pairs through ONE
+    * mkString so the empty-merged case (all queries failed, no prior
+    * history) still emits valid JSON — a leading-prefix concat would leave
+    * a dangling comma there. Pinned in HarnessSpec.
+    */
+  def historyLine(sfDir: String, merged: Seq[(String, Double)]): String =
+    (s""""sf":"$sfDir"""" +: merged.map { case (n, v) => s""""$n":$v""" })
+      .mkString("{", ",", "}\n")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -128,12 +137,7 @@ object Bench {
         case _                  => None
       }
     }
-    // sf field joins the query pairs through ONE mkString so the empty-
-    // merged case (all queries failed, no prior history) still emits valid
-    // JSON — a leading-prefix concat would leave a dangling comma there
-    try Files.writeString(Paths.get(historyPath),
-      (s""""sf":"$sfDir"""" +: merged.map { case (n, v) => s""""$n":$v""" })
-        .mkString("{", ",", "}\n"))
+    try Files.writeString(Paths.get(historyPath), historyLine(sfDir, merged))
     catch { case e: Throwable => System.err.println(s"[bench] write $historyPath: $e") }
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

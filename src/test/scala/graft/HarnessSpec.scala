@@ -41,6 +41,19 @@ class HarnessSpec extends AnyFunSuite {
     assert(Bench.parseHistory("""{"q01":1.065,"q02":0.320}""").isEmpty)
   }
 
+  test("Bench.historyLine emits valid JSON for empty and nonempty merges") {
+    // all-queries-failed + no prior history previously wrote {"sf":"…",}
+    // — a trailing comma any standard JSON consumer of the committed
+    // history file chokes on
+    val empty = Bench.historyLine("/root/testdata/sf0.1", Nil)
+    assert(empty == "{\"sf\":\"/root/testdata/sf0.1\"}\n")
+    val two = Bench.historyLine("/sf", Seq("q01_a" -> 1.5, "q02_b" -> 0.25))
+    assert(two == "{\"sf\":\"/sf\",\"q01_a\":1.5,\"q02_b\":0.25}\n")
+    // round-trips through the reader that consumes it
+    assert(Bench.parseHistory(two) == Map("q01_a" -> 1.5, "q02_b" -> 0.25))
+    assert(Bench.parseHistory(empty).isEmpty)
+  }
+
   test("scratchDir default is salted with the application id (concurrent-session isolation)") {
     // streaming jobs fs.delete their scratch at start — a fixed shared
     // default would let two concurrent sessions (bench + test run) delete

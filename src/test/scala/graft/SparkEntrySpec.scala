@@ -42,6 +42,22 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("replaceChecked substitutes when present and fails loudly when absent") {
+    // oracle constant-substitution helper: a drifted SQL literal must fail
+    // at class-init, not silently no-op the replace (the decoupling the
+    // mechanism exists to prevent)
+    object P extends graft.operators.QueryPack {
+      val queries = Map.empty[String, (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame]
+      val oracle = Map.empty[String, String]
+      def ok(): String = "HAVING count(*) > 100".replaceChecked("> 100", "> 7")
+      def drifted(): String = "HAVING count(*)>100".replaceChecked("> 100", "> 7")
+    }
+    assert(P.ok() == "HAVING count(*) > 7")
+    val e = intercept[IllegalArgumentException](P.drifted())
+    assert(e.getMessage.contains("pattern not found"))
+  }
+
   test("streamingQueries markers name real registered queries") {
     // the marker is the skip set for registry-wide frame-building specs —
     // a stale entry (renamed query) would silently skip nothing while the
