@@ -68,6 +68,7 @@ def final_order_keys(sql):
         return None
     cols = []
     for c in split_top_level(sql[last:].strip()):
+        has_nulls_dir = bool(re.search(r'NULLS\s+(FIRST|LAST)', c, re.I))
         # CAST(col AS t): the sort key is the CAST VALUE — a narrowing cast
         # can create ties a unique raw column doesn't have, so the checker
         # evaluates the key (numeric conversion; falls back to the raw
@@ -76,12 +77,13 @@ def final_order_keys(sql):
                          r'(?:ASC|DESC)?\s*(?:NULLS\s+(?:FIRST|LAST))?',
                          c.strip(), re.I)
         if m:
-            cols.append(('cast', m.group(1).split('.')[-1].strip('"')))
+            cols.append(('cast', m.group(1).split('.')[-1].strip('"'),
+                         has_nulls_dir))
             continue
         c = c.split()[0]                  # drop ASC/DESC/NULLS FIRST...
         c = c.split('.')[-1]              # drop table/alias prefix
         c = c.strip('"')                  # unquote identifiers
-        cols.append(('col', c))
+        cols.append(('col', c, has_nulls_dir))
     return cols
 
 
@@ -103,16 +105,27 @@ def main(out_dir):
             fails.append(f"{name}: {tab.num_rows} rows but oracle has no "
                          f"ORDER BY")
             continue
-        missing = [k for kind, k in keys if k not in tab.schema.names]
+        missing = [k for _, k, _ in keys if k not in tab.schema.names]
         if missing:
             fails.append(f"{name}: ORDER BY keys {missing} are not named "
                          f"output columns — unverifiable, sort by output "
                          f"columns instead")
             continue
+        # a NULL in a sort key orders NULLS FIRST in Spark but NULLS LAST
+        # in DuckDB — unique keys still produce different row orders unless
+        # the oracle spells the direction out
+        bare_null_keys = [
+            k for _, k, has_dir in keys
+            if not has_dir and tab.column(k).null_count > 0]
+        if bare_null_keys:
+            fails.append(f"{name}: sort keys {bare_null_keys} contain NULLs "
+                         f"but carry no NULLS FIRST/LAST directive — Spark "
+                         f"and DuckDB default opposite null orders")
+            continue
         df = tab.to_pandas()
         import pandas as pd
         keydf = pd.DataFrame()
-        for i, (kind, k) in enumerate(keys):
+        for i, (kind, k, _) in enumerate(keys):
             col = df[k]
             if kind == 'cast':
                 num = pd.to_numeric(col, errors='coerce')
@@ -124,7 +137,7 @@ def main(out_dir):
         dup = int(keydf.duplicated().sum())
         if dup:
             fails.append(f"{name}: {dup} of {tab.num_rows} rows tie on sort "
-                         f"keys {[k for _, k in keys]} — tie order is "
+                         f"keys {[k for _, k, _ in keys]} — tie order is "
                          f"engine-arbitrary")
         else:
             n_ok += 1
