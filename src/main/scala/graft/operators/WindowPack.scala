@@ -60,11 +60,19 @@ object WindowPack extends QueryPack {
     * current row. Same addition sequence in both engines → bit-identical.
     */
   def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    // exact integer cents inside the running fold, ONE deterministic
+    // division at the end: a raw double running sum is bit-divergent
+    // between engines (Spark accumulates sequentially, DuckDB's windowed
+    // SUM aggregates tree-wise — a round-10 bit audit showed 37% of cells
+    // differing in the last ulp, green only through compare rounding).
+    // `value` is cent-grid data, so round(value*100) is exact and the
+    // long cumsum has a single IEEE-identical final /100.0 on both sides.
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
-      .withColumn("running_value", sum(col("value")).over(w))
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts"))
+      .withColumn("running_value", sum(col("cents")).over(w) / 100.0)
       .select(col("user_id"), col("event_id"), col("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -201,8 +209,9 @@ object WindowPack extends QueryPack {
         |ORDER BY user_id, event_id""".stripMargin,
     "q39_window_running" ->
       """SELECT user_id, event_id,
-        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
         |    AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin)
 }
