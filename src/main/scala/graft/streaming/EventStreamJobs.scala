@@ -323,9 +323,14 @@ object EventStreamJobs {
     val ev = graft.Tables.events(spark, dir)
       .filter(col("event_type").isin("purchase", "click"))
     ev.repartition(2).write.parquet(s"$scratch/watch")
-    val (minUs, maxUs) = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .head() match { case r => (r.getLong(0), r.getLong(1)) }
-    val delayMs = (maxUs - minUs) / 1000L + 3600L * 1000
+    // the replay watermark delay only needs to EXCEED the data span (an
+    // inner stream-stream join emits on match; the watermark drives state
+    // EVICTION, which must simply never fire mid-replay) — so a generous
+    // constant replaces the min/max bounds aggregate that previously cost
+    // a second full pass over the staged slice. 20 years covers any
+    // driver-generated span; q141 is different (its sentinel needs real
+    // bounds to ADVANCE the watermark and close sessions).
+    val delayMs = 20L * 365 * 24 * 3600 * 1000
     // two independent file sources over the same staged dir — each side
     // of a stream-stream join is its own source with its own offsets
     // ms-truncate the event-time columns BEFORE the join so the band
