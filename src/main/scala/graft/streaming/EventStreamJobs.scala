@@ -249,8 +249,21 @@ object EventStreamJobs {
     fs.delete(scratchP, true)
     val ev = graft.Tables.events(spark, dir)
     ev.repartition(2).write.parquet(s"$scratch/watch")
-    val (minUs, maxUs) = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    // sentinel placement + replay delay need the data bounds, but not a
+    // second pass over the slice: min/max of a bare column over the
+    // just-staged parquet comes from the file FOOTERS when aggregate
+    // pushdown is on (the µs-int64 ts we wrote supports it; if a future
+    // format doesn't, Spark silently falls back to the scan — same values)
+    val (minUs, maxUs) = {
+      val k = "spark.sql.parquet.aggregatePushdown"
+      val old = spark.conf.get(k)
+      spark.conf.set(k, "true")
+      try spark.read.parquet(s"$scratch/watch").agg(min(col("ts")), max(col("ts")))
+        .head() match {
+          case r => (unixMicrosOf(r.get(0)), unixMicrosOf(r.get(1)))
+        }
+      finally spark.conf.set(k, old)
+    }
     val spanMs = (maxUs - minUs) / 1000L
     val delayMs = spanMs + 3600L * 1000
     val sentinelUs = maxUs + (delayMs + gapMs + 3600L * 1000) * 1000L
@@ -365,6 +378,19 @@ object EventStreamJobs {
     }
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("purchase_id"), col("click_id")))
+  }
+
+  /** Epoch micros of a bounds-row cell that may be a Timestamp (µs parquet)
+    * or a raw Long (nanos-era staging) — mirrors Tables.normalizeTs's
+    * dispatch for the two physical ts formats.
+    */
+  private def unixMicrosOf(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case t: java.time.Instant =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case l: java.lang.Long => l / 1000L // raw nanos long
+    case other => throw new IllegalStateException(s"unexpected ts cell $other")
   }
 
   case class SessionEvent(user_id: Long, event_id: Long, tsMs: Long)
