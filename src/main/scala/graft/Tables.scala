@@ -24,7 +24,16 @@ object Tables {
     * factors (model dumps, stored indexes) so runs never cross-pollute.
     */
   def sfTag(spark: SparkSession, dir: String): Long =
-    t(spark, dir, "lineitem").count()
+    // memoized per (session, dir): the count is stable for a dir within a
+    // process, and every store-keyed query (kmeans/PCA dumps, dedup
+    // indexes) calls this on its hot path — uncached, each call was a
+    // full lineitem count job
+    sfTagCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir",
+      _ => t(spark, dir, "lineitem").count())
+
+  private val sfTagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Scratch root for artifacts a query persists AND its DuckDB oracle
     * reads back (model dumps, stored indexes). Verify points this at a
