@@ -24,15 +24,20 @@ object Tables {
     * factors (model dumps, stored indexes) so runs never cross-pollute.
     */
   def sfTag(spark: SparkSession, dir: String): Long =
-    // memoized per (session, dir): the count is stable for a dir within a
-    // process, and every store-keyed query (kmeans/PCA dumps, dedup
-    // indexes) calls this on its hot path — uncached, each call was a
-    // full lineitem count job
-    sfTagCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|$dir",
-      _ => t(spark, dir, "lineitem").count())
+    tableCount(spark, dir, "lineitem")
 
-  private val sfTagCache =
+  /** `t(dir, name).count()` memoized per (session, dir, table): the
+    * testdata tables are immutable within a process, and the counts sit on
+    * hot paths — the SF tag on every store-keyed query (k-means/PCA dumps,
+    * dedup indexes) and the LSH/IVF auto-sizing on the embedding queries.
+    * Uncached, each call was a full count job.
+    */
+  def tableCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|$name",
+      _ => t(spark, dir, name).count())
+
+  private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Scratch root for artifacts a query persists AND its DuckDB oracle

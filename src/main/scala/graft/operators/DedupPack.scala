@@ -392,7 +392,7 @@ object DedupPack extends QueryPack {
                         nBitsArg: Int = -1, bands: Int = 8): DataFrame = {
     val nBits =
       if (nBitsArg >= 0) nBitsArg
-      else bands * autoLshRows(t(spark, dir, "embeddings").count())
+      else bands * autoLshRows(graft.Tables.tableCount(spark, dir, "embeddings"))
     require(nBits % bands == 0,
       s"nBits=$nBits must divide evenly into bands=$bands (trailing signature " +
         "bits would silently never participate in blocking)")
@@ -704,7 +704,7 @@ object DedupPack extends QueryPack {
                     nCellsArg: Int = -1, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val nCells =
       if (nCellsArg >= 0) nCellsArg
-      else autoCells(t(spark, dir, "embeddings").count())
+      else autoCells(graft.Tables.tableCount(spark, dir, "embeddings"))
     CosineSimilarity.register(spark)
     graft.functions.TopCells.register(spark)
     // session-memoized model: shared with the q106 IVF search instead of
