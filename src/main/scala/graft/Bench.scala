@@ -62,6 +62,23 @@ object Bench {
     (s""""sf":"$sfDir"""" +: merged.map { case (n, v) => s""""$n":$v""" })
       .mkString("{", ",", "}\n")
 
+  /** Element-wise-min merge of prior history with this run's medians,
+    * restricted to currently-registered names: a history-only entry from a
+    * RENAMED query (e.g. the old q105_percentiles_histogram) would
+    * otherwise persist forever as dead weight, while a live name absent
+    * from a FILTERED run still keeps its prior best. Pinned in HarnessSpec.
+    */
+  def mergeHistory(history: Map[String, Double], run: Map[String, Double],
+                   live: Set[String]): Seq[(String, Double)] =
+    (history.keySet ++ run.keySet).toSeq.sorted.filter(live).flatMap { n =>
+      (history.get(n), run.get(n)) match {
+        case (Some(h), Some(m)) => Some(n -> math.min(h, m))
+        case (Some(h), None)    => Some(n -> h)
+        case (None, Some(m))    => Some(n -> m)
+        case _                  => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -129,14 +146,7 @@ object Bench {
     val failed = medians.collect { case (n, v) if v < 0 => n }
     val ok = medians.filter(_._2 >= 0)
     // history := element-wise min — converges toward clean-host medians
-    val merged = (history.keySet ++ ok.map(_._1)).toSeq.sorted.flatMap { n =>
-      (history.get(n), ok.toMap.get(n)) match {
-        case (Some(h), Some(m)) => Some(n -> math.min(h, m))
-        case (Some(h), None)    => Some(n -> h)
-        case (None, Some(m))    => Some(n -> m)
-        case _                  => None
-      }
-    }
+    val merged = mergeHistory(history, ok.toMap, SparkEntry.queries.keySet)
     try Files.writeString(Paths.get(historyPath), historyLine(sfDir, merged))
     catch { case e: Throwable => System.err.println(s"[bench] write $historyPath: $e") }
     val total = ok.map(_._2).sum

@@ -54,6 +54,17 @@ class HarnessSpec extends AnyFunSuite {
     assert(Bench.parseHistory(empty).isEmpty)
   }
 
+  test("Bench.mergeHistory: element-wise min, filtered-run keep, rename prune") {
+    val history = Map("q01_a" -> 1.0, "q02_b" -> 2.0, "q99_renamed" -> 9.0)
+    val run = Map("q01_a" -> 0.8, "q03_c" -> 3.0) // q02_b absent: filtered run
+    val live = Set("q01_a", "q02_b", "q03_c")     // q99_renamed no longer registered
+    assert(Bench.mergeHistory(history, run, live) ==
+      Seq("q01_a" -> 0.8, "q02_b" -> 2.0, "q03_c" -> 3.0))
+    // a regressed sample never ratchets the history upward
+    assert(Bench.mergeHistory(Map("q01_a" -> 1.0), Map("q01_a" -> 5.0),
+      Set("q01_a")) == Seq("q01_a" -> 1.0))
+  }
+
   test("scratchDir default is salted with the application id (concurrent-session isolation)") {
     // streaming jobs fs.delete their scratch at start — a fixed shared
     // default would let two concurrent sessions (bench + test run) delete
