@@ -23,9 +23,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  // null (not a garbage number) for malformed inputs: mismatched lengths
-  // and zero-norm vectors — DuckDB's list_cosine_similarity errors on the
-  // former; silently truncating would let a bad embedding pass unnoticed
+  // null (not a garbage number) for malformed inputs: mismatched lengths,
+  // null elements, and zero-norm vectors — DuckDB's list_cosine_similarity
+  // errors on the former; silently truncating or zero-filling would let a
+  // bad embedding pass unnoticed
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -54,6 +55,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      // null element → null output: getDouble on a null slot reads 0.0,
+      // which would score a malformed embedding plausibly instead of
+      // flagging it — the HOF twin (zip_with/aggregate) null-propagates,
+      // and TopCells/Int8Quantize enforce the same contract
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
@@ -82,13 +88,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xv = (double) $a.$lGet($i);
          |    double $yv = (double) $b.$rGet($i);
          |    $dot += $xv * $yv;
          |    $nx += $xv * $xv;
          |    $ny += $yv * $yv;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
+         |  if (${ev.isNull}) {
+         |    // null element: result already marked null
+         |  } else if ($nx == 0.0 || $ny == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
@@ -109,7 +118,10 @@ object CosineSimilarity {
   /** Idempotent per-session registration; enables call_function + SQL use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+      fnName, exprs => {
+        requireArity(exprs, 2, fnName, "a, b")
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "scala_udf")
 
   /** Column builder (requires register(spark) once per session). */
   def cosineFast(a: Column, b: Column): Column = call_function(fnName, a, b)

@@ -96,7 +96,10 @@ object Int8Quantize {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => Int8Quantize(exprs.head), "scala_udf")
+      fnName, exprs => {
+        requireArity(exprs, 1, fnName, "embedding")
+        Int8Quantize(exprs.head)
+      }, "scala_udf")
 
   /** Column builder (requires register(spark) once per session). */
   def quantize(emb: Column): Column = call_function(fnName, emb)

@@ -79,11 +79,16 @@ object NGramShingles {
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => NGramShingles(exprs.head,
-        intLiteralArg(exprs(1), fnName, "n")), "scala_udf")
+      fnName, exprs => {
+        requireArity(exprs, 2, fnName, "tokens, n")
+        NGramShingles(exprs.head, intLiteralArg(exprs(1), fnName, "n"))
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      allFnName, exprs => NGramShingles(exprs.head,
-        intLiteralArg(exprs(1), allFnName, "n"), distinct = false), "scala_udf")
+      allFnName, exprs => {
+        requireArity(exprs, 2, allFnName, "tokens, n")
+        NGramShingles(exprs.head, intLiteralArg(exprs(1), allFnName, "n"),
+          distinct = false)
+      }, "scala_udf")
   }
 
   def shinglesFast(tokens: Column, n: Int): Column =
@@ -145,8 +150,10 @@ object MinHashSig {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => MinHashSig(exprs.head,
-        intLiteralArg(exprs(1), fnName, "k")), "scala_udf")
+      fnName, exprs => {
+        requireArity(exprs, 2, fnName, "shingles, k")
+        MinHashSig(exprs.head, intLiteralArg(exprs(1), fnName, "k"))
+      }, "scala_udf")
 
   def minhashFast(shingles: Column, k: Int): Column =
     call_function(fnName, shingles, org.apache.spark.sql.functions.lit(k))

@@ -80,7 +80,10 @@ object SimHash64 {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => SimHash64(exprs.head), "scala_udf")
+      fnName, exprs => {
+        requireArity(exprs, 1, fnName, "tokens")
+        SimHash64(exprs.head)
+      }, "scala_udf")
 
   def simhash64(tokens: Column): Column = call_function(fnName, tokens)
 }

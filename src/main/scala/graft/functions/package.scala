@@ -21,6 +21,16 @@ package object functions {
     * that used to work), widens the integral types, and fails with a clear
     * message otherwise.
     */
+  /** Arity gate for SQL-registered graft_* builders: a wrong argument
+    * count must fail with the function name and expected signature, not a
+    * bare IndexOutOfBoundsException from a positional `exprs(i)`.
+    */
+  private[functions] def requireArity(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int, fn: String, sig: String): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn needs $n arguments ($sig), got ${exprs.length}")
+
   private[functions] def intLiteralArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
                                        fn: String, arg: String): Int = {
     def fail() = throw new IllegalArgumentException(

@@ -221,24 +221,11 @@ object SimilarityPack extends QueryPack {
   private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int, Int), (Array[Array[Double]], Seq[Double])]()
 
-  /** Apps whose memo-eviction listener is registered (one per app) — the
-    * clusterMemo lifecycle pattern: entries die with their application.
-    */
-  private val evictionHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def hookEviction(spark: SparkSession): Unit = {
-    val appId = spark.sparkContext.applicationId
-    if (evictionHooked.add(appId)) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          kmeansMemo.keySet.removeIf(_._1 == appId)
-          pcaMemo.keySet.removeIf(_._1 == appId)
-          evictionHooked.remove(appId)
-        }
-      })
+  private def hookEviction(spark: SparkSession): Unit =
+    MemoEviction.hook(spark, "similarity") { appId =>
+      kmeansMemo.keySet.removeIf(_._1 == appId)
+      pcaMemo.keySet.removeIf(_._1 == appId): Unit
     }
-  }
 
   def kmeansModel(spark: SparkSession, dir: String, k: Int = 16,
                   iters: Int = 3): (Array[Array[Double]], Seq[Double]) = {
@@ -538,30 +525,19 @@ object SimilarityPack extends QueryPack {
     // destroy all generations if it died mid-write.
     val dumpP = new org.apache.hadoop.fs.Path(dumpPath)
     val fs = dumpP.getFileSystem(spark.sessionState.newHadoopConf())
-    val old = new org.apache.hadoop.fs.Path(dumpP.getParent, s".${dumpP.getName}_compact_old")
     val nDataFiles =
       if (fs.exists(dumpP))
         fs.listStatus(dumpP).count(_.getPath.getName.endsWith(".parquet"))
       else 0
     if (nDataFiles > 64) {
       import org.apache.spark.sql.expressions.Window
-      val tmp = new org.apache.hadoop.fs.Path(dumpP.getParent, s".${dumpP.getName}_compact_tmp")
-      fs.delete(tmp, true)
-      spark.read.parquet(dumpPath)
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-          Window.partitionBy(col("tag"), col("part")).orderBy(col("ts").desc)))
-        .filter(col("rn") === 1).drop("rn")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(old, true)
-      if (!fs.rename(dumpP, old))
-        throw new java.io.IOException(s"pca dump compaction swap failed at $dumpP")
-      if (!fs.rename(tmp, dumpP)) {
-        val restored = fs.rename(old, dumpP)
-        throw new java.io.IOException(s"pca dump compaction swap failed at $dumpP " +
-          (if (restored) "(rolled back)"
-           else s"(ROLLBACK ALSO FAILED — dump preserved at $old)"))
+      graft.sources.AtomicSwap.replaceDir(fs, dumpP, "pca dump compaction") { tmp =>
+        spark.read.parquet(dumpPath)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy(col("tag"), col("part")).orderBy(col("ts").desc)))
+          .filter(col("rn") === 1).drop("rn")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       }
-      fs.delete(old, true)
     }
     pcaProject(t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
         col("embedding"), mean, comps)
@@ -612,7 +588,13 @@ object SimilarityPack extends QueryPack {
       .repartition(nParts, col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .cache()
-    var centroids: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
+    // seed from the first k WELL-FORMED embeddings: a null array or null
+    // element among the first k rows would NPE the driver-side toDouble
+    // (the training loop below drops such rows via the TopCells null gate)
+    var centroids: Array[Array[Double]] = emb
+      .where(col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull))
+      .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map(unitNorm)
@@ -627,9 +609,16 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_id"), col("embedding"),
           element_at(graft.functions.TopCells.topCells(col("embedding"), cents, 1), 1)
             .as("cell"))
+        // TopCells yields NULL for malformed embeddings (wrong dims, null
+        // elements) — drop them rather than crash the non-nullable typed
+        // decode below; cosineFast yields NULL for a ZERO-NORM embedding,
+        // which per the fold's convention counts toward the mean's
+        // denominator but contributes zero — so its objective term is 0,
+        // not a decode crash
+        .where(col("cell").isNotNull)
         .select(col("cell"),
-          CosineSimilarity.cosineFast(col("embedding"),
-            element_at(typedlit(cents), col("cell") + 1)).as("cos"),
+          coalesce(CosineSimilarity.cosineFast(col("embedding"),
+            element_at(typedlit(cents), col("cell") + 1)), lit(0.0)).as("cos"),
           // |x| for the unit-normalized update below (interpreted HOF, but
           // this is a once-per-iteration training pass, not a query path)
           sqrt(aggregate(col("embedding"), lit(0.0),

@@ -217,6 +217,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad(3L) && bad(4L), s"malformed embeddings must quantize to NULL: $bad")
   }
 
+  test("CosineSimilarity edge contracts: null element / zero-norm / mismatch yield NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    graft.functions.CosineSimilarity.register(spark)
+    val rows = Seq(
+      (1L, Array(1f, 2f).map(Option(_)), Array(3f, 4f).map(Option(_))),   // clean
+      (2L, Array(Option(1f), None), Array(3f, 4f).map(Option(_))),        // null elem left
+      (3L, Array(1f, 2f).map(Option(_)), Array(Option(3f), None)),        // null elem right
+      (4L, Array(0f, 0f).map(Option(_)), Array(3f, 4f).map(Option(_))),   // zero norm
+      (5L, Array(1f, 2f, 3f).map(Option(_)), Array(3f, 4f).map(Option(_)))) // mismatch
+      .toDF("id", "a", "b")
+    // codegen path (projection over the frame) — a null slot must NOT be
+    // silently read as 0.0 and score a malformed embedding plausibly
+    val nulls = rows
+      .select(c("id"), graft.functions.CosineSimilarity.cosineFast(c("a"), c("b")).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!nulls(1L), "clean input must score")
+    Seq(2L, 3L, 4L, 5L).foreach(id =>
+      assert(nulls(id), s"row $id (malformed) must yield NULL"))
+    // interpreted path (direct eval) agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val at = ArrayType(DoubleType, containsNull = true)
+    def arr(xs: Any*) = Literal.create(new GenericArrayData(xs.toArray), at)
+    val fn = graft.functions.CosineSimilarity.apply _
+    assert(fn(arr(1.0, null), arr(3.0, 4.0)).eval(null) == null, "null element")
+    assert(fn(arr(0.0, 0.0), arr(3.0, 4.0)).eval(null) == null, "zero norm")
+    assert(fn(arr(1.0), arr(3.0, 4.0)).eval(null) == null, "length mismatch")
+    assert(fn(arr(3.0, 4.0), arr(3.0, 4.0)).eval(null) == 1.0, "clean")
+    // wrong arity fails with the function name, not IndexOutOfBounds
+    rows.createOrReplaceTempView("cos_arg_check")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(a) FROM cos_arg_check").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine"), e.getMessage)
+  }
+
+  test("k-means training survives zero-norm and malformed embeddings") {
+    import spark.implicits._
+    // a tiny embeddings table with a zero-norm vector (cosine to its
+    // centroid is undefined -> objective term 0, still in the mean's
+    // denominator) and a null-element vector (dropped by the TopCells
+    // null gate) — previously both crashed the non-nullable typed decode
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmeans_edge").toString
+    val dim = 8
+    val clean = (1L to 20L).map(i =>
+      (i, Array.tabulate(dim)(d => Option(((i + d) % 5 + 1).toFloat))))
+    val edge = Seq(
+      (97L, Array.fill(dim)(Option(0f))),                       // zero norm
+      (98L, Array.tabulate(dim)(d => if (d == 3) None else Option(1f))))
+    (clean ++ edge).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val (centroids, costs) = SimilarityPack.kmeansTrain(spark, tmp, k = 2, iters = 2)
+    assert(centroids.length == 2 && centroids.forall(_.length == dim))
+    centroids.foreach(cn =>
+      assert(math.abs(math.sqrt(cn.map(x => x * x).sum) - 1.0) < 1e-9))
+    assert(costs.size == 2 && costs.forall(v => !v.isNaN))
+  }
+
   test("native CosineSimilarity expression == HOF cosine, bit-identical") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSimilarity.register(spark)
