@@ -69,11 +69,14 @@ object Tables {
     * App-id salting means every session mints a fresh tree that streaming
     * jobs only partially clean (each deletes its own watch subdirs at
     * start) — unbounded /tmp growth across bench/test/profile sessions on
-    * a long-lived host. So the first default-path call per JVM (a)
-    * registers a shutdown hook deleting THIS session's tree and (b) sweeps
-    * sibling app-id dirs untouched for a day (dead sessions whose hook
-    * never ran: kill -9, OOM). Both apply to the default root only — an
-    * explicit override is the caller's to manage.
+    * a long-lived host. So the first default-path call per JVM (a) writes
+    * a `.pid` marker into THIS session's tree and registers a shutdown
+    * hook deleting the tree, and (b) sweeps sibling app-id dirs whose
+    * owning process is DEAD (`.pid` names a pid absent from /proc) or —
+    * for pre-marker trees with no `.pid` — untouched for a day. Liveness,
+    * not just age: an mtime-only sweep would delete the checkpoints of a
+    * long-idle but still-running session mid-query. Both apply to the
+    * default root only — an explicit override is the caller's to manage.
     */
   def scratchDir(spark: SparkSession): String = {
     val explicit = spark.conf.getOption("spark.graft.scratchDir")
@@ -82,14 +85,35 @@ object Tables {
       val mine = new java.io.File(root, spark.sparkContext.applicationId)
       if (scratchCleanupArmed.compareAndSet(false, true)) {
         Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(mine)))
+        try {
+          mine.mkdirs()
+          java.nio.file.Files.writeString(
+            new java.io.File(mine, ".pid").toPath,
+            ProcessHandle.current().pid().toString)
+        } catch { case _: Throwable => () } // marker is best-effort
         val cutoff = System.currentTimeMillis - 24L * 3600 * 1000
         Option(root.listFiles).getOrElse(Array.empty)
           .filter(d => d.isDirectory && d.getName != mine.getName
-            && d.lastModified < cutoff)
+            && scratchOwnerDead(d, cutoff))
           .foreach(deleteTree)
       }
       mine.getPath
     }
+  }
+
+  /** True when a sibling scratch tree is safe to sweep: its `.pid` marker
+    * names a process no longer alive, or (legacy tree without a marker)
+    * it has been untouched past the cutoff.
+    */
+  private[graft] def scratchOwnerDead(d: java.io.File, cutoff: Long): Boolean = {
+    val marker = new java.io.File(d, ".pid")
+    if (marker.isFile) {
+      try {
+        val pid = java.nio.file.Files.readString(marker.toPath).trim.toLong
+        ProcessHandle.of(pid).map[java.lang.Boolean](h => !h.isAlive)
+          .orElse(true)
+      } catch { case _: Throwable => d.lastModified < cutoff }
+    } else d.lastModified < cutoff
   }
 
   private val scratchCleanupArmed =

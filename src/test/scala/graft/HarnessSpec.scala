@@ -78,6 +78,32 @@ class HarnessSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.scratchDir")
   }
 
+  test("scratch sweep is liveness-gated: a live owner's tree is never swept by age") {
+    // an mtime-only sweep would delete the streaming checkpoints of a
+    // long-idle but still-running session; the .pid marker decides
+    val base = java.nio.file.Files.createTempDirectory("graft_sweep").toFile
+    def dirWith(pid: Option[String]): java.io.File = {
+      val d = java.nio.file.Files.createTempDirectory(base.toPath, "app").toFile
+      pid.foreach(p => java.nio.file.Files.writeString(
+        new java.io.File(d, ".pid").toPath, p))
+      d
+    }
+    val futureCutoff = System.currentTimeMillis + 3600 * 1000 // everything "old"
+    val pastCutoff = System.currentTimeMillis - 3600 * 1000   // everything "fresh"
+    val myPid = ProcessHandle.current().pid().toString
+    assert(!Tables.scratchOwnerDead(dirWith(Some(myPid)), futureCutoff),
+      "a tree whose owning pid is alive must survive any age cutoff")
+    assert(Tables.scratchOwnerDead(dirWith(Some("999999999")), pastCutoff),
+      "a tree whose owning pid is dead is sweepable regardless of age")
+    assert(Tables.scratchOwnerDead(dirWith(None), futureCutoff),
+      "a legacy tree without a marker falls back to the age cutoff (old)")
+    assert(!Tables.scratchOwnerDead(dirWith(None), pastCutoff),
+      "a legacy tree without a marker falls back to the age cutoff (fresh)")
+    // a malformed marker falls back to the age cutoff instead of throwing
+    assert(Tables.scratchOwnerDead(dirWith(Some("not a pid")), futureCutoff))
+    assert(!Tables.scratchOwnerDead(dirWith(Some("not a pid")), pastCutoff))
+  }
+
   test("Verify.decimalColumns flags EVERY DecimalType at any nesting depth") {
     // the invariant is any-decimal, not precision>18: round 9 proved an
     // int64-backed decimal(18,6) dump fails the driver hash on all rows
