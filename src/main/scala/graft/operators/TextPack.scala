@@ -40,19 +40,31 @@ object TextPack extends QueryPack {
       (length(text).cast("double") / nToks).as("chars_per_token"))
   }
 
+  /** The keep/drop gate over the [[stats]] columns — one definition shared
+    * by the per-doc view and the by-source rollup so the two can never
+    * disagree on what "quality" means.
+    */
+  def qualityFlag: Column =
+    (col("n_tokens") >= 5) && (col("stopword_ratio") <= 0.5) &&
+      (col("chars_per_token") >= 3) && (col("chars_per_token") <= 12)
+
   /** Per-document stats + a simple keep/drop quality flag. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id") +: stats(col("text")): _*)
-      .withColumn("is_quality",
-        (col("n_tokens") >= 5) && (col("stopword_ratio") <= 0.5) &&
-          (col("chars_per_token") >= 3) && (col("chars_per_token") <= 12))
+      .withColumn("is_quality", qualityFlag)
       .orderBy(col("doc_id"))
 
-  /** Corpus rollup of the quality signals by source. */
+  /** Corpus rollup of the quality signals by source: ONE scan carrying
+    * `source` alongside the per-doc stats straight into the aggregation —
+    * a join back to documents just to recover `source` would re-scan and
+    * shuffle the corpus a second time for a column the stats projection
+    * gets for free.
+    */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame =
-    textStats(spark, dir)
-      .join(t(spark, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+    t(spark, dir, "documents")
+      .select(col("source") +: stats(col("text")): _*)
+      .withColumn("is_quality", qualityFlag)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
