@@ -94,22 +94,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def loadavg(): String =
-      try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "" }
+    def exec(name: String): Double = BenchUtil.execNoop(spark, name, sfDir, "bench")
 
-    def exec(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    val load0 = loadavg()
+    val load0 = BenchUtil.loadavg()
     // builder-side targeted timing: SPARK_GRAFT_BENCH_FILTER=percentile
     // times only matching queries (driver runs unfiltered)
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
@@ -119,11 +106,7 @@ object Bench {
     // query would overstate cache warmth relative to how the driver runs it
     val samples = (1 to runs).flatMap(_ => names.map(n => n -> exec(n)))
       .groupBy(_._1).view.mapValues(_.map(_._2).filter(_ >= 0.0).sorted).toMap
-    def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0
-      else if (xs.size % 2 == 1) xs(xs.size / 2)
-      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
-    val medians0 = names.map(n => n -> median(samples.getOrElse(n, Nil)))
+    val medians0 = names.map(n => n -> BenchUtil.median(samples.getOrElse(n, Nil)))
 
     // ---- contention defense (see scaladoc) -------------------------------
     val sfTag = Paths.get(sfDir).getFileName.toString
@@ -138,7 +121,7 @@ object Bench {
     }.sortBy(-_._3).take(12)
     val retried = suspect.map(_._1)
     val betterOf = suspect.map { case (n, m, _) =>
-      val again = median((1 to runs).map(_ => exec(n)).filter(_ >= 0.0).sorted)
+      val again = BenchUtil.median((1 to runs).map(_ => exec(n)).filter(_ >= 0.0).sorted)
       n -> (if (again >= 0.0) math.min(m, again) else m)
     }.toMap
     val medians = medians0.map { case (n, m) => n -> betterOf.getOrElse(n, m) }
@@ -151,10 +134,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write $historyPath: $e") }
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Locale.ROOT: the default locale's decimal separator may be ',' which
-    // would make every formatted number invalid JSON
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(v))
+    def f3(v: Double): String = BenchUtil.fmt(v, 3)
     def jsonLine(qs: Seq[(String, String)], extra: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
         s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + v }
@@ -163,7 +143,7 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"loadavg_start":"$load0",""" +
-        s""""loadavg_end":"${loadavg()}"""")
+        s""""loadavg_end":"${BenchUtil.loadavg()}"""")
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     println(full)

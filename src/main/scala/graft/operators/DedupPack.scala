@@ -115,6 +115,28 @@ object DedupPack extends QueryPack {
       .drop("df")
   }
 
+  /** Shared report tail of the jaccard family (q66/q117/q127/q135): score
+    * candidate pairs against per-doc shingle-set sizes and emit the
+    * thresholded, deterministically-ordered pair report. One definition so
+    * a threshold-semantics or denominator change can't be applied to three
+    * of the four call sites and silently drift from the shared oracle.
+    *
+    * `pairs` carries (leftCol, rightCol, inter); `sizesLeft`/`sizesRight`
+    * carry (doc_id, n) for each side (the self-join passes one frame
+    * twice).
+    */
+  private def jaccardReport(pairs: DataFrame, sizesLeft: DataFrame,
+                            sizesRight: DataFrame, leftCol: String,
+                            rightCol: String, threshold: Double): DataFrame =
+    pairs
+      .join(sizesLeft.as("s1"), col(leftCol) === col("s1.doc_id"))
+      .join(sizesRight.as("s2"), col(rightCol) === col("s2.doc_id"))
+      .select(col(leftCol), col(rightCol),
+        (col("inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col(leftCol), col(rightCol))
+
   def dedupJaccard(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold,
                    dfCap: Int = DfCap): DataFrame = {
     val sh = cappedShingles(spark, dir, dfCap)
@@ -123,14 +145,7 @@ object DedupPack extends QueryPack {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") /
-          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("d1"), col("d2"))
+    jaccardReport(pairs, sizes, sizes, "d1", "d2", threshold)
   }
 
   /** MinHash + LSH near-dup pairs: 16-hash signatures, 4 bands × 4 rows.
@@ -299,21 +314,10 @@ object DedupPack extends QueryPack {
   private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Double, String), DataFrame]()
 
-  /** Apps whose end-listener is already registered (one listener per app). */
-  private val evictionHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def hookEviction(spark: SparkSession): Unit = {
-    val appId = spark.sparkContext.applicationId
-    if (evictionHooked.add(appId)) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          clusterMemo.keySet.removeIf(_._1 == appId)
-          evictionHooked.remove(appId)
-        }
-      })
+  private def hookEviction(spark: SparkSession): Unit =
+    MemoEviction.hook(spark, "dedup") { appId =>
+      clusterMemo.keySet.removeIf(_._1 == appId): Unit
     }
-  }
 
   /** `pairSource`: "exact" = the Σ postings² jaccard self-join (ground
     * truth — the verifier); "lsh" = the MinHash-banded candidate graph
@@ -447,14 +451,7 @@ object DedupPack extends QueryPack {
         col("a.shingle") === col("b.shingle"))
       .groupBy(col("a.doc_id").as("d_new"), col("b.doc_id").as("d_old"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("s1"), col("d_new") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d_old") === col("s2.doc_id"))
-      .select(col("d_new"), col("d_old"),
-        (col("inter").cast("double") /
-          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("d_new"), col("d_old"))
+    jaccardReport(pairs, sizes, sizes, "d_new", "d_old", threshold)
   }
 
   /** Incremental dedup served from a PERSISTED index — q117's scaladoc
@@ -537,14 +534,7 @@ object DedupPack extends QueryPack {
     val pairs = newSh.join(idx, "shingle")
       .groupBy(col("doc_id").as("d_new"), col("d_old"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizesNew.as("s1"), col("d_new") === col("s1.doc_id"))
-      .join(sizesOld.as("s2"), col("d_old") === col("s2.doc_id"))
-      .select(col("d_new"), col("d_old"),
-        (col("inter").cast("double") /
-          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("d_new"), col("d_old"))
+    jaccardReport(pairs, sizesNew, sizesOld, "d_new", "d_old", threshold)
   }
 
   /** Incremental dedup with STORED document frequencies — the 100 TB
@@ -642,14 +632,7 @@ object DedupPack extends QueryPack {
     val pairs = newSh.join(idxKept, "shingle")
       .groupBy(col("doc_id").as("d_new"), col("d_old"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizesNew.as("s1"), col("d_new") === col("s1.doc_id"))
-      .join(sizesOld.as("s2"), col("d_old") === col("s2.doc_id"))
-      .select(col("d_new"), col("d_old"),
-        (col("inter").cast("double") /
-          (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("d_new"), col("d_old"))
+    jaccardReport(pairs, sizesNew, sizesOld, "d_new", "d_old", threshold)
   }
 
   /** Keep-list — the deliverable the whole dedup family exists to produce:

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe directory replacement — the compaction swap protocol shared
+  * by [[KeyedStore.compact]] and the PCA model-dump compaction
+  * (SimilarityPack.pcaProjection). Write the replacement into a sibling
+  * `_tmp`, rename live→`_old`, `_tmp`→live, drop `_old`: a crash at any
+  * step leaves the data recoverable in exactly one of live/tmp/old, never
+  * a half-deleted dir — in-place overwrite (delete-then-write) would
+  * destroy everything if it died mid-write. One definition so a
+  * recovery-branch fix can't land in one copy and miss the other (the PCA
+  * copy originally lacked the crash-recovery restore entirely).
+  *
+  * Concurrency contract: SINGLE WRITER per live dir — two concurrent
+  * swaps race on the same `_tmp`/`_old` paths destructively. Crash
+  * recovery here is single-process recovery, not mutual exclusion.
+  */
+object AtomicSwap {
+
+  /** Replace `live`'s contents with whatever `writeTmp` writes to the tmp
+    * path. `what` labels errors (e.g. "compact of tableX"). Recovery: if a
+    * prior swap crashed after rename live→old (live missing, `_old`
+    * present), `_old` is restored before anything destructive runs.
+    * `writeTmp` may read the live dir — it runs while live is intact.
+    */
+  def replaceDir(fs: FileSystem, live: Path, what: String)(writeTmp: Path => Unit): Unit = {
+    val tmp = new Path(live.getParent, s".${live.getName}_compact_tmp")
+    val old = new Path(live.getParent, s".${live.getName}_compact_old")
+    // recover from a previous crash mid-swap: the only copy of the data
+    // is in _old — restore it, never delete it
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"$what recovery failed: could not restore $old to $live")
+    fs.delete(tmp, true)
+    writeTmp(tmp)
+    // the live dir exists here (writeTmp just read it), so a leftover _old
+    // is stale output of a COMPLETED prior swap — safe to drop now
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"$what swap failed at $live")
+    if (!fs.rename(tmp, live)) {
+      // roll back so the data is never left missing — and say so honestly
+      // if even the rollback fails (data then sits in _old; the recovery
+      // branch above restores it on the next run)
+      val restored = fs.rename(old, live)
+      throw new java.io.IOException(s"$what swap failed at $live " +
+        (if (restored) "(rolled back)"
+         else s"(ROLLBACK ALSO FAILED — data preserved at $old; rerun to recover)"))
+    }
+    fs.delete(old, true): Unit
+  }
+}

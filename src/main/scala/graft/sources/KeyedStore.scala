@@ -139,32 +139,10 @@ object KeyedStore {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(loc.getParent, s".${loc.getName}_compact_tmp")
-    val old = new Path(loc.getParent, s".${loc.getName}_compact_old")
-    // recover from a previous crash mid-swap: the only copy of the table
-    // is in _old — restore it, never delete it
-    if (!fs.exists(loc) && fs.exists(old) && !fs.rename(old, loc))
-      throw new java.io.IOException(
-        s"compact recovery failed for $table: could not restore $old to $loc")
-    fs.delete(tmp, true)
-    // distributed snapshot of the kept cells (reads the live table once)
-    scan(spark, table, maxVersions).write.mode("overwrite").parquet(tmp.toString)
-    // the live dir exists here (we just read it), so a leftover _old is
-    // stale output of a COMPLETED prior swap — safe to drop now
-    fs.delete(old, true)
-    if (!fs.rename(loc, old))
-      throw new java.io.IOException(s"compact swap failed for $table at $loc")
-    if (!fs.rename(tmp, loc)) {
-      // roll back so the table is never left missing — and say so honestly
-      // if even the rollback fails (data then sits in _old; the recovery
-      // branch above restores it on the next compact)
-      val restored = fs.rename(old, loc)
-      throw new java.io.IOException(
-        s"compact swap failed for $table at $loc " +
-          (if (restored) "(rolled back)"
-           else s"(ROLLBACK ALSO FAILED — table data preserved at $old; rerun compact to recover)"))
+    AtomicSwap.replaceDir(fs, loc, s"compact of $table") { tmp =>
+      // distributed snapshot of the kept cells (reads the live table once)
+      scan(spark, table, maxVersions).write.mode("overwrite").parquet(tmp.toString)
     }
-    fs.delete(old, true)
     spark.catalog.refreshTable(table) // drop cached file listings for the old files
   }
 

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.SparkEntry
+import graft.{BenchUtil, SparkEntry}
 
 /** Scale rehearsal runner — measures how each headline query's wall-clock
   * grows from one scale factor to another (default sf0.1 → the sf1-sized
@@ -89,23 +89,10 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def loadavg(): String =
-      try Files.readString(Paths.get("/proc/loadavg")).trim
-        .split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "" }
+    def exec(name: String, dir: String): Double =
+      BenchUtil.execNoop(spark, name, dir, "scale")
 
-    def exec(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    val load0 = loadavg()
+    val load0 = BenchUtil.loadavg()
     // equalize warmth: one untimed pass of the first query per dir
     names.headOption.foreach { n => exec(n, dirA); exec(n, dirB) }
 
@@ -123,25 +110,18 @@ object ScaleRehearsal {
       }.groupBy(_._1).view
         .mapValues(_.map(_._2).filter(_ >= 0.0).sorted).toMap
 
-    def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0
-      else if (xs.size % 2 == 1) xs(xs.size / 2)
-      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
-
-    def f(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(v))
-    def f2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", java.lang.Double.valueOf(v))
+    def f(v: Double): String = BenchUtil.fmt(v, 3)
+    def f2(v: Double): String = BenchUtil.fmt(v, 2)
 
     val rows = names.map { n =>
-      val a = median(samples.getOrElse((n, dirA), Nil))
-      val b = median(samples.getOrElse((n, dirB), Nil))
+      val a = BenchUtil.median(samples.getOrElse((n, dirA), Nil))
+      val b = BenchUtil.median(samples.getOrElse((n, dirB), Nil))
       val ratio = if (a > 0 && b > 0) b / a else -1.0
       val exp = if (ratio > 0) math.log(ratio) / math.log(factor) else Double.NaN
       (n, a, b, ratio, exp)
     }
 
-    val loadEnd = loadavg()
+    val loadEnd = BenchUtil.loadavg()
     val md = new StringBuilder
     md.append("# SCALE_MEASURED — observed sf-scaling of the headline queries\n\n")
     md.append(s"Generated by `graft.tools.ScaleRehearsal` ($runs-run medians, ")
