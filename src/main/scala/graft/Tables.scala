@@ -69,7 +69,8 @@ object Tables {
     * App-id salting means every session mints a fresh tree that streaming
     * jobs only partially clean (each deletes its own watch subdirs at
     * start) — unbounded /tmp growth across bench/test/profile sessions on
-    * a long-lived host. So the first default-path call per JVM (a) writes
+    * a long-lived host. So the first default-path call per application
+    * (a) writes
     * a `.pid` marker into THIS session's tree and registers a shutdown
     * hook deleting the tree, and (b) sweeps sibling app-id dirs whose
     * owning process is DEAD (`.pid` names a pid absent from /proc) or —
@@ -77,13 +78,19 @@ object Tables {
     * not just age: an mtime-only sweep would delete the checkpoints of a
     * long-idle but still-running session mid-query. Both apply to the
     * default root only — an explicit override is the caller's to manage.
+    *
+    * Arming is per APPLICATION id, not per JVM: a second SparkContext in
+    * the same process gets a fresh app id, and a JVM-global latch would
+    * leave its tree unmarked (no `.pid`, no shutdown hook) — the sweep
+    * would then age-delete it while its owner is still alive, and nothing
+    * would clean it at exit.
     */
   def scratchDir(spark: SparkSession): String = {
     val explicit = spark.conf.getOption("spark.graft.scratchDir")
     explicit.getOrElse {
       val root = new java.io.File("/tmp/graft_scratch")
       val mine = new java.io.File(root, spark.sparkContext.applicationId)
-      if (scratchCleanupArmed.compareAndSet(false, true)) {
+      if (scratchArmedApps.add(mine.getName)) {
         Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(mine)))
         try {
           mine.mkdirs()
@@ -116,11 +123,18 @@ object Tables {
     } else d.lastModified < cutoff
   }
 
-  private val scratchCleanupArmed =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val scratchArmedApps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def deleteTree(f: java.io.File): Unit = {
-    if (f.isDirectory)
+  /** Recursive delete that NEVER follows symlinks: the scratch root lives
+    * in world-writable /tmp, so a link planted inside a dead session's
+    * tree (e.g. `link -> /root/repo`) must be unlinked, not traversed —
+    * `File.isDirectory` resolves links and would recurse into the target.
+    */
+  private[graft] def deleteTree(f: java.io.File): Unit = {
+    val p = f.toPath
+    if (java.nio.file.Files.isDirectory(
+        p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       Option(f.listFiles).getOrElse(Array.empty).foreach(deleteTree)
     f.delete(): Unit
   }

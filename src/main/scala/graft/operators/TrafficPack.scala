@@ -57,18 +57,20 @@ object TrafficPack extends QueryPack {
   /** Exact money aggregation in DECIMAL(18,2) — the type-system answer to
     * float-sum nondeterminism: decimal addition is exact and associative,
     * so ANY partial-aggregation order gives the same result. The REPORTED
-    * value is cast to double (no decimal may reach a dump schema: pyarrow
-    * surfaces parquet decimals with declared-scale trailing zeros while
-    * the oracle side surfaces floats — a sum landing on a 10¢ boundary
-    * would hash-mismatch on identical values). The exact decimal result's
-    * backing integer is < 2^53 at any plausible SF, so decimal→double is
-    * the same correctly-rounded IEEE value in both engines.
+    * value is the exact sum in integer CENTS (no decimal may reach a dump
+    * schema: pyarrow surfaces parquet decimals with declared-scale
+    * trailing zeros while the oracle side surfaces floats — a sum landing
+    * on a 10¢ boundary would hash-mismatch on identical values). Bigint
+    * cents, not double: a double report diverges once the cent sum passes
+    * 2^53 (~9e13 dollars — DuckDB's int128 decimal→double takes two
+    * roundings to Spark's one), while decimal(·,2)→cents→int64 stays
+    * exact to ~9e16 dollars per group, far past any 100 TB rollup.
     */
   def decimalAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double").as("sum_price_dec"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("sum_price_cents"))
       .orderBy(col("l_returnflag"))
 
   /** The reference's literal output shape: key + tab-joined "%d\t%d\t%d"
@@ -106,8 +108,8 @@ object TrafficPack extends QueryPack {
         |FROM lineitem""".stripMargin,
     "q03_decimal_agg" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS sum_price_dec
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q04_formatted_output" ->
       // DuckDB literals don't process \t — chr(9) builds the real tab

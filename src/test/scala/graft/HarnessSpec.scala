@@ -104,6 +104,23 @@ class HarnessSpec extends AnyFunSuite {
     assert(!Tables.scratchOwnerDead(dirWith(Some("not a pid")), pastCutoff))
   }
 
+  test("deleteTree unlinks symlinks without following them") {
+    // the scratch root lives in world-writable /tmp: a link planted in a
+    // dead session's tree (link -> some real dir) must be removed as a
+    // link, never traversed — File.isDirectory resolves links and a
+    // follow-through recursion would delete the TARGET's contents
+    import java.nio.file.{Files, Paths}
+    val target = Files.createTempDirectory("graft_symlink_target")
+    val keep = Files.writeString(target.resolve("keep.txt"), "survives")
+    val doomed = Files.createTempDirectory("graft_symlink_tree")
+    Files.writeString(doomed.resolve("own.txt"), "goes away")
+    Files.createSymbolicLink(doomed.resolve("link"), target)
+    Tables.deleteTree(doomed.toFile)
+    assert(!Files.exists(doomed), "the tree itself is deleted")
+    assert(Files.exists(keep), "the symlink target's contents survive")
+    Files.delete(keep); Files.delete(target)
+  }
+
   test("Verify.decimalColumns flags EVERY DecimalType at any nesting depth") {
     // the invariant is any-decimal, not precision>18: round 9 proved an
     // int64-backed decimal(18,6) dump fails the driver hash on all rows

@@ -53,15 +53,29 @@ def final_order_keys(sql):
     inside parentheses; the statement's result order comes only from an
     ORDER BY at depth 0. A depth-0 scan also makes 'last in text' correct
     when a WITH chain puts windows after the outer clause.
+
+    String literals are masked (equal-length, so offsets stay valid)
+    before the token scan: a quoted '(' / ')' / 'order by' would silently
+    desynchronize the depth tracking and let the audit validate the wrong
+    ORDER BY. Negative depth — the symptom of exactly that class of
+    parse failure — raises instead of silently misclassifying.
     """
+    # mask '...literals...' (with '' escapes) to spaces of the same length
+    masked = re.sub(r"'(?:[^']|'')*'",
+                    lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
     depth = 0
     last = None
-    for m in re.finditer(r'[()]|ORDER\s+BY', sql, re.I):
+    for m in re.finditer(r'[()]|ORDER\s+BY', masked, re.I):
         tok = m.group(0)
         if tok == '(':
             depth += 1
         elif tok == ')':
             depth -= 1
+            if depth < 0:
+                raise ValueError(
+                    "unbalanced parens while scanning for the outer "
+                    "ORDER BY (depth went negative) — oracle SQL not "
+                    "parseable by this audit: " + sql[:120])
         elif depth == 0:
             last = m.end()
     if last is None:

@@ -107,6 +107,29 @@ with tempfile.TemporaryDirectory() as td:
     pin(decs2 == [] and canon(df2["sum_value"].iloc[0]) == "194.28",
         "double dump is clean and canonicalizes to the oracle's float string")
 
+# --- order-key audit parser: literals must not desync depth tracking ------
+# a quoted '(' / ')' / 'order by' inside a string literal would shift the
+# paren-depth bookkeeping and let the audit validate the WRONG ORDER BY
+from check_order_keys import final_order_keys  # noqa: E402
+
+keys = final_order_keys(
+    "SELECT * FROM t WHERE suffix = ')' AND tag != '(' ORDER BY id")
+pin(keys == [('col', 'id', False)],
+    f"literal parens don't desync the outer-ORDER BY scan, got {keys}")
+keys = final_order_keys(
+    "SELECT * FROM t WHERE note LIKE '%order by%' ORDER BY k DESC")
+pin(keys == [('col', 'k', False)],
+    f"a quoted 'order by' is not treated as the sort clause, got {keys}")
+keys = final_order_keys(
+    "SELECT a, count(*) AS n FROM (SELECT a FROM t ORDER BY a) s GROUP BY a")
+pin(keys is None,
+    f"a subquery-only ORDER BY is not reported as the outer sort, got {keys}")
+try:
+    final_order_keys("SELECT a FROM t WHERE b = 'x' ) ORDER BY a")
+    pin(False, "negative depth must raise, not silently misparse")
+except ValueError:
+    pass
+
 if FAILS:
     print(f"== {len(FAILS)} canonicalization pins FAILED ==")
     sys.exit(1)
