@@ -51,7 +51,10 @@ package object functions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct n-word shingles of a token array: the unit of near-dup
-    * comparison. `sequence` is empty when the doc is shorter than n.
+    * comparison. A doc shorter than n yields ONE shingle — the whole doc
+    * (the `.otherwise` branch below; every oracle mirrors this with
+    * `ELSE [array_to_string(w, ' ')]`), so short docs still participate
+    * in jaccard with a nonzero denominator rather than vanishing.
     * This is the REFERENCE SEMANTICS for the native NGramShingles
     * expression (equivalence asserted in DedupSpec); production paths use
     * the native form.

@@ -79,14 +79,25 @@ object AggPack extends QueryPack {
     * sketch binary.
     */
   def hllSketchCardinality(spark: SparkSession, dir: String): DataFrame = {
-    val tok = t(spark, dir, "documents")
+    // ONE corpus pass: explode to (source, tok) and dedup (map-side
+    // partial) down to the vocabulary-×-sources-sized pair frame, pinned
+    // with localCheckpoint so both consumers below reuse it instead of
+    // re-tokenizing the corpus. HLL register updates are
+    // duplicate-insensitive (register-wise max), so sketches built from
+    // distinct pairs are bit-identical to sketches over the raw token
+    // stream; per-source exact distinct degenerates to count(*), and the
+    // global exact is a countDistinct over this small frame — previously
+    // a second full tokenize/explode/aggregate pass over the corpus.
+    val pairs = t(spark, dir, "documents")
       .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
-    val perSrc = tok.groupBy(col("source"))
+      .distinct()
+      .localCheckpoint()
+    val perSrc = pairs.groupBy(col("source"))
       .agg(hll_sketch_agg(col("tok")).as("sk"),
-        countDistinct(col("tok")).as("n_exact"))
+        count(lit(1)).as("n_exact"))
     val global = perSrc
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
-      .crossJoin(broadcast(tok.agg(countDistinct(col("tok")).as("n_exact"))))
+      .crossJoin(broadcast(pairs.agg(countDistinct(col("tok")).as("n_exact"))))
       .select(lit("__all__").as("source"), col("n_exact"), col("n_est"))
     perSrc
       .select(col("source"), col("n_exact"),

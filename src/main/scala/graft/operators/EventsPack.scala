@@ -76,11 +76,20 @@ object EventsPack extends QueryPack {
     * row_number over the already-aggregated (tiny) session rows.
     * Three-way equivalence (q57 batch ≡ custom state ≡ session_window)
     * is asserted in EventStreamSpec.
+    *
+    * session_window gets the ms-TRUNCATED timestamp, not the raw µs one:
+    * every other formulation (q57's lag/cumsum, the custom-state fold,
+    * the oracle's epoch_ms arithmetic) decides "new session" on whole
+    * milliseconds, so a per-user gap landing in (30min, 30min+1ms) would
+    * split here but merge there if the engine compared raw microseconds.
+    * Truncating the input makes merge decisions, starts, and ends land on
+    * the identical ms grid (min/max commute with the truncation).
     */
   def sessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_ms"))
     events(spark, dir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_millis(tsMillis(col("ts"))), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         tsMillis(col("session_window.start")).as("start_ms"),

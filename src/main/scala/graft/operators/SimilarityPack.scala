@@ -130,9 +130,15 @@ object SimilarityPack extends QueryPack {
     CosineSimilarity.register(spark)
     val emb = t(spark, dir, "embeddings")
 
-    // deterministic coarse quantizer: seed centroids = first nCells sample
-    // vectors; one assignment+mean refinement over a 256-vector sample
-    val sample = emb.orderBy(col("vec_id")).limit(256)
+    // deterministic coarse quantizer: seed centroids = first nCells
+    // WELL-FORMED sample vectors (same null gate as the kmeansTrain
+    // seeder — a null array or null element in the first 256 rows would
+    // NPE the driver-side decode); one assignment+mean refinement over a
+    // 256-vector sample
+    val sample = emb
+      .where(col("embedding").isNotNull &&
+        !exists(col("embedding"), _.isNull))
+      .orderBy(col("vec_id")).limit(256)
       .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
     var centroids = sample.take(nCells).map(_.map(_.toDouble))
     def cosLocal(a: Array[Double], b: Array[Float]): Double = {

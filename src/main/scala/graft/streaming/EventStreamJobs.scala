@@ -203,10 +203,19 @@ object EventStreamJobs {
     * flatMapGroupsWithState path but with zero user state code.
     * session_window.end is last event + gap by definition; subtract the
     * gap back so the output matches the batch form's last-event end_ms.
+    *
+    * Event times are ms-truncated BEFORE the watermark/session_window so
+    * merge decisions happen on the same ms grid as every other
+    * sessionization path (q57, the custom-state folds, the oracle's
+    * epoch_ms arithmetic) — raw µs input would split a gap in
+    * (30min, 30min+1ms) that the ms paths merge. The ≤1 ms shift is
+    * absorbed by any honest watermark delay (q141's has an hour of
+    * slack).
     */
   def sessionWindowCounts(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
                           watermark: String = "0 seconds"): DataFrame =
     events
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMs milliseconds"))

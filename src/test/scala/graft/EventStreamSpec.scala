@@ -436,6 +436,39 @@ class EventStreamSpec extends AnyFunSuite {
       s"window-node counts moved: q120=${windows(p120)} q57=${windows(p57)}")
   }
 
+  test("session boundary: sub-ms gap just past 30min merges on the ms grid in all forms") {
+    // q57 and the oracle decide "new session" on epoch-ms arithmetic; the
+    // session_window forms (q120 batch, q141's streaming aggregate) would
+    // decide on raw µs unless their input is ms-truncated. Two events
+    // whose raw gap is 30min + 500µs but whose ms-floored gap is exactly
+    // 30min must land in ONE session everywhere — a split here would be
+    // invisible on round-ms fixtures and flip red on any regen that lands
+    // a per-user gap inside (30min, 30min+1ms).
+    val base = 1704103200_000_000L // 2024-01-01 10:00:00 UTC in µs
+    val evDir = java.nio.file.Files.createTempDirectory("graft_subms").toString
+    spark.createDataFrame(Seq(
+        (1L, base + 400L, 7L, "view", 0.0, "{}"),
+        (2L, base + 1_800_000_900L, 7L, "view", 0.0, "{}")))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$evDir/events.parquet")
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = sessions(EventsPack.sessionize(spark, evDir))
+    assert(want == Set((7L, base / 1000, base / 1000 + 1_800_000L, 2L)),
+      s"q57 ms-grid ground truth: $want")
+    assert(sessions(EventsPack.sessionWindowNative(spark, evDir)) == want,
+      "q120's session_window must merge the sub-ms boundary gap like q57")
+    // the streaming aggregate shape, driven in batch (watermark is a
+    // no-op there; the session_window merge logic is identical)
+    assert(sessions(EventStreamJobs.sessionWindowCounts(
+        graft.Tables.events(spark, evDir))) == want,
+      "q141's streaming session_window shape must merge it too")
+  }
+
   test("timeout sessionization: idle user's open session closes via watermark alone") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
