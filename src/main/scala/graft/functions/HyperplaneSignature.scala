@@ -24,10 +24,18 @@ import org.apache.spark.sql.types._
   * exactly like Spark SQL's `NaN > 0` ordering) — asserted in
   * SimilaritySpec.
   *
-  * An embedding whose length differs from `dims` yields NULL — silently
-  * truncating/zero-padding would let a malformed embedding produce a
-  * plausible-but-wrong signature (and the HOF reference null-propagates on
-  * length mismatch too, via zip_with).
+  * An embedding whose length differs from `dims` — or containing a NULL
+  * element — yields NULL: silently truncating/zero-padding (or reading a
+  * null slot as 0.0, which is what ArrayData.getFloat returns) would let
+  * a malformed embedding produce a plausible-but-wrong signature that
+  * then lands in LSH buckets as a candidate. This is the same
+  * malformed-input contract as CosineSimilarity/Int8Quantize/TopCells.
+  * Deliberate divergence from the HOF reference on this edge: the HOF
+  * yields a signature with per-bit NULLs (aggregate over a null product),
+  * which concat_ws would then silently DROP from band keys, shortening
+  * them into accidental collisions — whole-row NULL instead makes the
+  * equi-join drop the malformed vector. Bit-identity with the HOF
+  * reference (SimilaritySpec) is over well-formed embeddings.
   */
 case class HyperplaneSignature(child: Expression, nBits: Int, dims: Int, seed: Long)
     extends UnaryExpression {
@@ -92,11 +100,17 @@ object HyperplaneSignature {
     * double accumulation. NaN dots produce bit 1, matching Spark SQL's
     * `dot > 0` under its NaN-greatest ordering, so the native expression
     * stays bit-identical to the HOF reference even on non-finite input.
-    * Returns null when the embedding length doesn't equal `dims`.
+    * Returns null when the embedding length doesn't equal `dims` or any
+    * element is null (getFloat would silently read a null slot as 0.0).
     */
   def compute(emb: ArrayData, flat: Array[Double], nBits: Int, dims: Int,
               isFloat: Boolean): ArrayData = {
     if (emb.numElements() != dims) return null
+    var j = 0
+    while (j < dims) {
+      if (emb.isNullAt(j)) return null
+      j += 1
+    }
     val out = new Array[Int](nBits)
     var p = 0
     while (p < nBits) {

@@ -45,28 +45,30 @@ object NGramShingles {
   val allFnName = "graft_ngrams_all"
 
   def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
-    // drop null elements up front: the function is SQL-registered and
-    // callable on array<string> with containsNull=true; concatWs would NPE
+    // Windows run over RAW positions (null slots kept) and concatWs skips
+    // nulls WITHIN a window — the exact HOF semantics (`transform(
+    // sequence(...), i -> concat_ws(' ', slice(toks, i, n)))`; Spark's
+    // UTF8String.concatWs skips null inputs). Compacting nulls FIRST
+    // would merge tokens across a null gap into shingles the HOF and the
+    // oracles never emit. tokens() can't produce null elements, so the
+    // difference is only observable to SQL callers on containsNull
+    // arrays; equivalence incl. null slots is pinned in DedupSpec.
     val nRaw = tokens.numElements()
     val toks = new Array[UTF8String](nRaw)
-    var nTok = 0
     var r = 0
     while (r < nRaw) {
-      if (!tokens.isNullAt(r)) { toks(nTok) = tokens.getUTF8String(r); nTok += 1 }
+      toks(r) = if (tokens.isNullAt(r)) null else tokens.getUTF8String(r)
       r += 1
     }
+    val space = UTF8String.fromString(" ")
     val out =
       if (distinct) new mutable.LinkedHashSet[UTF8String]
-      else new mutable.ArrayBuffer[UTF8String](math.max(nTok - n + 1, 1))
-    if (nTok < n) {
-      val parts = new Array[UTF8String](nTok)
-      var i = 0
-      while (i < nTok) { parts(i) = toks(i); i += 1 }
-      out += UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      else new mutable.ArrayBuffer[UTF8String](math.max(nRaw - n + 1, 1))
+    if (nRaw < n) {
+      out += UTF8String.concatWs(space, toks: _*)
     } else {
       var i = 0
-      val space = UTF8String.fromString(" ")
-      while (i + n <= nTok) {
+      while (i + n <= nRaw) {
         val parts = new Array[UTF8String](n)
         var j = 0
         while (j < n) { parts(j) = toks(i + j); j += 1 }

@@ -17,10 +17,15 @@ case class TopKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   override def zero: Seq[Long] = Seq.empty
 
+  // O(k) sorted insertion (one split + concat), not a fresh O(k log k)
+  // sort per accepted row — the doc's per-row cost claim, kept honest
   private def insert(b: Seq[Long], a: Long): Seq[Long] =
-    if (b.size < k) (b :+ a).sorted
-    else if (a > b.head) (b.tail :+ a).sorted
-    else b
+    if (b.size >= k && a <= b.head) b
+    else {
+      val base = if (b.size < k) b else b.tail // evict the current minimum
+      val (lo, hi) = base.span(_ < a)
+      (lo :+ a) ++ hi
+    }
 
   override def reduce(b: Seq[Long], a: Long): Seq[Long] = insert(b, a)
 

@@ -352,10 +352,18 @@ object TopKPerKey {
     }.getOrElse(throw new IllegalStateException(
       s"analyzer produced no Sort node for orders $orderCols"))
     val child = sortNode.child
+    // resolve key names with the session's resolver (case-insensitive by
+    // default, like select/groupBy), and reject ambiguity instead of
+    // silently binding the first of two same-named columns
+    val resolver = spark.sessionState.conf.resolver
     val keyAttrs = keyNames.map { n =>
-      child.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"key column '$n' not in ${child.output.map(_.name)}"))
+      child.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"key column '$n' not in ${child.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"key column '$n' is ambiguous among ${many.map(_.name)}")
+      }
     }
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     val topk = GraftSqlBridge.ofRows(

@@ -29,7 +29,17 @@ object CorpusSink {
                        maxRecordsPerFile: Long = 1000000L,
                        tasksPerPartition: Int = 8): Unit = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-    val salt = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(tasksPerPartition))
+    // salt over the hashable columns only: xxhash64 rejects MapType at
+    // analysis (maps have no canonical order), and a legal corpus schema
+    // may carry map-typed metadata. Any non-map subset spreads a skewed
+    // directory over tasks just as well; if EVERY column is a map the
+    // salt degenerates to a constant (single task per directory — the
+    // pre-salt behavior, still correct).
+    val hashable = df.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    val salt =
+      if (hashable.isEmpty) lit(0)
+      else pmod(xxhash64(hashable: _*), lit(tasksPerPartition))
     df.repartition(partitionCols.map(col) :+ salt: _*)
       .write
       .mode("overwrite")
@@ -63,4 +73,17 @@ object CorpusSink {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** True when the type contains a MapType anywhere (maps are not
+    * hashable by xxhash64 — no canonical key order).
+    */
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+  }
 }

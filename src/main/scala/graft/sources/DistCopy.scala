@@ -45,8 +45,11 @@ object DistCopy {
   }
 
   /** Copy all files under srcRoot to dstRoot with `maxConcurrency` parallel
-    * partitions; returns the per-file report. `ignoreFailures=false` mirrors
-    * the reference's `-i` flag default (fail the job on first error).
+    * partitions; returns the per-file report. The default
+    * `ignoreFailures=true` is the reference's default (per-file failures
+    * land in the report, the job completes); passing `false` is the
+    * reference's `-i` flag (DistCopyMain.scala:23-28) — throw on the
+    * first failed copy instead.
     */
   def run(spark: SparkSession, srcRoot: String, dstRoot: String,
           maxConcurrency: Int = 8, ignoreFailures: Boolean = true): Dataset[CopyResult] = {

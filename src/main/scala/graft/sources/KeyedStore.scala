@@ -35,8 +35,16 @@ object KeyedStore {
   def create(spark: SparkSession, table: String, location: String,
              binaryValues: Boolean = false): Unit = {
     val ddl = if (binaryValues) schemaDdlBinary else schemaDdl
+    // quote both interpolations: a location containing a single quote
+    // (e.g. /data/o'brien) would otherwise break the DDL mid-literal —
+    // and verbatim splicing of caller strings into SQL is an injection
+    // surface. Backticks per qualifier part (so db.table still works),
+    // doubled quotes for the string literal (the SQL escape).
+    val qTable = table.split('.')
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val qLoc = location.replace("'", "''")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $table ($ddl) USING parquet LOCATION '$location'")
+      s"CREATE TABLE IF NOT EXISTS $qTable ($ddl) USING parquet LOCATION '$qLoc'")
   }
 
   /** Put: append cells (HBaseClient.java:83-120). Accepts any DataFrame

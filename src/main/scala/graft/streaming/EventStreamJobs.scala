@@ -74,6 +74,44 @@ object EventStreamJobs {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Fresh per-job scratch tree (watch/ckpt/out live under it) — deleted
+    * at entry so every invocation replays from clean offsets.
+    */
+  private def freshScratch(spark: SparkSession, sub: String): String = {
+    val scratch = s"${graft.Tables.scratchDir(spark)}/$sub"
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    scratch
+  }
+
+  /** The shared writeStream scaffolding of the three gated streaming runs
+    * (q136/q141/q148): checkpoint under the job's scratch, foreachBatch
+    * coalesce(1) parquet sink at `$scratch/out`, Trigger.AvailableNow,
+    * micro-batch shuffles at 4 partitions, blocking until the replay
+    * drains. `complete` output re-emits the whole aggregation state each
+    * batch so the sink OVERWRITES (last batch wins — q136's rollup);
+    * `append` output emits only new final rows so the sink APPENDS
+    * (q141/q148). One definition so a checkpoint/trigger/sink fix cannot
+    * drift across the three jobs.
+    */
+  private def runAvailableNow(spark: SparkSession, df: DataFrame,
+                              scratch: String, outputMode: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkMode = if (outputMode == "complete") "overwrite" else "append"
+    withShufflePartitions(spark, 4) {
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.mode(sinkMode).parquet(s"$scratch/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+  }
+
   /** q136 — the streaming ENGINE itself under the driver's oracle. Every
     * other streaming form is spec-verified batch≡stream; this one runs a
     * real StreamingQuery inside a registered query, so the driver's
@@ -99,10 +137,7 @@ object EventStreamJobs {
     // the round-7 aux verification). q136's oracle reads only the events
     // table; the streamed output is read back in-process, so plain local
     // scratch is correct and hermetic enough.
-    val scratch = s"${graft.Tables.scratchDir(spark)}/stream_q136"
-    val scratchP = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchP.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(scratchP, true) // fresh watch/checkpoint/out every invocation
+    val scratch = freshScratch(spark, "stream_q136")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .repartition(2).write.parquet(s"$scratch/watch")
@@ -111,18 +146,7 @@ object EventStreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"))
-    val query = withShufflePartitions(spark, 4) {
-      val q = counts.writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.coalesce(1).write.mode("overwrite").parquet(s"$scratch/out")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      q
-    }
+    val query = runAvailableNow(spark, counts, scratch, "complete")
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("bucket_ms"), col("event_type")))
   }
@@ -252,10 +276,9 @@ object EventStreamJobs {
   def sessionsStreamed(spark: SparkSession, dir: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
     val gapMs = 30 * 60 * 1000L
-    val scratch = s"${graft.Tables.scratchDir(spark)}/stream_q141"
-    val scratchP = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchP.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(scratchP, true)
+    val scratch = freshScratch(spark, "stream_q141")
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val ev = graft.Tables.events(spark, dir)
     ev.repartition(2).write.parquet(s"$scratch/watch")
     // sentinel placement + replay delay need the data bounds, but not a
@@ -298,18 +321,7 @@ object EventStreamJobs {
     val counts = sessionWindowCounts(
       readEvents(spark, s"$scratch/watch", maxFilesPerTrigger = 2),
       gapMs, s"$delayMs milliseconds")
-    val query = withShufflePartitions(spark, 4) {
-      val q = counts.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(s"$scratch/out")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      q
-    }
+    val query = runAvailableNow(spark, counts, scratch, "append")
     (query, spark.read.parquet(s"$scratch/out")
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("start_ms")))
@@ -333,10 +345,7 @@ object EventStreamJobs {
     */
   def attributionStreamed(spark: SparkSession, dir: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
-    val scratch = s"${graft.Tables.scratchDir(spark)}/stream_q148"
-    val scratchP = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchP.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(scratchP, true)
+    val scratch = freshScratch(spark, "stream_q148")
     // stage only the two event types the join consumes — the ingest-side
     // projection every production attribution topic does; the watch files,
     // both sources' scans, and the buffered join state all shrink to the
@@ -373,18 +382,7 @@ object EventStreamJobs {
         watermark = s"$delayMs milliseconds")
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_millis(col("l_ts")) - unix_millis(col("r_ts"))).as("gap_ms"))
-    val query = withShufflePartitions(spark, 4) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(s"$scratch/out")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      q
-    }
+    val query = runAvailableNow(spark, joined, scratch, "append")
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("purchase_id"), col("click_id")))
   }

@@ -60,6 +60,27 @@ class DedupSpec extends AnyFunSuite {
           .shinglesFast(graft.functions.tokens(col("text")), 3).as("native"))
       .filter(col("hof") =!= col("native")).count()
     assert(diff == 0)
+    // null token slots: the HOF windows over RAW positions and concat_ws
+    // skips nulls inside each window — the native must not compact nulls
+    // first (that would merge tokens across the gap into "a b"-style
+    // shingles the HOF never emits). Also pins the short-doc (< n after
+    // nothing is compacted) whole-doc branch with a null present.
+    val nullToks = spark.sql(
+      """SELECT array('a', CAST(NULL AS STRING), 'b', 'c') AS w4,
+        |       array('a', CAST(NULL AS STRING)) AS w2""".stripMargin)
+    val got = nullToks.select(
+        graft.functions.shingles(col("w4"), 3).as("hof4"),
+        graft.functions.NGramShingles.shinglesFast(col("w4"), 3).as("nat4"),
+        graft.functions.shingles(col("w2"), 3).as("hof2"),
+        graft.functions.NGramShingles.shinglesFast(col("w2"), 3).as("nat2"))
+      .collect().head
+    assert(got.getSeq[String](0) == got.getSeq[String](1),
+      s"null-slot windows diverge: ${got.getSeq[String](0)} vs ${got.getSeq[String](1)}")
+    assert(got.getSeq[String](0) == Seq("a b", "b c"),
+      s"HOF ground truth moved: ${got.getSeq[String](0)}")
+    assert(got.getSeq[String](2) == got.getSeq[String](3) &&
+      got.getSeq[String](2) == Seq("a"),
+      s"short-doc null branch diverges: ${got.getSeq[String](2)} vs ${got.getSeq[String](3)}")
   }
 
   test("near-dup clusters: every pair shares a label; labels are component minima") {

@@ -133,18 +133,26 @@ class SimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     graft.functions.HyperplaneSignature.register(spark)
-    val rows = Seq(
-      (1L, Array.fill(64)(0.5f)),             // correct dims
-      (2L, Array.fill(10)(0.5f)),             // too short — would zero-pad
-      (3L, Array.fill(100)(0.5f)),            // too long — would truncate
-      (4L, null.asInstanceOf[Array[Float]]))  // null propagates
-      .toDF("id", "emb")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType, containsNull = true))))
+    val data = java.util.Arrays.asList(
+      Row(1L, Seq.fill(64)(0.5f)),            // correct dims
+      Row(2L, Seq.fill(10)(0.5f)),            // too short — would zero-pad
+      Row(3L, Seq.fill(100)(0.5f)),           // too long — would truncate
+      Row(4L, null),                          // null propagates
+      // null ELEMENT: getFloat would read the slot as 0.0 and emit a
+      // plausible signature that then lands in LSH buckets; the contract
+      // (same as CosineSimilarity/Int8Quantize/TopCells) is whole-NULL
+      Row(5L, 0.5f +: null.asInstanceOf[java.lang.Float] +: Seq.fill(62)(0.5f)))
+    val rows = spark.createDataFrame(data, schema)
       .select(col("id"), graft.functions.HyperplaneSignature
         .signature(col("emb"), 8).as("sig"))
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(!rows(1L))
-    assert(rows(2L) && rows(3L) && rows(4L),
-      "length-mismatched or null embeddings must produce NULL signatures")
+    assert(rows(2L) && rows(3L) && rows(4L) && rows(5L),
+      "length-mismatched, null, or null-element embeddings must produce NULL signatures")
   }
 
   test("graft_* SQL registration: bigint literals widen; non-literals fail clearly") {
