@@ -128,8 +128,14 @@ object Bench {
 
     val failed = medians.collect { case (n, v) if v < 0 => n }
     val ok = medians.filter(_._2 >= 0)
-    // history := element-wise min — converges toward clean-host medians
-    val merged = mergeHistory(history, ok.toMap, SparkEntry.queries.keySet)
+    // history := element-wise min of the PASS-ORDERED medians only. The
+    // retry medians (betterOf) come from back-to-back repeats of one
+    // query — systematically warmer than any honestly-ordered sample — so
+    // min-merging them would ratchet the committed floor below what a
+    // clean pass-ordered run can reach, flagging clean runs as suspect
+    // (and re-running the retry suite) on every subsequent bench.
+    val okOrdered = medians0.filter(_._2 >= 0)
+    val merged = mergeHistory(history, okOrdered.toMap, SparkEntry.queries.keySet)
     try Files.writeString(Paths.get(historyPath), historyLine(sfDir, merged))
     catch { case e: Throwable => System.err.println(s"[bench] write $historyPath: $e") }
     val total = ok.map(_._2).sum

@@ -36,12 +36,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TrafficPack.trafficRollup(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Lazy val, not
+    * def: `BenchUtil.execNoop` looks a query up per timed sample, and
+    * re-flattening 14 packs inside the measured window is pure waste.
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     packs.flatMap(_.oracle).toMap
 }

@@ -64,7 +64,11 @@ object Tables {
     * sessions (e.g. a bench run next to a test run) sharing one fixed /tmp
     * path would delete each other's checkpoints mid-query. An explicit
     * `spark.graft.scratchDir` override is taken verbatim (the caller owns
-    * isolation then — Verify does this to keep its tree hermetic).
+    * isolation then). Verify deliberately does NOT override it: its
+    * outDir must stay pure parquet dumps for the driver's check
+    * (streaming checkpoint litter under a dumped tree crashed the round-7
+    * aux verification), and the app-id-salted default is already
+    * per-session; Verify overrides only `spark.graft.oracle.auxDir`.
     *
     * App-id salting means every session mints a fresh tree that streaming
     * jobs only partially clean (each deletes its own watch subdirs at

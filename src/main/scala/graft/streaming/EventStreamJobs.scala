@@ -391,7 +391,7 @@ object EventStreamJobs {
     * or a raw Long (nanos-era staging) — mirrors Tables.normalizeTs's
     * dispatch for the two physical ts formats.
     */
-  private def unixMicrosOf(v: Any): Long = v match {
+  private[graft] def unixMicrosOf(v: Any): Long = v match {
     case t: java.sql.Timestamp =>
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     case t: java.time.Instant =>

@@ -61,9 +61,21 @@ object ProfileQ141 {
     time("stage: write watch files") {
       ev.repartition(2).write.parquet(s"$scratch/watch")
     }
-    val (minUs, maxUs) = time("stage: bounds scan") {
-      ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-        .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    // footer-only bounds over the staged parquet, mirroring the
+    // production path (sessionsStreamed reads min/max of the BARE ts
+    // column with aggregate pushdown on — parquet footers, near-constant
+    // cost; a unix_micros-wrapped scan over the source table defeats the
+    // pushdown and would misattribute linear growth to this stage)
+    val (minUs, maxUs) = time("stage: bounds (footers)") {
+      val key = "spark.sql.parquet.aggregatePushdown"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$scratch/watch").agg(min(col("ts")), max(col("ts")))
+        .head() match {
+          case r => (EventStreamJobs.unixMicrosOf(r.get(0)),
+            EventStreamJobs.unixMicrosOf(r.get(1)))
+        }
+      finally spark.conf.set(key, old)
     }
     val spanMs = (maxUs - minUs) / 1000L
     val delayMs = spanMs + 3600L * 1000

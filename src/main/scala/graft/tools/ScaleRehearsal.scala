@@ -117,7 +117,13 @@ object ScaleRehearsal {
       val a = BenchUtil.median(samples.getOrElse((n, dirA), Nil))
       val b = BenchUtil.median(samples.getOrElse((n, dirB), Nil))
       val ratio = if (a > 0 && b > 0) b / a else -1.0
-      val exp = if (ratio > 0) math.log(ratio) / math.log(factor) else Double.NaN
+      // guard every non-finite source (failed query → ratio -1, factor=1
+      // → ln(1)=0): a bare NaN/Infinity token would make the machine
+      // JSON line below unparseable and lose the whole run
+      val expRaw =
+        if (ratio > 0 && factor > 1.0) math.log(ratio) / math.log(factor)
+        else Double.NaN
+      val exp = if (java.lang.Double.isFinite(expRaw)) expRaw else -99.0
       (n, a, b, ratio, exp)
     }
 
@@ -131,7 +137,7 @@ object ScaleRehearsal {
     md.append("replicas decorrelated so pair counts scale linearly — see its ")
     md.append("scaladoc).\nExponent e = ln(tB/tA)/ln(")
     md.append(s"${factor.toInt}): e≈1 linear, e<1 fixed-overhead-dominated, ")
-    md.append("e>1 superlinear (flag).\n")
+    md.append("e>1 superlinear (flag); −99 = query failed on a dir.\n")
     md.append(s"loadavg start `$load0` end `$loadEnd`.\n\n")
     md.append("| query | t(A) s | t(B) s | ratio | exponent |\n")
     md.append("|---|---|---|---|---|\n")
@@ -146,6 +152,10 @@ object ScaleRehearsal {
         val i = old.indexOf("\n## ")
         if (i >= 0) old.substring(i) else ""
       } catch { case _: Throwable => "" }
+    // create the parent first — failing AFTER the multi-minute A/B
+    // rehearsal would discard every measurement
+    Option(Paths.get(outMd).toAbsolutePath.getParent)
+      .foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outMd), md.toString + appendix)
     println(md.toString)
 
