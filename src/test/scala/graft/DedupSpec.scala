@@ -13,6 +13,22 @@ class DedupSpec extends AnyFunSuite {
     DedupPack.dedupJaccard(spark, dir, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
+  /** Unblocked cosine ground truth at >= 0.4 — the O(n²) cross-join the
+    * LSH (q73) and semantic (q116) tests both verify against; computed
+    * once per suite (it's the most expensive job here).
+    */
+  private lazy val cosineTruth: Map[(Long, Long), Double] = {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(graft.functions.CosineSimilarity
+          .cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
   test("minhash LSH: perfect precision (verification step), recall >= 0.8 at j>=0.5") {
     val lsh = DedupPack.dedupMinhashLsh(spark, dir, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -96,17 +112,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("embedding LSH dedup: exact precision, recall >= 0.4 vs unblocked brute force") {
-    import org.apache.spark.sql.functions._
-    graft.functions.CosineSimilarity.register(spark)
-    val e = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    // unblocked ground truth: every pair with cosine >= 0.4 (test-scale
-    // brute force — the thing q73 approximates without label crutches)
-    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(graft.functions.CosineSimilarity
-          .cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-      .filter(col("cos") >= 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // shared unblocked ground truth (cosineTruth): every pair with cosine
+    // >= 0.4 — the thing q73 approximates without label crutches
+    val truth = cosineTruth
     val lsh = DedupPack.dedupEmbeddingLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // precision is exact: every reported pair is in the ground truth with
@@ -302,15 +310,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q116 semantic dedup: exact precision, nontrivial recall vs unblocked brute force") {
-    import org.apache.spark.sql.functions._
-    graft.functions.CosineSimilarity.register(spark)
-    val e = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(graft.functions.CosineSimilarity
-          .cosineFast(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-      .filter(col("cos") >= 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = cosineTruth
     val sem = DedupPack.dedupSemantic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // precision exact: blocking only prunes, never fabricates — every

@@ -13,6 +13,28 @@ class EventStreamSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = SparkTestSession.sfDir
 
+  /** Row comparison with a one-rounding-step tolerance on double cells.
+    * The streamed and batch sides aggregate the same values but in
+    * independent executions whose partial-agg accumulation order differs
+    * (shuffle fetch order is nondeterministic): a float sum one ulp from
+    * a 0.0005 boundary can round(…,3) to a value 0.001 apart between the
+    * two runs even though both are correct. Counts/keys stay exact.
+    */
+  private def assertRowsAgree(got: Seq[org.apache.spark.sql.Row],
+                              want: Seq[org.apache.spark.sql.Row]): Unit = {
+    assert(got.size == want.size, s"row counts: ${got.size} vs ${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), r) =>
+      (0 until w.size).foreach { i =>
+        (g.get(i), w.get(i)) match {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(math.abs(a - b) <= 0.0011,
+              s"row $r col $i: $a vs $b beyond one rounding step")
+          case (a, b) => assert(a == b, s"row $r col $i: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("streaming tumbling window == batch tumbling window") {
     // stage the single events.parquet file into a watchable directory
     val watch = java.nio.file.Files.createTempDirectory("events_stream")
@@ -29,7 +51,7 @@ class EventStreamSpec extends AnyFunSuite {
       val got = spark.table("tumbling_out")
         .orderBy(col("bucket_ms"), col("event_type")).collect().toSeq
       val want = EventsPack.tumbling(spark, dir).collect().toSeq
-      assert(got == want)
+      assertRowsAgree(got, want)
     } finally q.stop()
   }
 
@@ -53,7 +75,8 @@ class EventStreamSpec extends AnyFunSuite {
         .orderBy(col("bucket_ms"), col("category")).collect().toSeq
       val want = EventStreamJobs.enrichedCounts(Tables.events(spark, dir), dim)
         .orderBy(col("bucket_ms"), col("category")).collect().toSeq
-      assert(got == want && got.nonEmpty)
+      assertRowsAgree(got, want)
+      assert(got.nonEmpty)
       // the unmapped types (signup/error) must land in the 'other' bucket
       assert(got.exists(_.getString(1) == "other"))
     } finally q.stop()

@@ -165,7 +165,7 @@ class PropertySpec extends AnyFunSuite {
       val ts = deltas.scanLeft(1000L)(_ + _).tail
       val evs = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
       val (wholeSt, wholeOut) = EventStreamJobs.foldSessions(7L, evs, init, gapMs)
-      val size = math.max(1, if (nChunks == 0) 1 else evs.size / nChunks)
+      val size = math.max(1, evs.size / nChunks) // sessionGen draws nChunks >= 1
       var st = init
       val out = Seq.newBuilder[EventStreamJobs.SessionOut]
       (if (evs.isEmpty) Seq(Seq.empty[(Long, Long)]) else evs.grouped(size).toSeq)
@@ -230,9 +230,12 @@ class PropertySpec extends AnyFunSuite {
     } yield rows
     forAll(dataGen, n = 8) { rows =>
       val df = rows.toDF("k", "v")
-      def run(): Set[(Int, Int)] =
+      // MULTISET comparison (sorted Seq), not Set: generated rows contain
+      // duplicate (k,v) pairs, and a spill merge that dropped one of two
+      // tied copies would collapse to the same Set and pass undetected
+      def run(): Seq[(Int, Int)] =
         graft.plans.TopKPerKey(df, Seq("k"), Seq(col("v").desc, col("k")), 3)
-          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
       val inMem = run()
       spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "2")
       try {

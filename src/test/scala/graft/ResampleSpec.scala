@@ -8,11 +8,16 @@ import graft.operators.EventsPack
 /** q140 resample/gap-fill semantics: dense per-key hourly spine, zero
   * counts on silent hours, carry-forward of the last observed hourly sum.
   */
-class ResampleSpec extends AnyFunSuite {
+class ResampleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark = SparkTestSession.spark
   val dir = SparkTestSession.sfDir
 
   lazy val out = EventsPack.resampleGapfill(spark, dir).cache()
+
+  // release the cached frame when the suite ends — the session is shared
+  // with every later suite, including the deliberately memory-starved
+  // spill tests, and pinned storage blocks would compete with them
+  override def afterAll(): Unit = { out.unpersist(); super.afterAll() }
 
   test("spine is dense: one row per hour from each key's first to last hour") {
     val perKey = out.groupBy(col("event_type"))

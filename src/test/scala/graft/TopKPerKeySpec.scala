@@ -210,32 +210,39 @@ class TopKPerKeySpec extends AnyFunSuite {
     // bit-identical to the unforced run and the spill metric must fire
     val bigDir = "/root/testdata/sf0.1"
     assume(new java.io.File(bigDir).isDirectory, s"$bigDir not present")
+    // restore the SESSION's configured values (local[4] + 4 shuffle
+    // partitions per SparkTestSession), not hardcoded ones, and restore
+    // inside finally: a failed assertion must not leak AQE-off or a wrong
+    // partition count into every later suite sharing this session
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    for (name <- Seq("q119_topk_per_key_native", "q123_sample_per_source")) {
-      val unforced = SparkEntry.queries(name)(spark, bigDir).collect().map(_.mkString("|"))
-      // a spill needs >1 distinct key in one partition: both queries have
-      // single-digit key cardinality, so hash partitioning into 32 gives
-      // each partition at most one key and a 1-key budget never overflows —
-      // collapse the exchange to one partition so every key co-resides
-      spark.conf.set("spark.sql.shuffle.partitions", "1")
-      spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "1")
-      try {
-        val forcedDf = SparkEntry.queries(name)(spark, bigDir)
-        val forced = forcedDf.collect().map(_.mkString("|"))
-        // ordered comparison: both queries end in a deterministic orderBy,
-        // so spilling must not reorder, drop, or duplicate a single row
-        assert(forced.toSeq == unforced.toSeq, s"$name diverged under spill")
-        val exec = forcedDf.queryExecution.executedPlan.collect {
-          case e: TopKPerKeyExec => e
-        }.head
-        assert(exec.metrics("numSpills").value > 0,
-          s"$name: expected the spill path to run at maxKeysInMemory=1")
-      } finally {
-        spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      for (name <- Seq("q119_topk_per_key_native", "q123_sample_per_source")) {
+        val unforced = SparkEntry.queries(name)(spark, bigDir).collect().map(_.mkString("|"))
+        // a spill needs >1 distinct key in one partition: both queries have
+        // single-digit key cardinality, so hash partitioning gives each
+        // partition at most one key and a 1-key budget never overflows —
+        // collapse the exchange to one partition so every key co-resides
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        spark.conf.set("spark.graft.topkPerKey.maxKeysInMemory", "1")
+        try {
+          val forcedDf = SparkEntry.queries(name)(spark, bigDir)
+          val forced = forcedDf.collect().map(_.mkString("|"))
+          // ordered comparison: both queries end in a deterministic orderBy,
+          // so spilling must not reorder, drop, or duplicate a single row
+          assert(forced.toSeq == unforced.toSeq, s"$name diverged under spill")
+          val exec = forcedDf.queryExecution.executedPlan.collect {
+            case e: TopKPerKeyExec => e
+          }.head
+          assert(exec.metrics("numSpills").value > 0,
+            s"$name: expected the spill path to run at maxKeysInMemory=1")
+        } finally {
+          spark.conf.unset("spark.graft.topkPerKey.maxKeysInMemory")
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       }
-    }
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("exchange is elided on a bucketed child clustered on the key") {
