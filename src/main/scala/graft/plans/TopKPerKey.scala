@@ -254,9 +254,14 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
         }
 
       /** Drain the map as one key-sorted run and clear it; compact the run
-        * set whenever it reaches the fan-in bound.
+        * set whenever it reaches the fan-in bound. The FINAL drain (input
+        * exhausted) passes `compactIfNeeded = false`: compacting there
+        * would rewrite the whole spill file immediately before the output
+        * merge reads it anyway, and the merge fan-in stays ≤ maxSpillRuns
+        * either way (compaction keeps runs strictly below the bound, so
+        * the drain adds at most the bound-th run).
         */
-      def spill(): Unit = {
+      def spill(compactIfNeeded: Boolean = true): Unit = {
         import scala.jdk.CollectionConverters._
         if (store == null) store = new SpillStore
         val entries = heaps.entrySet().asScala.toArray
@@ -267,7 +272,7 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
         })
         heaps.clear()
         numSpills += 1
-        if (store.runs.size >= maxSpillRuns) {
+        if (compactIfNeeded && store.runs.size >= maxSpillRuns) {
           val old = store
           store = new SpillStore
           try {
@@ -309,7 +314,7 @@ case class TopKPerKeyExec(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
           arr.iterator
         }
       } else {
-        if (!heaps.isEmpty) spill() // the remainder becomes the last run
+        if (!heaps.isEmpty) spill(compactIfNeeded = false) // remainder → last run
         val groups = mergeRuns(store.runs.toSeq.map { case (off, len) =>
           new RunReader(store.channel, off, len)
         })
@@ -364,6 +369,28 @@ object TopKPerKey {
         case many => throw new IllegalArgumentException(
           s"key column '$n' is ambiguous among ${many.map(_.name)}")
       }
+    }
+    // the operator groups keys by raw UnsafeRow BYTES (hash exchange +
+    // byte-equality map + byte-order spill runs) — valid only for types
+    // whose SQL equality is byte equality. Floats break it (-0.0 == 0.0
+    // in SQL but differs in the sign bit, NaN has many bit patterns;
+    // groupBy gets NormalizeFloatingNumbers, this operator does not), and
+    // maps have no canonical entry order. Reject them loudly rather than
+    // silently splitting groups.
+    def byteUnsafe(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case FloatType | DoubleType | _: MapType => true
+        case s: StructType => s.fields.exists(f => byteUnsafe(f.dataType))
+        case a: ArrayType => byteUnsafe(a.elementType)
+        case _ => false
+      }
+    }
+    keyAttrs.filter(a => byteUnsafe(a.dataType)) match {
+      case Seq() => ()
+      case bad => throw new IllegalArgumentException(
+        "TopKPerKey keys must not contain float/double/map types " +
+          s"(byte-equality grouping): ${bad.map(a => s"${a.name}: ${a.dataType.simpleString}")}")
     }
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     val topk = GraftSqlBridge.ofRows(

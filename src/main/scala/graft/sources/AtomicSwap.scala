@@ -15,6 +15,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Concurrency contract: SINGLE WRITER per live dir — two concurrent
   * swaps race on the same `_tmp`/`_old` paths destructively. Crash
   * recovery here is single-process recovery, not mutual exclusion.
+  *
+  * Filesystem contract: requires ATOMIC directory rename (HDFS, posix
+  * local). Object stores whose "rename" is copy+delete (s3a, GCS without
+  * the rename-capable connector) can crash mid-copy leaving files split
+  * across live and `_old` — a state the recovery branch (which keys on
+  * live being fully absent) cannot repair; on such stores use a
+  * manifest/pointer swap instead.
   */
 object AtomicSwap {
 
@@ -32,11 +39,20 @@ object AtomicSwap {
     if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
       throw new java.io.IOException(
         s"$what recovery failed: could not restore $old to $live")
+    // delete() returning false is only checked via exists(): a stale dir
+    // that survives deletion would make the renames below NEST the moved
+    // tree inside it (Hadoop rename-into-existing-directory semantics),
+    // silently corrupting the swap state machine — fail loudly instead
     fs.delete(tmp, true)
+    if (fs.exists(tmp))
+      throw new java.io.IOException(s"$what: could not clear $tmp")
     writeTmp(tmp)
     // the live dir exists here (writeTmp just read it), so a leftover _old
     // is stale output of a COMPLETED prior swap — safe to drop now
     fs.delete(old, true)
+    if (fs.exists(old))
+      throw new java.io.IOException(
+        s"$what: could not clear stale $old — aborting before rename")
     if (!fs.rename(live, old))
       throw new java.io.IOException(s"$what swap failed at $live")
     if (!fs.rename(tmp, live)) {

@@ -38,11 +38,14 @@ object KeyedStore {
     // quote both interpolations: a location containing a single quote
     // (e.g. /data/o'brien) would otherwise break the DDL mid-literal —
     // and verbatim splicing of caller strings into SQL is an injection
-    // surface. Backticks per qualifier part (so db.table still works),
-    // doubled quotes for the string literal (the SQL escape).
+    // surface. Backticks per qualifier part (so db.table still works).
+    // Spark string literals accept BOTH doubled-quote ('') and backslash
+    // escapes (probed empirically on 4.1.2), and backslash sequences are
+    // ACTIVE — so backslashes must be doubled too or '\t' in a path
+    // silently becomes a tab.
     val qTable = table.split('.')
       .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
-    val qLoc = location.replace("'", "''")
+    val qLoc = location.replace("\\", "\\\\").replace("'", "''")
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $qTable ($ddl) USING parquet LOCATION '$qLoc'")
   }
@@ -89,6 +92,14 @@ object KeyedStore {
     * each cell's newest tombstone, then keep the newest `maxVersions`.
     * Both windows share one (rowkey, family, qualifier) exchange — at
     * scale this is a single shuffle on the store's natural shard key.
+    *
+    * Version uniqueness is the WRITER's contract: two puts of one cell at
+    * the SAME version are a row_number tie that resolves
+    * engine-arbitrarily (HBase would overwrite in place; an append-only
+    * log cannot know which append was "later"). Every writer here mints
+    * monotonic versions (see kmeansSave's re-save versioning); a
+    * deployment needing last-write-wins at equal timestamps would add a
+    * sequence tiebreaker column to the append.
     */
   def resolveCells(cells: DataFrame, maxVersions: Int = 3): DataFrame =
     cells
@@ -131,10 +142,15 @@ object KeyedStore {
     * live dir verifiably exists. If the second rename fails, the first is
     * rolled back so the table is never left missing.
     *
-    * Concurrency contract: SINGLE WRITER. Like an HBase major compaction,
-    * exactly one compact() may run per table at a time — two concurrent
-    * compacts race on the same `_tmp`/`_old` paths and their delete/rename
-    * interleavings are destructive. The crash recovery above is
+    * Concurrency contract: SINGLE WRITER — and that excludes concurrent
+    * `put`/`delete` too, not just other compacts: a put that commits new
+    * parquet files into the live dir AFTER this compact's snapshot read
+    * but before the swap is swept away with the old files (the snapshot
+    * didn't contain it, and the swap replaces the whole dir). Like an
+    * HBase major compaction, exactly one writer may touch a table at a
+    * time; two concurrent compacts additionally race on the same
+    * `_tmp`/`_old` paths and their delete/rename interleavings are
+    * destructive. The crash recovery above is
     * single-process recovery, not mutual exclusion (this store has no
     * coordination service to host a lock; a deployment would serialize
     * compactions per table the way HBase's master does). Readers during

@@ -85,6 +85,19 @@ class TopKPerKeySpec extends AnyFunSuite {
       TopKPerKey(base, Seq("no_such_col"), Seq(col("l_orderkey")), k = 3)
     }
     assert(e.getMessage.contains("no_such_col"))
+    // float keys: the operator groups by raw UnsafeRow bytes, under which
+    // -0.0 != 0.0 and NaN bit patterns differ — SQL groupBy normalizes
+    // these (NormalizeFloatingNumbers), so accepting a double key would
+    // silently split groups; the contract is a loud rejection
+    val f = intercept[IllegalArgumentException] {
+      TopKPerKey(base.withColumn("dk", col("l_extendedprice").cast("double")),
+        Seq("dk"), Seq(col("l_orderkey")), k = 3)
+    }
+    assert(f.getMessage.contains("float/double/map"))
+    // key resolution is case-insensitive like select/groupBy
+    val ci = TopKPerKey(base, Seq("L_RETURNFLAG"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), k = 2)
+    assert(ci.count() > 0)
   }
 
   test("empty key set degenerates to global top-k (AllTuples distribution)") {
