@@ -101,7 +101,14 @@ object Tables {
           java.nio.file.Files.writeString(
             new java.io.File(mine, ".pid").toPath,
             ProcessHandle.current().pid().toString)
-        } catch { case _: Throwable => () } // marker is best-effort
+        } catch { case e: Throwable =>
+          // best-effort, but never SILENT: without the marker this tree
+          // degrades to the 24h-mtime sweep — a sibling session could
+          // then delete a still-running session's checkpoints
+          System.err.println(
+            s"[graft] scratch .pid marker write failed for $mine " +
+              s"(tree falls back to age-based sweep): $e")
+        }
         val cutoff = System.currentTimeMillis - 24L * 3600 * 1000
         Option(root.listFiles).getOrElse(Array.empty)
           .filter(d => d.isDirectory && d.getName != mine.getName

@@ -11,16 +11,6 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  /** Analysis-time extraction of a constant integer argument for the
-    * SQL-registered graft_* function builders. Raw `expr.eval()` threw
-    * ClassCastException on a bigint literal (`graft_minhash(sh, 16L)`) and
-    * UnsupportedOperationException on any non-foldable argument; this
-    * accepts any FOLDABLE integral expression (bare literals, `8+8`,
-    * `CAST(3 AS BIGINT)` — builders run before ConstantFolding, so
-    * restricting to bare Literal nodes would reject constant arithmetic
-    * that used to work), widens the integral types, and fails with a clear
-    * message otherwise.
-    */
   /** Arity gate for SQL-registered graft_* builders: a wrong argument
     * count must fail with the function name and expected signature, not a
     * bare IndexOutOfBoundsException from a positional `exprs(i)`.
@@ -31,6 +21,16 @@ package object functions {
     if (exprs.length != n) throw new IllegalArgumentException(
       s"$fn needs $n arguments ($sig), got ${exprs.length}")
 
+  /** Analysis-time extraction of a constant integer argument for the
+    * SQL-registered graft_* function builders. Raw `expr.eval()` threw
+    * ClassCastException on a bigint literal (`graft_minhash(sh, 16L)`) and
+    * UnsupportedOperationException on any non-foldable argument; this
+    * accepts any FOLDABLE integral expression (bare literals, `8+8`,
+    * `CAST(3 AS BIGINT)` — builders run before ConstantFolding, so
+    * restricting to bare Literal nodes would reject constant arithmetic
+    * that used to work), widens the integral types, and fails with a clear
+    * message otherwise.
+    */
   private[functions] def intLiteralArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
                                        fn: String, arg: String): Int = {
     def fail() = throw new IllegalArgumentException(

@@ -88,10 +88,16 @@ object AggPack extends QueryPack {
     // stream; per-source exact distinct degenerates to count(*), and the
     // global exact is a countDistinct over this small frame — previously
     // a second full tokenize/explode/aggregate pass over the corpus.
+    // LAZY checkpoint: eager would run the corpus job at DataFrame
+    // CONSTRUCTION time, which schema-only consumers (the registry-wide
+    // decimal gate in SparkEntrySpec, PlanAudit) hit for every registered
+    // query; lazy materializes on the first real action and each
+    // partition is cached as first computed, so the corpus is still
+    // tokenized only once per execution
     val pairs = t(spark, dir, "documents")
       .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val perSrc = pairs.groupBy(col("source"))
       .agg(hll_sketch_agg(col("tok")).as("sk"),
         count(lit(1)).as("n_exact"))

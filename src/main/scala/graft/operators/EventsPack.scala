@@ -20,11 +20,21 @@ object EventsPack extends QueryPack {
 
   /** Tumbling 1-hour windows per event type — `window($"ts", "1 hour")`,
     * epoch-aligned exactly like date_trunc('hour').
+    *
+    * The value sum folds in DECIMAL (the q140 rule): a raw double sum is
+    * accumulation-order sensitive, and a group landing one ulp from a
+    * 0.0005 boundary would round(…,3) differently between Spark's
+    * partial-agg order and DuckDB's sequential scan — a latent red hash
+    * row on any data regen. Decimal addition is exact and commutative;
+    * the exact result casts to the identical IEEE double in both engines
+    * (backing integer < 2^53 here), so the final round is deterministic.
     */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 3)
+          .as("sum_value"))
       .select(tsMillis(col("window.start")).as("bucket_ms"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("bucket_ms"), col("event_type"))
@@ -353,7 +363,8 @@ object EventsPack extends QueryPack {
         |ORDER BY user_id""".stripMargin,
     "q55_tumbling_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
-        |  count(*) AS n, round(sum(value), 3) AS sum_value
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
     // the streamed run must land exactly on the batch aggregation —
     // counts only (integer-exact across micro-batch accumulation order)

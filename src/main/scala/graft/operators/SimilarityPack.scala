@@ -514,6 +514,14 @@ object SimilarityPack extends QueryPack {
     val tag = sfTag(spark, dir)
     val ts = System.currentTimeMillis()
     val dumpPath = s"${oracleAuxDir(spark)}/pca_model"
+    val dumpP = new org.apache.hadoop.fs.Path(dumpPath)
+    val fs = dumpP.getFileSystem(spark.sessionState.newHadoopConf())
+    // crashed-swap recovery BEFORE the append: the compaction below only
+    // runs past the file-count gate, so without this unconditional check
+    // a crash that left the sole copy in _old would be masked by the
+    // fresh append recreating the live dir (and the next compaction
+    // would then drop _old as stale)
+    graft.sources.AtomicSwap.recover(fs, dumpP, "pca dump compaction")
     (("mean", mean.toSeq) +: comps.toSeq.zipWithIndex.map { case (c, i) =>
         (s"pc${i + 1}", c.toSeq)
       })
@@ -529,8 +537,6 @@ object SimilarityPack extends QueryPack {
     // generation recoverable in exactly one of live/tmp/old, never a
     // half-deleted dir — in-place overwrite (delete-then-write) would
     // destroy all generations if it died mid-write.
-    val dumpP = new org.apache.hadoop.fs.Path(dumpPath)
-    val fs = dumpP.getFileSystem(spark.sessionState.newHadoopConf())
     val nDataFiles =
       if (fs.exists(dumpP))
         fs.listStatus(dumpP).count(_.getPath.getName.endsWith(".parquet"))
@@ -604,6 +610,12 @@ object SimilarityPack extends QueryPack {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map(unitNorm)
+    // an all-malformed (or empty) table would otherwise surface later as
+    // an opaque NoSuchElementException from the first fold — fail at the
+    // input gate with the actual cause instead
+    require(centroids.nonEmpty,
+      "k-means: no well-formed embeddings to seed from " +
+        "(every row is null, has null elements, or the table is empty)")
     val costs = Seq.newBuilder[Double]
     (1 to iters).foreach { _ =>
       val cents = centroids.map(_.toSeq).toSeq

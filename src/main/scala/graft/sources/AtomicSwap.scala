@@ -31,14 +31,28 @@ object AtomicSwap {
     * present), `_old` is restored before anything destructive runs.
     * `writeTmp` may read the live dir — it runs while live is intact.
     */
+  /** Restore a crashed swap: if live is missing and `_old` holds the only
+    * copy of the data, rename it back. No-op when live exists or there is
+    * no `_old`. Callers that GATE their replaceDir call (e.g. the PCA
+    * dump compacts only past a file-count threshold) must invoke this
+    * unconditionally before touching the live dir — otherwise a crashed
+    * swap's `_old` is invisible until the gate next opens, by which time
+    * a fresh append has recreated live and the stale-`_old` drop inside
+    * replaceDir would destroy the pre-crash data.
+    */
+  def recover(fs: FileSystem, live: Path, what: String): Unit = {
+    val old = new Path(live.getParent, s".${live.getName}_compact_old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"$what recovery failed: could not restore $old to $live")
+  }
+
   def replaceDir(fs: FileSystem, live: Path, what: String)(writeTmp: Path => Unit): Unit = {
     val tmp = new Path(live.getParent, s".${live.getName}_compact_tmp")
     val old = new Path(live.getParent, s".${live.getName}_compact_old")
     // recover from a previous crash mid-swap: the only copy of the data
     // is in _old — restore it, never delete it
-    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
-      throw new java.io.IOException(
-        s"$what recovery failed: could not restore $old to $live")
+    recover(fs, live, what)
     // delete() returning false is only checked via exists(): a stale dir
     // that survives deletion would make the renames below NEST the moved
     // tree inside it (Hadoop rename-into-existing-directory semantics),

@@ -159,7 +159,11 @@ object EventStreamJobs {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        // decimal fold like the batch twin (q55): exact under any
+        // micro-batch accumulation order, so stream == batch bit-for-bit
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 3)
+          .as("sum_value"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -199,7 +203,11 @@ object EventStreamJobs {
       .join(broadcast(dim), Seq("event_type"), "left")
       .withColumn("category", coalesce(col("category"), lit("other")))
       .groupBy(window(col("ts"), "1 hour"), col("category"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        // decimal fold like the batch twin (q55): exact under any
+        // micro-batch accumulation order, so stream == batch bit-for-bit
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 3)
+          .as("sum_value"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("category"), col("n"), col("sum_value"))
 

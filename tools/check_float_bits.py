@@ -62,7 +62,14 @@ def main(sf_dir, out_dir):
         got = got.reindex(sorted(got.columns), axis=1)
         want = want.reindex(sorted(want.columns), axis=1)
         for c in got.columns:
-            if str(got[c].dtype) != "float64" or c not in want.columns:
+            if str(got[c].dtype) != "float64":
+                continue
+            if c not in want.columns:
+                # a float dump column the oracle frame doesn't even have is
+                # an alias drift — skipping it silently would report a
+                # green bit audit for a column that was never compared
+                fails.append(f"{name}.{c}: dump float column missing from "
+                             f"oracle columns {sorted(want.columns)}")
                 continue
             n_cols += 1
             g, w = got[c].tolist(), want[c].tolist()

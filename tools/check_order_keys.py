@@ -87,7 +87,10 @@ def final_order_keys(sql):
         # can create ties a unique raw column doesn't have, so the checker
         # evaluates the key (numeric conversion; falls back to the raw
         # column for varchar casts, where distinct values stay distinct)
-        m = re.fullmatch(r'CAST\s*\(\s*([A-Za-z_][\w.]*)\s+AS\s+[\w() ]+\)\s*'
+        # the type charclass includes ',' for parameterized types like
+        # DECIMAL(12,2) — without it a valid cast key falls through to the
+        # generic branch and becomes the garbage key "CAST(col"
+        m = re.fullmatch(r'CAST\s*\(\s*([A-Za-z_][\w.]*)\s+AS\s+[\w(), ]+\)\s*'
                          r'(?:ASC|DESC)?\s*(?:NULLS\s+(?:FIRST|LAST))?',
                          c.strip(), re.I)
         if m:
@@ -145,7 +148,11 @@ def main(out_dir):
                 num = pd.to_numeric(col, errors='coerce')
                 # numeric cast when it parses; varchar cast (all-NaN
                 # conversion of a non-numeric column) is injective on
-                # distinct values, so the raw column stands in
+                # distinct values, so the raw column stands in.
+                # In the MIXED case (some cells parse, some don't), the
+                # NaN-as-equal behavior of duplicated() is CORRECT, not a
+                # bug: a SQL numeric cast maps every unparseable cell to
+                # NULL, so two such rows genuinely tie in the ORDER BY.
                 col = num if not num.isna().all() else col
             keydf[f'k{i}'] = col
         dup = int(keydf.duplicated().sum())
