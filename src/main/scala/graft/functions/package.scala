@@ -66,6 +66,23 @@ package object functions {
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
 
+  /** 16-bit md5-prefix bucket of `s` as a long in [0, 65536) — the raw
+    * integer form of [[md5Uniform]] (use directly for `% nShards`-style
+    * bucketing).
+    */
+  def md5Bucket16(s: Column): Column =
+    conv(substring(md5(s), 1, 4), 16, 10).cast("long")
+
+  /** 16-bit md5-prefix of `s` scaled to a uniform double in [0, 1) — the
+    * deterministic, engine-portable hash behind the sampling / splitting /
+    * sharding family (each oracle spells the identical
+    * `conv(substring(md5(…),1,4),16,10)/65536` SQL). ONE definition so a
+    * change to the idiom (e.g. widening the prefix) cannot reach one
+    * query and miss another; see [[md5Bucket16]] for the raw bucket.
+    */
+  def md5Uniform(s: Column): Column =
+    md5Bucket16(s).cast("double") / 65536.0
+
   /** LSH band keys for a minhash signature: bands of `rowsPerBand` hashes,
     * each band hashed to one bucket key. Docs sharing ANY band key are
     * candidate pairs.

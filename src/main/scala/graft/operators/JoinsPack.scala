@@ -304,8 +304,13 @@ object JoinsPack extends QueryPack {
       .select(col("doc_id"),
         md5(when(col("doc_id") % 7 === 0, concat(lit("v0:"), col("text")))
           .otherwise(col("text"))).as("old_md5"))
+      // retired keys live in NEGATIVE id space (-id-1): real doc_ids are
+      // >= 0, so the synthetic band can never collide with a live key at
+      // ANY scale — the previous +1e6 offset collided once doc_id passed
+      // a million (ScaleData replication reaches it at modest factors),
+      // fanning the full-outer join into duplicate-key spurious updates
       .unionAll(docs.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           md5(concat(lit("retired:"), col("doc_id"))).as("old_md5")))
     oldSide.join(newSide, Seq("doc_id"), "full_outer")
       .withColumn("change",
@@ -349,7 +354,7 @@ object JoinsPack extends QueryPack {
         |      md5(CASE WHEN doc_id % 7 = 0 THEN 'v0:' || text ELSE text END) AS old_md5
         |    FROM documents WHERE doc_id % 5 <> 0
         |    UNION ALL
-        |    SELECT doc_id + 1000000,
+        |    SELECT -doc_id - 1,
         |      md5('retired:' || doc_id)
         |    FROM documents WHERE doc_id % 11 = 0) o
         |  FULL OUTER JOIN (

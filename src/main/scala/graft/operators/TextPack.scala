@@ -232,7 +232,7 @@ object TextPack extends QueryPack {
     * top-k via TakeOrderedAndProject; ties broken lexicographically so
     * the cut is deterministic on any engine.
     */
-  def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def topBigrams(spark: SparkSession, dir: String, k: Int = BigramK): DataFrame = {
     graft.functions.NGramShingles.register(spark)
     t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -278,14 +278,21 @@ object TextPack extends QueryPack {
     * ~20 MB broadcast instead of a shuffled join against every shingle
     * of a 100 TB corpus.
     */
-  def decontaminateBloom(spark: SparkSession, dir: String, k: Int = 500): DataFrame = {
+  def decontaminateBloom(spark: SparkSession, dir: String, k: Int = BloomProbeK): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     import org.apache.spark.sql.types.BinaryType
 
     graft.functions.NGramShingles.register(spark)
+    // materialize the k probe bigrams ONCE (bounded collect: k strings):
+    // both consumers below — the bloom build's .head() and the broadcast
+    // confirm-join — otherwise re-execute the full topBigrams pipeline
+    // (corpus scan + explode + aggregate + top-k), doubling the most
+    // expensive stage of the query
+    import spark.implicits._
     val probes = topBigrams(spark, dir, k).select(col("bigram"))
+      .collect().map(_.getString(0)).toSeq.toDF("bigram")
     // the aggregate hashes LongType input; feed xxhash64 on both sides
     val bloomAgg = new BloomFilterAggregate(
       GraftSqlBridge.expression(xxhash64(col("bigram"))),
@@ -392,10 +399,15 @@ object TextPack extends QueryPack {
       col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
         col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
         col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    // singular system (a source with < 3 docs, or collinear features) →
+    // NULL coefficients on BOTH sides, not 0/0: NaN/Inf round semantics
+    // differ across engines and a silent NaN downstream is undebuggable.
+    // det is exact here (integer sums within 2^53 cast to double), so an
+    // exact-zero test is deterministic and identical in both engines.
+    def coef(d: org.apache.spark.sql.Column) =
+      when(det === 0.0, lit(null)).otherwise(round(d / det, 6))
     stats.select(col("source"), col("n").cast("long").as("n_docs"),
-        round(det0 / det, 6).as("b0"),
-        round(det1 / det, 6).as("b1"),
-        round(det2 / det, 6).as("b2"))
+        coef(det0).as("b0"), coef(det1).as("b1"), coef(det2).as("b2"))
       .orderBy(col("source"))
   }
 
@@ -474,7 +486,7 @@ object TextPack extends QueryPack {
     * window arithmetic, one shuffle on `source`; at 100 TB the partition
     * key is (source, shard) so no single window sort exceeds a task.
     */
-  def sequencePacking(spark: SparkSession, dir: String, ctxTokens: Int = 512): DataFrame =
+  def sequencePacking(spark: SparkSession, dir: String, ctxTokens: Int = PackCtx): DataFrame =
     sequencePackingOf(t(spark, dir, "documents"), ctxTokens)
 
   /** Core of q102 over any (doc_id, source, text) frame. */
@@ -504,7 +516,7 @@ object TextPack extends QueryPack {
     * amplification.
     */
   def docChunks(spark: SparkSession, dir: String,
-                window: Int = 64, stride: Int = 32): DataFrame = {
+                window: Int = ChunkWindow, stride: Int = ChunkStride): DataFrame = {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window, got stride=$stride window=$window")
     t(spark, dir, "documents")
@@ -557,12 +569,11 @@ object TextPack extends QueryPack {
     * keep/drop comparison is the identical IEEE compare on both engines.
     */
   def domainMixSample(spark: SparkSession, dir: String,
-                      boosted: Seq[String] = Seq("src0", "src1", "src2", "src3", "src4"),
-                      boostRate: Double = 0.5, baseRate: Double = 0.1): DataFrame = {
+                      boosted: Seq[String] = MixBoosted,
+                      boostRate: Double = MixBoostRate, baseRate: Double = MixBaseRate): DataFrame = {
     import spark.implicits._
     val rates = boosted.map(_ -> boostRate).toDF("source", "rate")
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("long").cast("double") / 65536.0
+    val u = graft.functions.md5Uniform(col("doc_id").cast("string"))
     t(spark, dir, "documents")
       .join(broadcast(rates), Seq("source"), "left")
       .withColumn("rate", coalesce(col("rate"), lit(baseRate)))
@@ -589,6 +600,18 @@ object TextPack extends QueryPack {
   val PruneP = 0.25
   val MixK = 15.0
   val ShardN = 16
+  val ChunkWindow = 64
+  val ChunkStride = 32
+  val PackCtx = 512
+  val VocabN = 16
+  val BigramK = 20
+  val BloomProbeK = 500
+  val PerSourceK = 10
+  val DsirTarget = "src0"
+  val DsirK = 10
+  val MixBoosted = Seq("src0", "src1", "src2", "src3", "src4")
+  val MixBoostRate = 0.5
+  val MixBaseRate = 0.1
 
   def qualityPrune(spark: SparkSession, dir: String, p: Double = PruneP): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -610,9 +633,14 @@ object TextPack extends QueryPack {
     * of its size relative to the largest source, so a 100×-smaller domain
     * still contributes 10× fewer (not 100× fewer) documents. Where q103
     * applies hand-set per-source rates and q123 a fixed k per source, the
-    * quota here is DATA-DRIVEN: quota_d = max(1, ⌊k·√(tok_d/tok_max)⌋).
+    * quota here is DATA-DRIVEN: quota_d = max(1, ⌊k·√(size_d/size_max)⌋),
+    * where size_d is the source's CHARACTER mass (sum of the physical
+    * `n_chars` column — the cheap proxy both sides aggregate; a
+    * deployment weighting by real token counts would swap in its
+    * tokenizer's counts here AND in the oracle, off by roughly the
+    * chars-per-token factor).
     *
-    * Cross-engine exactness by construction: tok_d and tok_max are integer
+    * Cross-engine exactness by construction: size_d and size_max are integer
     * aggregates, and /, √, ×, ⌊⌋ are each IEEE correctly-rounded single
     * ops, so the quota is bit-identical on both engines — deliberately NO
     * cross-domain normalization sum (Σ√tok_d), whose float reduction order
@@ -655,8 +683,8 @@ object TextPack extends QueryPack {
     */
   def shuffleShards(spark: SparkSession, dir: String, nShards: Int = ShardN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = (conv(substring(md5(concat(lit("shard:"),
-      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % nShards)
+    val shard = (graft.functions.md5Bucket16(concat(lit("shard:"),
+      col("doc_id").cast("string"))) % nShards)
       .cast("int").as("shard")
     val byShard = Window.partitionBy(col("shard"))
       .orderBy(md5(concat(lit("order:"), col("doc_id").cast("string"))), col("doc_id"))
@@ -677,9 +705,8 @@ object TextPack extends QueryPack {
     * binomial bounds of 80/10/10 (PropertySpec-style check in TextSpec).
     */
   def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(concat(lit("split:"),
-        col("doc_id").cast("string"))), 1, 4), 16, 10)
-      .cast("long").cast("double") / 65536.0
+    val u = graft.functions.md5Uniform(concat(lit("split:"),
+      col("doc_id").cast("string")))
     t(spark, dir, "documents")
       .withColumn("split",
         when(u < 0.8, "train").when(u < 0.9, "val").otherwise(lit("test")))
@@ -722,7 +749,7 @@ object TextPack extends QueryPack {
     * token stream; per-source rollup is the only wide shuffle. V=16
     * against this fixture's 31-token vocabulary makes OOV non-trivial.
     */
-  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = VocabN): DataFrame = {
     val tok = t(spark, dir, "documents")
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -759,8 +786,8 @@ object TextPack extends QueryPack {
     * per-doc sum — no all-pairs stage anywhere. Top-k per source is the
     * q36 window form over an already per-doc-sized input.
     */
-  def dsirImportance(spark: SparkSession, dir: String, target: String = "src0",
-                     k: Int = 10): DataFrame = {
+  def dsirImportance(spark: SparkSession, dir: String, target: String = DsirTarget,
+                     k: Int = DsirK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
@@ -790,7 +817,7 @@ object TextPack extends QueryPack {
     * spec. Served by the custom TopKPerKeyExec: one key-clustered
     * exchange into bounded k-row heaps, no per-source sort of the rest.
     */
-  def samplePerSource(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+  def samplePerSource(spark: SparkSession, dir: String, k: Int = PerSourceK): DataFrame =
     graft.plans.TopKPerKey(
         t(spark, dir, "documents")
           .select(col("doc_id"), col("source"),
@@ -854,26 +881,29 @@ object TextPack extends QueryPack {
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (
         |  SELECT doc_id, toks,
-        |    CAST(unnest(range(1, len(toks) + 1, 32)) AS INT) AS start
+        |    CAST(unnest(range(1, len(toks) + 1, CHUNK_STRIDE)) AS INT) AS start
         |  FROM d)
         |SELECT doc_id, start,
-        |  CAST(len(toks[start : start + 63]) AS BIGINT) AS n_tokens,
-        |  md5(array_to_string(toks[start : start + 63], ' ')) AS chunk_md5
-        |FROM s ORDER BY doc_id, start""".stripMargin,
+        |  CAST(len(toks[start : start + CHUNK_WM1]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[start : start + CHUNK_WM1], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, start""".stripMargin
+        .replaceChecked("CHUNK_STRIDE", ChunkStride.toString)
+        .replaceChecked("CHUNK_WM1", (ChunkWindow - 1).toString),
     "q123_sample_per_source" ->
       """SELECT source, doc_id, u FROM (
         |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS u,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn <= 10 ORDER BY source, u, doc_id""".stripMargin,
+        |WHERE rn <= PERSRC_K ORDER BY source, u, doc_id""".stripMargin
+        .replaceChecked("PERSRC_K", PerSourceK.toString),
     "q121_dsir_importance" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
         |cnt AS (
         |  SELECT tok, count(*) AS c_raw,
-        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+        |    sum(CASE WHEN source = 'DSIR_TGT' THEN 1 ELSE 0 END) AS c_tgt
         |  FROM toks GROUP BY tok),
         |tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM cnt),
         |w AS (
@@ -889,19 +919,22 @@ object TextPack extends QueryPack {
         |    row_number() OVER (PARTITION BY source
         |                       ORDER BY score DESC, doc_id) AS rn
         |  FROM scored) t
-        |WHERE rn <= 10 ORDER BY source, score DESC, doc_id""".stripMargin,
+        |WHERE rn <= DSIR_K ORDER BY source, score DESC, doc_id""".stripMargin
+        .replaceChecked("DSIR_TGT", DsirTarget)
+        .replaceChecked("DSIR_K", DsirK.toString),
     "q114_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
         |vocab AS (
         |  SELECT tok FROM tok GROUP BY tok
-        |  ORDER BY count(*) DESC, tok LIMIT 16)
+        |  ORDER BY count(*) DESC, tok LIMIT VOCAB_N)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
         |    AS BIGINT) AS oov_tokens,
         |  round(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
         |    * 1.0 / count(*), 6) AS oov_rate
-        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin
+        .replaceChecked("VOCAB_N", VocabN.toString),
     "q111_train_val_test" ->
       """SELECT source,
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
@@ -1001,14 +1034,17 @@ object TextPack extends QueryPack {
       // DuckDB casts '0x….' hex strings natively; Spark's conv(…,16,10)
       // computes the same integer, so u and the compare are bit-identical
       """SELECT doc_id, source,
-        |  CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
-        |    THEN 0.5 ELSE 0.1 END AS DOUBLE) AS rate
+        |  CAST(CASE WHEN source IN (MIX_SRCS)
+        |    THEN MIX_BOOST ELSE MIX_BASE END AS DOUBLE) AS rate
         |FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
         |      / 65536.0
-        |    < CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
-        |        THEN 0.5 ELSE 0.1 END AS DOUBLE)
-        |ORDER BY doc_id""".stripMargin,
+        |    < CAST(CASE WHEN source IN (MIX_SRCS)
+        |        THEN MIX_BOOST ELSE MIX_BASE END AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin
+        .replaceChecked("MIX_SRCS", MixBoosted.map(b => s"'$b'").mkString(","))
+        .replaceChecked("MIX_BOOST", MixBoostRate.toString)
+        .replaceChecked("MIX_BASE", MixBaseRate.toString),
     "q100_repetition_signals" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |top AS (
@@ -1031,7 +1067,7 @@ object TextPack extends QueryPack {
         |FROM base JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q102_sequence_packing" ->
-      """SELECT doc_id, source, n_tokens, cum_before, cum_before // 512 AS bin
+      """SELECT doc_id, source, n_tokens, cum_before, cum_before // PACK_CTX AS bin
         |FROM (
         |  SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1040,7 +1076,8 @@ object TextPack extends QueryPack {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      - len(string_split(text, ' ')) AS BIGINT) AS cum_before
         |  FROM documents) t
-        |ORDER BY source, doc_id""".stripMargin,
+        |ORDER BY source, doc_id""".stripMargin
+        .replaceChecked("PACK_CTX", PackCtx.toString),
     "q59_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(
@@ -1071,7 +1108,8 @@ object TextPack extends QueryPack {
         |    ELSE [array_to_string(w, ' ')] END) AS bigram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)
         |SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM sh
-        |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
+        |GROUP BY bigram ORDER BY df DESC, bigram LIMIT BIGRAM_K""".stripMargin
+        .replaceChecked("BIGRAM_K", BigramK.toString),
     "q94_decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 2
@@ -1080,9 +1118,10 @@ object TextPack extends QueryPack {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
         |top AS (
         |  SELECT bigram FROM sh GROUP BY bigram
-        |  ORDER BY count(*) DESC, bigram LIMIT 20)
+        |  ORDER BY count(*) DESC, bigram LIMIT BIGRAM_K)
         |SELECT DISTINCT doc_id FROM sh JOIN top USING (bigram)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+        .replaceChecked("BIGRAM_K", BigramK.toString),
     // q138: every statistic is an integer sum of integer products —
     // exact in both engines regardless of aggregation order
     "q138_regression_suffstats" ->
@@ -1113,12 +1152,15 @@ object TextPack extends QueryPack {
         |    CAST(sum(x1*y) AS DOUBLE) AS s1y, CAST(sum(x2*y) AS DOUBLE) AS s2y
         |  FROM f GROUP BY source)
         |SELECT source, CAST(n AS BIGINT) AS n_docs,
-        |  round((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
-        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS b0,
-        |  round((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
-        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS b1,
-        |  round((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
-        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS b2
+        |  CASE WHEN (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) = 0 THEN NULL ELSE
+        |    round((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) END AS b0,
+        |  CASE WHEN (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) = 0 THEN NULL ELSE
+        |    round((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) END AS b1,
+        |  CASE WHEN (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) = 0 THEN NULL ELSE
+        |    round((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
+        |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) END AS b2
         |FROM s ORDER BY source""".stripMargin,
     // q137: identical semantics to q94 at probe size 500 — the Bloom
     // prefilter is exact-by-construction, so the oracle needs no notion
@@ -1131,9 +1173,10 @@ object TextPack extends QueryPack {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
         |top AS (
         |  SELECT bigram FROM sh GROUP BY bigram
-        |  ORDER BY count(*) DESC, bigram LIMIT 500)
+        |  ORDER BY count(*) DESC, bigram LIMIT BLOOM_K)
         |SELECT DISTINCT doc_id FROM sh JOIN top USING (bigram)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+        .replaceChecked("BLOOM_K", BloomProbeK.toString),
     "q92_corpus_filter" ->
       """WITH s AS (
         |  SELECT doc_id, source, md5(text) AS fp,

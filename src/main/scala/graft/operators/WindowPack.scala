@@ -89,7 +89,14 @@ object WindowPack extends QueryPack {
   def movingRevenue(spark: SparkSession, dir: String): DataFrame = {
     val daily = t(spark, dir, "orders")
       .select(
-        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
+        // FLOOR division in pure integer math to match DuckDB's `//`:
+        // bare `div` truncates toward zero, which differs for pre-1970
+        // (negative-epoch) dates. Subtracting pmod (always non-negative)
+        // first makes the dividend an exact multiple, so `div` is the
+        // true floor on all inputs — still no float op anywhere.
+        expr("""(unix_millis(cast(o_orderdate as timestamp))
+                - pmod(unix_millis(cast(o_orderdate as timestamp)), 86400000))
+                div 86400000""").as("day"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("day")).agg(sum(col("cents")).as("day_cents"))
     val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
