@@ -96,6 +96,26 @@ object Bench {
 
     def exec(name: String): Double = BenchUtil.execNoop(spark, name, sfDir, "bench")
 
+    // LOAD GATE: a capture launched onto a busy host reads 19–25% hot and
+    // is not comparable round-to-round. Above the threshold (1-minute
+    // loadavg > SPARK_GRAFT_BENCH_LOADMAX, default 1.5) wait up to
+    // SPARK_GRAFT_BENCH_LOADWAIT seconds (default 240) for the burst to
+    // pass, polling every 15 s; then proceed either way — a missing bench
+    // artifact is worse than an annotated contended one — and stamp the
+    // verdict ("clean" / "contended") plus the gated loadavg into the JSON.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADMAX", "1.5").toDouble
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADWAIT", "240").toInt
+    def load1m(): Double =
+      BenchUtil.loadavg().split("\\s+").headOption
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val gateDeadline = System.nanoTime + loadWaitS * 1000000000L
+    var gatedLoad = load1m()
+    while (gatedLoad > loadMax && System.nanoTime < gateDeadline) {
+      System.err.println(f"[bench] load gate: loadavg $gatedLoad%.2f > $loadMax%.1f, waiting…")
+      Thread.sleep(15000)
+      gatedLoad = load1m()
+    }
+    val loadGate = if (gatedLoad > loadMax) "contended" else "clean"
     val load0 = BenchUtil.loadavg()
     // builder-side targeted timing: SPARK_GRAFT_BENCH_FILTER=percentile
     // times only matching queries (driver runs unfiltered)
@@ -119,10 +139,15 @@ object Bench {
       case (n, m) if m > 0.5 && history.get(n).exists(h => m > 2 * h) =>
         (n, m, m - history(n))
     }.sortBy(-_._3).take(12)
-    val retried = suspect.map(_._1)
-    val betterOf = suspect.map { case (n, m, _) =>
+    // a query that failed EVERY pass-ordered run also gets one retry
+    // suite: a transient crash (contention OOM, scratch-dir clash) should
+    // not zero a query out of the total when a later attempt succeeds
+    val failedFirst = medians0.collect { case (n, m) if m < 0 => (n, m, 0.0) }
+    val toRetry = suspect ++ failedFirst
+    val retried = toRetry.map(_._1)
+    val betterOf = toRetry.map { case (n, m, _) =>
       val again = BenchUtil.median((1 to runs).map(_ => exec(n)).filter(_ >= 0.0).sorted)
-      n -> (if (again >= 0.0) math.min(m, again) else m)
+      n -> (if (again >= 0.0) { if (m >= 0.0) math.min(m, again) else again } else m)
     }.toMap
     val medians = medians0.map { case (n, m) => n -> betterOf.getOrElse(n, m) }
 
@@ -135,7 +160,23 @@ object Bench {
     // clean pass-ordered run can reach, flagging clean runs as suspect
     // (and re-running the retry suite) on every subsequent bench.
     val okOrdered = medians0.filter(_._2 >= 0)
-    val merged = mergeHistory(history, okOrdered.toMap, SparkEntry.queries.keySet)
+    // a retried-only success (pass-ordered failed, retry passed) may SEED
+    // a missing history entry — min-merge only fills, never lowers an
+    // existing pass-ordered floor with a back-to-back-warm retry median.
+    // When a floor already exists, log the exclusion instead of silently
+    // leaving the query history-less forever.
+    val medians0Map = medians0.toMap
+    val retryFill = betterOf.collect {
+      case (n, v) if v >= 0 && medians0Map.getOrElse(n, -1.0) < 0 &&
+        !history.contains(n) => n -> v
+    }
+    betterOf.foreach { case (n, v) =>
+      if (v >= 0 && medians0Map.getOrElse(n, -1.0) < 0 && history.contains(n))
+        System.err.println(
+          s"[bench] $n passed only on retry ($v s); pass-ordered floor kept")
+    }
+    val merged = mergeHistory(history, okOrdered.toMap ++ retryFill,
+      SparkEntry.queries.keySet)
     try Files.writeString(Paths.get(historyPath), historyLine(sfDir, merged))
     catch { case e: Throwable => System.err.println(s"[bench] write $historyPath: $e") }
     val total = ok.map(_._2).sum
@@ -149,7 +190,8 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"loadavg_start":"$load0",""" +
-        s""""loadavg_end":"${BenchUtil.loadavg()}"""")
+        s""""loadavg_end":"${BenchUtil.loadavg()}",""" +
+        s""""load_gate":"$loadGate","load_gate_max":$loadMax""")
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     println(full)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{t, tsMillis}
@@ -255,14 +255,11 @@ object AggPack extends QueryPack {
       .select(col("e.g").as("g"), col("e.v").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val perProbe = histogramPercentiles(hist, probes.toDF("pg", "name", "p"))
-    // pivot the probe rows into the fixed column shape (max over a
-    // single-row-per-name frame = plain column extraction)
-    perProbe.agg(
-      max(when(col("name") === names.head, col("r"))).as(names.head),
-      names.tail.map { nm =>
-        max(when(col("name") === nm, col("r"))).as(nm)
-      }: _*)
+    // grouped=false: the six names are globally unique, so the probe-hit
+    // aggregate IS the pivot — one global two-phase agg replaces the old
+    // (pg,name)-grouped agg + separate pivot agg (round-11 fusion)
+    histogramPercentiles(hist, probes.toDF("pg", "name", "p"), names,
+      fanAllGroups = false, grouped = false)
   }
 
   /** WEIGHTED exact percentiles — where q85 asks "the price at rank p of
@@ -290,7 +287,12 @@ object AggPack extends QueryPack {
       .select(round(col("l_extendedprice") * 100).cast("long").cast("double").as("v"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("v")).agg(sum(col("w")).as("c"))
-    val bounds = hist.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+    // when(c > 0) is vacuously true (weights are positive) but keeps
+    // min/max referencing the weight sum, so RemoveRedundantAggregates
+    // cannot collapse bounds through the (v) aggregate into a second full
+    // corpus scan (the histogramPercentiles guard; PLANS.md: one Scan)
+    val vGuard = when(col("c") > 0, col("v"))
+    val bounds = hist.agg(min(vGuard).as("lo"), max(vGuard).as("hi"),
       sum(col("c")).as("tot"))
     val bucketed = hist.crossJoin(broadcast(bounds))
       .withColumn("bucket",
@@ -316,25 +318,37 @@ object AggPack extends QueryPack {
       .join(broadcast(offsets), col("bucket") === col("obucket"))
       .withColumn("cum", col("cum_local") + col("off"))
       .select(col("v"), col("cum"), col("tot"))
-    val probes = Seq(("wp25", 0.25), ("wp50", 0.5), ("wp75", 0.75), ("wp95", 0.95))
-    val hits = cum.crossJoin(broadcast(probes.toDF("name", "p")))
-      .filter(col("cum").cast("double") >= col("p") * col("tot").cast("double"))
-      .groupBy(col("name")).agg(min(col("v")).as("r"))
-    hits.agg(
-      max(when(col("name") === "wp25", col("r"))).as("wp25"),
-      max(when(col("name") === "wp50", col("r"))).as("wp50"),
-      max(when(col("name") === "wp75", col("r"))).as("wp75"),
-      max(when(col("name") === "wp95", col("r"))).as("wp95"))
+    // the four probes fold into ONE global conditional-min aggregate over
+    // cum — no probe crossJoin, no per-name groupBy, no pivot re-agg
+    // (round-11 fusion; p·tot is the same literal-double multiply the
+    // probe-table form did, so values are bit-identical)
+    def probe(p: Double): Column =
+      min(when(col("cum").cast("double") >= lit(p) * col("tot").cast("double"),
+        col("v")))
+    cum.agg(
+      probe(0.25).as("wp25"), probe(0.5).as("wp50"),
+      probe(0.75).as("wp75"), probe(0.95).as("wp95"))
   }
 
   /** Grouped exact-percentile core over a prebuilt `(g, v, c)` histogram:
-    * emits one row per probe — `(g, name, r)` — where r replicates
+    * emits the requested percentiles as COLUMNS — one row per group when
+    * `grouped`, one global row otherwise — where each value replicates
     * Spark's Percentile interpolation (position = p·(n−1), result =
-    * (ceil−pos)·v_lo + (pos−floor)·v_hi) within group g. `probes` is a
-    * `(pg, name, p)` frame, so probe sets can differ per group (q85) or
-    * fan one set across data-driven groups (q134). Row counts and bucket
-    * bounds are derived FROM the histogram (sum(c)/min/max per group) —
-    * histogram-sized aggregates, never another corpus pass.
+    * (ceil−pos)·v_lo + (pos−floor)·v_hi) within group g. `probesDf` is a
+    * `(pg, name, p)` frame when probe sets differ per group (q85), or a
+    * `(name, p)` frame fanned across every data-driven group via
+    * `fanAllGroups` (q134 — built from `bounds`, NOT a caller-side
+    * `hist.select(g).distinct()`, which Catalyst collapses into one more
+    * corpus scan). Row counts and bucket bounds are derived FROM the
+    * histogram (sum(c)/min/max per group) — histogram-sized aggregates,
+    * never another corpus pass: the `when(c > 0, v)` guard below is
+    * vacuously true (counts are ≥ 1) but makes min/max reference the
+    * count column, which stops Catalyst's RemoveRedundantAggregates from
+    * collapsing bounds THROUGH the (g,v) aggregate into a direct corpus
+    * aggregate — a "simplification" that re-scans (for q134:
+    * re-tokenizes) the whole corpus a second time, because the collapsed
+    * subtree no longer matches the histogram exchange that ReuseExchange
+    * would otherwise dedupe. Verified in PLANS.md: one Scan per table.
     *
     * The rank cumsum is DISTRIBUTED: values are range-bucketed by a
     * monotone (v−lo)/width map (correctness needs only monotonicity, not
@@ -344,12 +358,23 @@ object AggPack extends QueryPack {
     * totals (model-sized BY CONSTRUCTION — nBuckets is a constant), so
     * no single-partition pass ever touches anything histogram-sized.
     * Plan-asserted in AggSpec (every WindowExec carries a partition spec).
+    *
+    * The final probe-hit aggregate doubles as the pivot (round-11
+    * fusion): pos/lo_r/hi_r are constant within (pg, name) — the probe
+    * frame has exactly one row per (pg, name) — so per-name conditional
+    * max is plain extraction, and v_lo/v_hi keep the same
+    * max-over-admitting-rows semantics the previous (pg,name)-grouped
+    * aggregate had. One exchange where the old agg + caller pivot took two.
     */
   private[operators] def histogramPercentiles(hist: DataFrame, probesDf: DataFrame,
+                                              names: Seq[String],
+                                              fanAllGroups: Boolean,
+                                              grouped: Boolean,
                                               nBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val vGuard = when(col("c") > 0, col("v"))
     val bounds = hist.groupBy(col("g"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), sum(col("c")).as("n"))
+      .agg(min(vGuard).as("lo"), max(vGuard).as("hi"), sum(col("c")).as("n"))
     val bucketed = hist
       .join(broadcast(bounds.select(col("g").as("bg"), col("lo"), col("hi"))),
         col("g") === col("bg"))
@@ -375,29 +400,46 @@ object AggPack extends QueryPack {
       .withColumn("start", col("end") - col("c"))
       .select(col("g"), col("v"), col("start"), col("end"))
     val pos = col("p") * (col("n") - 1).cast("double")
-    val tgt = broadcast(probesDf
-      .join(bounds.select(col("g").as("ng"), col("n")), col("pg") === col("ng"))
-      .select(col("pg"), col("name"), pos.as("pos"),
-        floor(pos).as("lo_r"), ceil(pos).as("hi_r")))
+    val tgt0 =
+      if (fanAllGroups)
+        bounds.select(col("g").as("pg"), col("n")).crossJoin(probesDf)
+      else probesDf
+        .join(bounds.select(col("g").as("ng"), col("n")), col("pg") === col("ng"))
+    val tgt = broadcast(tgt0.select(col("pg"), col("name"), pos.as("pos"),
+      floor(pos).as("lo_r"), ceil(pos).as("hi_r")))
     // ONE containment probe for both bracketing ranks: the histogram is
     // scanned once against a join predicate admitting either rank, and a
     // conditional max per probe name separates v_lo from v_hi afterwards
     // (when both ranks fall in the same interval the single joined row
     // supplies both). The previous two-join + rejoin form ran the whole
     // ranked-histogram pipeline twice.
-    val hits = ranked.join(tgt, col("g") === col("pg") &&
-        ((col("start") <= col("lo_r") && col("lo_r") < col("end")) ||
-          (col("start") <= col("hi_r") && col("hi_r") < col("end"))))
-      .groupBy(col("pg"), col("name"), col("pos"), col("lo_r"), col("hi_r"))
-      .agg(
-        max(when(col("start") <= col("lo_r") && col("lo_r") < col("end"),
-          col("v"))).as("v_lo"),
-        max(when(col("start") <= col("hi_r") && col("hi_r") < col("end"),
-          col("v"))).as("v_hi"))
-    val r = when(col("lo_r") === col("hi_r"), col("v_lo"))
-      .otherwise((col("hi_r").cast("double") - col("pos")) * col("v_lo") +
-        (col("pos") - col("lo_r").cast("double")) * col("v_hi"))
-    hits.select(col("pg").as("g"), col("name"), r.as("r"))
+    val joined = ranked.join(tgt, col("g") === col("pg") &&
+      ((col("start") <= col("lo_r") && col("lo_r") < col("end")) ||
+        (col("start") <= col("hi_r") && col("hi_r") < col("end"))))
+    def fld(s: String, suffix: String) = s"__${s}_$suffix"
+    val aggs = names.flatMap { s =>
+      val isN = col("name") === s
+      Seq(
+        max(when(isN && col("start") <= col("lo_r") && col("lo_r") < col("end"),
+          col("v"))).as(fld(s, "vlo")),
+        max(when(isN && col("start") <= col("hi_r") && col("hi_r") < col("end"),
+          col("v"))).as(fld(s, "vhi")),
+        max(when(isN, col("pos"))).as(fld(s, "pos")),
+        max(when(isN, col("lo_r"))).as(fld(s, "lor")),
+        max(when(isN, col("hi_r"))).as(fld(s, "hir")))
+    }
+    val aggd =
+      if (grouped) joined.groupBy(col("pg")).agg(aggs.head, aggs.tail: _*)
+      else joined.agg(aggs.head, aggs.tail: _*)
+    val rCols = names.map { s =>
+      when(col(fld(s, "lor")) === col(fld(s, "hir")), col(fld(s, "vlo")))
+        .otherwise(
+          (col(fld(s, "hir")).cast("double") - col(fld(s, "pos"))) * col(fld(s, "vlo")) +
+            (col(fld(s, "pos")) - col(fld(s, "lor")).cast("double")) * col(fld(s, "vhi")))
+        .as(s)
+    }
+    if (grouped) aggd.select(col("pg").as("g") +: rCols: _*)
+    else aggd.select(rCols: _*)
   }
 
   /** Approximate percentiles — the 100 TB path q85 specializes. Exact

@@ -482,9 +482,6 @@ object DedupPack extends QueryPack {
     val tag = graft.Tables.sfTag(spark, dir)
     val table = s"graft_shingle_index_${tag}_n3_cap${dfCap}_v1"
     val loc = s"${graft.Tables.oracleAuxDir(spark)}/shingle_index_${tag}_n3_cap${dfCap}_v1"
-    // snapshot the (documented-residue) full-corpus df-cap window once:
-    // build postings, sizesNew, and the pair join otherwise each re-run it
-    val sh = cappedShingles(spark, dir, dfCap).localCheckpoint(eager = true)
     graft.sources.KeyedStore.create(spark, table, loc)
     // Build-once guard, crash-safe: a put that dies mid-append would leave a
     // non-empty PARTIAL postings set that "non-empty ⇒ built" would forever
@@ -494,16 +491,28 @@ object DedupPack extends QueryPack {
     // matches it. A failed attempt (no/mismatched sentinel) is rebuilt by
     // re-appending everything at max(version)+1 — the store is append-only,
     // and maxVersions=1 resolution makes the newest complete attempt win.
-    // One materialization of the scan+version-resolution per invocation:
-    // the sentinel read, the validation count, and the serve plan all read
-    // this snapshot instead of re-running the store window 3–4× (measured
-    // 2.8 s/serve at sf0.1 before; checkpoint blocks are index-sized and
-    // reclaimed by the ContextCleaner when the reference drops).
-    val resolved0 = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
-      .localCheckpoint(eager = true)
+    //
+    // Store reads: on a COMPACTED (marker-gated) store the scan is a plain
+    // parquet read — checkpointing it would only destroy the family/column
+    // pushdown each consumer gets for free, so the snapshot checkpoint is
+    // kept ONLY for the unmarked slow path, where the sentinel read, the
+    // validation count, and the serve plan would otherwise re-run the
+    // version-resolution window 3–4× (measured 2.8 s/serve at sf0.1).
+    val marked = graft.sources.KeyedStore.compactedVersions(spark, table).exists(_ <= 1)
+    val resolved0 = {
+      val s = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      if (marked) s else s.localCheckpoint(eager = true)
+    }
     val sentinel = resolved0.filter(col("family") === "m")
       .select(col("value")).collect().headOption.map(_.getString(0).toLong)
     val built = sentinel.exists(_ == resolved0.filter(col("family") === "p").count())
+    // the (documented-residue) full-corpus df-cap window: the BUILD needs
+    // both halves (postings = even docs) and snapshots the window once for
+    // its three consumers; a SERVE-only invocation needs just the odd half,
+    // so it checkpoints after the filter — half the materialized blocks
+    val sh =
+      if (built) null
+      else cappedShingles(spark, dir, dfCap).localCheckpoint(eager = true)
     if (!built) {
       val postings = sh.filter(col("doc_id") % 2 === 0)
         .select(col("shingle").cast("string").as("rowkey"),
@@ -518,17 +527,27 @@ object DedupPack extends QueryPack {
         Seq(("__meta__", "m", "n_postings", n.toString, ver))
           .toDF("rowkey", "family", "qualifier", "value", "version"))
     }
+    // compact to the serve budget: every later serve (and a fresh build's
+    // re-scan below) reads the store as plain parquet — the marker-gated
+    // fast path skips the version-resolution window entirely. Idempotent:
+    // an already-marked store is one exists-check; a legacy (pre-marker)
+    // store migrates here once.
+    graft.sources.KeyedStore.ensureCompacted(spark, table, maxVersions = 1)
     // serve pass: the validated resolution IS the index — rescanning would
-    // pay the version-resolution window twice per invocation
+    // pay the version-resolution window twice per invocation. After a
+    // fresh build the store was just compacted, so the re-scan is a plain
+    // marker-gated read (no checkpoint needed).
     val resolvedIdx =
       if (built) resolved0
       else graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
-        .localCheckpoint(eager = true)
     val idx = resolvedIdx
       .filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
         col("qualifier").cast("long").as("d_old"))
-    val newSh = sh.filter(col("doc_id") % 2 === 1)
+    val newSh =
+      if (built) cappedShingles(spark, dir, dfCap)
+        .filter(col("doc_id") % 2 === 1).localCheckpoint(eager = true)
+      else sh.filter(col("doc_id") % 2 === 1)
     val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sizesOld = idx.groupBy(col("d_old").as("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = newSh.join(idx, "shingle")
@@ -574,11 +593,14 @@ object DedupPack extends QueryPack {
       if (locationOverride.nonEmpty) locationOverride
       else s"${graft.Tables.oracleAuxDir(spark)}/shingle_dfidx_${tag}_n3_cap${dfCap}_v1"
     graft.sources.KeyedStore.create(spark, table, loc)
-    // snapshot the scan+version-resolution once (see q127's note): the
-    // sentinel read, validation count, and both serve branches (postings +
-    // stored df) otherwise each re-run the store window
-    val resolved0 = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
-      .localCheckpoint(eager = true)
+    // snapshot the scan+version-resolution once (see q127's note) — but
+    // ONLY on the unmarked slow path: a compacted store reads as plain
+    // parquet and each consumer keeps its family/column pushdown
+    val marked = graft.sources.KeyedStore.compactedVersions(spark, table).exists(_ <= 1)
+    val resolved0 = {
+      val s = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
+      if (marked) s else s.localCheckpoint(eager = true)
+    }
     val sentinel = resolved0.filter(col("family") === "m")
       .select(col("value")).collect().headOption.map(_.getString(0).toLong)
     val built = sentinel.exists(_ == resolved0.filter(col("family") =!= "m").count())
@@ -602,12 +624,15 @@ object DedupPack extends QueryPack {
         Seq(("__meta__", "m", "n_cells", n.toString, ver))
           .toDF("rowkey", "family", "qualifier", "value", "version"))
     }
+    // compact to the serve budget (marker-gated fast scans thereafter;
+    // idempotent — see q127's note)
+    graft.sources.KeyedStore.ensureCompacted(spark, table, maxVersions = 1)
     // serve pass: reuse the validated resolution instead of paying the
-    // version-resolution window a second time
+    // version-resolution window a second time (post-build the store was
+    // just compacted, so the re-scan is a plain marker-gated read)
     val cells =
       if (built) resolved0
       else graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
-        .localCheckpoint(eager = true)
     val idx = cells.filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
         col("qualifier").cast("long").as("d_old"))
@@ -619,14 +644,20 @@ object DedupPack extends QueryPack {
     val newShRaw = rawShingles(spark, dir).filter(col("doc_id") % 2 === 1)
       .localCheckpoint(eager = true)
     val dfNew = newShRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df_new"))
+    // survivors carries shingle keys only — snapshotting IT instead of
+    // the two joined frames keeps one narrow materialization and the
+    // joined frames then read checkpoint blocks (newShRaw) / pushed-down
+    // parquet (idx), which round-11 profiling showed beats two more
+    // batch-sized checkpoint barriers (the serve was 7 serial jobs; now
+    // 5). No broadcast hint: at 100 TB the survivor set is
+    // vocabulary-sized — AQE picks broadcast at runtime iff it fits.
     val survivors = dfNew.join(dfOldStored, Seq("shingle"), "full_outer")
       .filter(coalesce(col("df_new"), lit(0L)) +
         coalesce(col("df_old"), lit(0L)) <= dfCap)
       .select(col("shingle"))
-    // both cap-filtered frames feed two consumers each (sizes + the pair
-    // join) — snapshot them so the survivor join runs once per side
-    val newSh = newShRaw.join(survivors, "shingle").localCheckpoint(eager = true)
-    val idxKept = idx.join(survivors, "shingle").localCheckpoint(eager = true)
+      .localCheckpoint(eager = true)
+    val newSh = newShRaw.join(survivors, "shingle")
+    val idxKept = idx.join(survivors, "shingle")
     val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sizesOld = idxKept.groupBy(col("d_old").as("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = newSh.join(idxKept, "shingle")

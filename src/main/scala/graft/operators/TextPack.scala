@@ -549,12 +549,15 @@ object TextPack extends QueryPack {
       // inflate n and sort into a phantom first bucket, shifting every rank
       .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val probesDf = hist.select(col("g").as("pg")).distinct()
-      .crossJoin(Seq(("p50_tokens", 0.5), ("p95_tokens", 0.95)).toDF("name", "p"))
-    AggPack.histogramPercentiles(hist, probesDf)
-      .groupBy(col("g").as("source"))
-      .agg(max(when(col("name") === "p50_tokens", col("r"))).as("p50_tokens"),
-        max(when(col("name") === "p95_tokens", col("r"))).as("p95_tokens"))
+    // fanAllGroups derives the source set from the histogram's own bounds
+    // aggregate (a hist.select(g).distinct() here was collapsing into a
+    // SECOND corpus scan), and grouped=true makes the probe-hit aggregate
+    // emit the pivoted (g, p50, p95) shape directly — round-11 fusion
+    val probesDf = Seq(("p50_tokens", 0.5), ("p95_tokens", 0.95)).toDF("name", "p")
+    AggPack.histogramPercentiles(hist, probesDf,
+        names = Seq("p50_tokens", "p95_tokens"),
+        fanAllGroups = true, grouped = true)
+      .select(col("g").as("source"), col("p50_tokens"), col("p95_tokens"))
       .orderBy(col("source"))
   }
 

@@ -42,10 +42,15 @@ object KeyedStore {
     // Spark string literals accept BOTH doubled-quote ('') and backslash
     // escapes (probed empirically on 4.1.2), and backslash sequences are
     // ACTIVE — so backslashes must be doubled too or '\t' in a path
-    // silently becomes a tab.
+    // silently becomes a tab. UNLESS the session runs with
+    // spark.sql.parser.escapedStringLiterals=true (Hive-compat mode):
+    // then backslashes are inert and doubling them would corrupt the path.
     val qTable = table.split('.')
       .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
-    val qLoc = location.replace("\\", "\\\\").replace("'", "''")
+    val rawLiterals = spark.conf
+      .getOption("spark.sql.parser.escapedStringLiterals").contains("true")
+    val qSlash = if (rawLiterals) location else location.replace("\\", "\\\\")
+    val qLoc = qSlash.replace("'", "''")
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $qTable ($ddl) USING parquet LOCATION '$qLoc'")
   }
@@ -64,6 +69,9 @@ object KeyedStore {
     val guarded = when(col("value").isNull,
       raise_error(concat(lit("put: null value for rowkey "), col("rowkey"),
         lit(" — use delete() for tombstones")))).otherwise(col("value"))
+    // marker first: a crash after the append with the marker intact would
+    // serve the new cells unresolved (see the marker scaladoc)
+    invalidateCompactionMarker(spark, table)
     cells.select(col("rowkey"), col("family"), col("qualifier"),
       guarded.cast(valueType).as("value"), col("version").cast("long"))
       .write.mode("append").insertInto(table)
@@ -83,6 +91,7 @@ object KeyedStore {
     */
   def delete(spark: SparkSession, table: String, keys: DataFrame): Unit = {
     val valueType = spark.table(table).schema("value").dataType
+    invalidateCompactionMarker(spark, table) // same ordering contract as put
     keys.select(col("rowkey"), col("family"), col("qualifier"),
       lit(null).cast(valueType).as("value"), col("version").cast("long"))
       .write.mode("append").insertInto(table)
@@ -110,9 +119,64 @@ object KeyedStore {
       .filter(col("rn") <= maxVersions)
       .drop("rn")
 
-  /** Read-side version resolution: newest `maxVersions` per live cell. */
+  /** Compaction marker plumbing. After compact(k) every stored cell is
+    * already the newest ≤k live versions of its cell and no tombstone
+    * survives, so a scan(m) with m ≥ k needs NO version-resolution window
+    * — a plain table read IS the resolved result. The marker (a `_`-named
+    * file Spark's file index treats as hidden, like _SUCCESS) records k;
+    * any subsequent put/delete removes it BEFORE appending, so a crash
+    * between the two leaves the store un-marked (slow path, still
+    * correct) — the unsafe order would leave a stale marker serving
+    * unresolved appends. Single-writer contract (see compact) makes the
+    * remove-then-append sequence race-free.
+    */
+  private val MarkerName = "_graft_compacted"
+
+  private def tableLocation(spark: SparkSession, table: String): Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+  }
+
+  private def withFs(spark: SparkSession, loc: Path)(f: org.apache.hadoop.fs.FileSystem => Unit): Unit =
+    f(loc.getFileSystem(spark.sessionState.newHadoopConf()))
+
+  private[graft] def compactedVersions(spark: SparkSession, table: String): Option[Int] = {
+    val loc = tableLocation(spark, table)
+    val marker = new Path(loc, MarkerName)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        scala.util.Try(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toInt).toOption
+      } finally in.close()
+    }
+  }
+
+  private def writeCompactionMarker(spark: SparkSession, loc: Path, k: Int): Unit =
+    withFs(spark, loc) { fs =>
+      val out = fs.create(new Path(loc, MarkerName), true)
+      try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+  private def invalidateCompactionMarker(spark: SparkSession, table: String): Unit = {
+    val loc = tableLocation(spark, table)
+    withFs(spark, loc) { fs => fs.delete(new Path(loc, MarkerName), false); () }
+  }
+
+  /** Read-side version resolution: newest `maxVersions` per live cell.
+    * Marker-gated fast path: a store compacted down to ≤ maxVersions
+    * versions per cell is served as a plain parquet read — no
+    * (rowkey, family, qualifier) exchange, no ranking window. This is the
+    * read path a build-once/serve-many index (q127/q135) lives on.
+    */
   def scan(spark: SparkSession, table: String, maxVersions: Int = 3): DataFrame =
-    resolveCells(spark.table(table), maxVersions)
+    compactedVersions(spark, table) match {
+      case Some(k) if k <= maxVersions => spark.table(table)
+      case _ => resolveCells(spark.table(table), maxVersions)
+    }
 
   /** Prefix scan, optionally reversed (HBaseClient.java:64-68). */
   def prefixScan(spark: SparkSession, table: String, prefix: String,
@@ -167,8 +231,21 @@ object KeyedStore {
       // distributed snapshot of the kept cells (reads the live table once)
       scan(spark, table, maxVersions).write.mode("overwrite").parquet(tmp.toString)
     }
+    // marker AFTER the swap: a crash before this line leaves the store
+    // compacted-but-unmarked — slow path, still correct
+    writeCompactionMarker(spark, loc, maxVersions)
     spark.catalog.refreshTable(table) // drop cached file listings for the old files
   }
+
+  /** Compact only when the marker doesn't already cover `maxVersions` —
+    * the idempotent form serve paths call after validating a build: a
+    * fresh build (marker invalidated by its puts) and a legacy store
+    * (built before markers existed) both compact once; an already-marked
+    * store is a no-op exists-check.
+    */
+  def ensureCompacted(spark: SparkSession, table: String, maxVersions: Int = 3): Unit =
+    if (!compactedVersions(spark, table).exists(_ <= maxVersions))
+      compact(spark, table, maxVersions)
 
   /** Point Get (HBaseClient.java:71-80): newest value per qualifier. */
   def get(spark: SparkSession, table: String, rowkey: String): DataFrame =

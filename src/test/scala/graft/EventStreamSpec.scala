@@ -13,24 +13,19 @@ class EventStreamSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = SparkTestSession.sfDir
 
-  /** Row comparison with a one-rounding-step tolerance on double cells.
-    * The streamed and batch sides aggregate the same values but in
-    * independent executions whose partial-agg accumulation order differs
-    * (shuffle fetch order is nondeterministic): a float sum one ulp from
-    * a 0.0005 boundary can round(…,3) to a value 0.001 apart between the
-    * two runs even though both are correct. Counts/keys stay exact.
+  /** Exact row comparison — deliberately NO float tolerance. Both the
+    * streamed and batch sides fold their value sums in decimal(18,6)
+    * before the final double projection (EventStreamJobs claims
+    * "stream == batch bit-for-bit"), so any difference here means one
+    * side silently reverted to an order-sensitive raw double sum —
+    * exactly the regression a tolerance would mask.
     */
   private def assertRowsAgree(got: Seq[org.apache.spark.sql.Row],
                               want: Seq[org.apache.spark.sql.Row]): Unit = {
     assert(got.size == want.size, s"row counts: ${got.size} vs ${want.size}")
     got.zip(want).zipWithIndex.foreach { case ((g, w), r) =>
       (0 until w.size).foreach { i =>
-        (g.get(i), w.get(i)) match {
-          case (a: java.lang.Double, b: java.lang.Double) =>
-            assert(math.abs(a - b) <= 0.0011,
-              s"row $r col $i: $a vs $b beyond one rounding step")
-          case (a, b) => assert(a == b, s"row $r col $i: $a vs $b")
-        }
+        assert(g.get(i) == w.get(i), s"row $r col $i: ${g.get(i)} vs ${w.get(i)}")
       }
     }
   }

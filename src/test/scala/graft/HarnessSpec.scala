@@ -113,12 +113,18 @@ class HarnessSpec extends AnyFunSuite {
     val target = Files.createTempDirectory("graft_symlink_target")
     val keep = Files.writeString(target.resolve("keep.txt"), "survives")
     val doomed = Files.createTempDirectory("graft_symlink_tree")
-    Files.writeString(doomed.resolve("own.txt"), "goes away")
-    Files.createSymbolicLink(doomed.resolve("link"), target)
-    Tables.deleteTree(doomed.toFile)
-    assert(!Files.exists(doomed), "the tree itself is deleted")
-    assert(Files.exists(keep), "the symlink target's contents survive")
-    Files.delete(keep); Files.delete(target)
+    try {
+      Files.writeString(doomed.resolve("own.txt"), "goes away")
+      Files.createSymbolicLink(doomed.resolve("link"), target)
+      Tables.deleteTree(doomed.toFile)
+      assert(!Files.exists(doomed), "the tree itself is deleted")
+      assert(Files.exists(keep), "the symlink target's contents survive")
+    } finally {
+      // deleteTree (not bare deletes) so a failed assertion still cleans
+      // up both temp trees instead of leaking graft_symlink_* in /tmp
+      Tables.deleteTree(target.toFile)
+      Tables.deleteTree(doomed.toFile)
+    }
   }
 
   test("Verify.decimalColumns flags EVERY DecimalType at any nesting depth") {

@@ -125,6 +125,64 @@ class KeyedStoreSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compaction marker gates the window-free scan and dies on the next write") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("keyed_store_marker").toString
+    val table = "graft_marker_cells"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // AQE off so the physical tree is inspectable (the AggSpec pattern —
+    // AdaptiveSparkPlanExec hides its subtree from plan.collect)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    KeyedStore.create(spark, table, loc)
+    KeyedStore.put(spark, table, cellRows)
+    KeyedStore.put(spark, table, extraVersions)
+    def hasWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.nonEmpty
+    // un-compacted: no marker, scans resolve through the ranking window
+    assert(KeyedStore.compactedVersions(spark, table).isEmpty)
+    assert(hasWindow(KeyedStore.scan(spark, table, maxVersions = 1)))
+    val before = KeyedStore.scan(spark, table, maxVersions = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+
+    // compact(1) writes the marker; a scan with budget ≥ marker is a plain
+    // read (no WindowExec) with the identical resolved contents
+    KeyedStore.compact(spark, table, maxVersions = 1)
+    assert(KeyedStore.compactedVersions(spark, table).contains(1))
+    val fast = KeyedStore.scan(spark, table, maxVersions = 1)
+    assert(!hasWindow(fast), "marked store must scan without the window")
+    val after = fast.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    assert(after == before, "fast path must serve the same resolved cells")
+
+    // a smaller budget than the marker still resolves (3-version marker
+    // cannot answer a newest-1 scan raw) — re-mark at 3 to prove it
+    KeyedStore.put(spark, table,
+      Seq(("G20200579010831", "score", "programming", "77", 9L))
+        .toDF("rowkey", "family", "qualifier", "value", "version"))
+    // the put invalidated the marker BEFORE appending (crash between the
+    // two leaves a correct, merely-unmarked store)
+    assert(KeyedStore.compactedVersions(spark, table).isEmpty,
+      "any write must invalidate the marker")
+    assert(hasWindow(KeyedStore.scan(spark, table, maxVersions = 1)))
+    KeyedStore.compact(spark, table, maxVersions = 3)
+    assert(KeyedStore.compactedVersions(spark, table).contains(3))
+    assert(hasWindow(KeyedStore.scan(spark, table, maxVersions = 1)),
+      "marker k=3 must NOT serve a newest-1 scan raw")
+    assert(!hasWindow(KeyedStore.scan(spark, table, maxVersions = 3)))
+    // ensureCompacted: no-op when covered, compacts when not
+    KeyedStore.ensureCompacted(spark, table, maxVersions = 1)
+    assert(KeyedStore.compactedVersions(spark, table).contains(1))
+    assert(KeyedStore.scan(spark, table, maxVersions = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3))
+      .toMap.apply(("G20200579010831", "score", "programming")) == "77")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("put rejects null values instead of writing silent tombstones") {
     import spark.implicits._
     val loc = Files.createTempDirectory("keyed_store_nullput").toString
