@@ -306,11 +306,18 @@ object AggPack extends QueryPack {
     // strictly-lower buckets through a broadcast triangular self-join —
     // ≤ nBuckets² joined rows, no exchange wider than a broadcast
     val totals = bucketed.groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+    // group by (bucket, t) — t is functionally determined by bucket, so
+    // semantics are unchanged, but keeping t referenced on the probe side
+    // stops column pruning from specializing THIS copy of `totals` into a
+    // distinct-only aggregate whose exchange no longer canonicalizes equal
+    // to the broadcast copy's — which de-duplicated corpus scan #2
+    // (PLANS.md r11: one lineitem Scan, the pruned form had two)
     val offsets = totals.as("a")
       .join(broadcast(totals.select(col("bucket").as("bb"), col("t").as("bt"))),
         col("bb") < col("bucket"), "left_outer")
-      .groupBy(col("bucket").as("obucket"))
+      .groupBy(col("bucket").as("obucket"), col("t"))
       .agg(coalesce(sum(col("bt")), lit(0L)).as("off"))
+      .select(col("obucket"), col("off"))
     val wCum = Window.partitionBy(col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bucketed

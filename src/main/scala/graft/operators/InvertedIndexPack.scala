@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -79,30 +79,48 @@ object InvertedIndexPack extends QueryPack {
 
   /** Core of q101 over any (doc_id, text) frame (crafted fixtures in
     * TextSpec assert the idf/tf monotonicity properties).
+    *
+    * Round-11 shape: for a FIXED probe-term list the per-doc term
+    * frequencies are map-side `size(filter(tokens))` counters — no
+    * explode, no (doc, term) exchange — so the whole query is TWO
+    * map-only corpus passes (the previous explode/join form tokenized the
+    * corpus in FOUR scans): one global aggregate folds n_docs, avgdl AND
+    * every per-term df into a single broadcast stats row, and scoring is
+    * a map-only pass over the hit docs ending in TakeOrderedAndProject.
+    * The per-term `size(filter(...))` re-splits the text m+1 times per
+    * row — a deliberate CPU-for-I/O trade: at 100 TB the dropped corpus
+    * scans and the dropped shuffle dominate a few extra in-memory splits.
+    * Values are bit-identical to the explode form (same tf/df/dl longs,
+    * same fixed-order per-term sum, same literals) — the oracle SQL still
+    * expresses the explode form and hash-matches.
     */
   def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val k1 = 1.2
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val score =
-      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-        (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    val termSum = terms.map(t =>
-        coalesce(sum(when(col("tok") === t, col("s"))), lit(0.0)))
-      .reduce(_ + _)
-    tf.join(broadcast(df), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .select(col("doc_id"), col("tok"), score.as("s"))
-      .groupBy(col("doc_id"))
-      .agg(round(termSum, 6).as("bm25"))
+    def tfOf(t: String) =
+      size(filter(split(col("text"), " "), x => x === t)).cast("long")
+    val perDoc = docs.select(
+      col("doc_id") +:
+        size(split(col("text"), " ")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }: _*)
+    val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      terms.indices.map { i =>
+        sum(when(col(s"tf_$i") > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$i")
+      }
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def score(tf: Column, df: Column) =
+      log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+        (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    // fixed-order per-term sum (the explode form's reduce order) so the
+    // float result is bit-stable across engines and partitionings
+    val termSum = terms.indices.map { i =>
+      when(col(s"tf_$i") > 0, score(col(s"tf_$i"), col(s"df_$i")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val hit = terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _)
+    perDoc.filter(hit)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(termSum, 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
