@@ -170,9 +170,21 @@ object DedupPack extends QueryPack {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    candidates
-      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+    // ONE shingle fetch for both pair sides (round 11): melt each
+    // candidate pair to two (pair, doc_id) rows and join `docs` once —
+    // the two per-side joins each re-ran the scan→tokenize→shingle
+    // subtree (3 corpus tokenizations incl. the signature pass; now 2)
+    // and each moved the corpus's shingle arrays through its own
+    // exchange (now one, and only matched rows reach the pair regroup).
+    // first(when…, ignoreNulls) is deterministic: d1 < d2 strictly, so
+    // exactly one melted row matches each side.
+    val melted = candidates.select(col("d1"), col("d2"),
+      explode(array(col("d1"), col("d2"))).as("doc_id"))
+    melted.join(docs, "doc_id")
+      .groupBy(col("d1"), col("d2"))
+      .agg(
+        first(when(col("doc_id") === col("d1"), col("sh")), ignoreNulls = true).as("sh1"),
+        first(when(col("doc_id") === col("d2"), col("sh")), ignoreNulls = true).as("sh2"))
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
