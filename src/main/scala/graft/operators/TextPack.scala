@@ -453,23 +453,32 @@ object TextPack extends QueryPack {
     */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NGramShingles.register(spark)
+    graft.functions.TopTokenCount.register(spark)
     repetitionSignalsOf(t(spark, dir, "documents"))
   }
 
   /** Core of q100 over any (doc_id, text) frame (crafted fixtures in
-    * TextSpec). Caller must have NGramShingles registered.
+    * TextSpec). Caller must have NGramShingles AND TopTokenCount
+    * registered.
     */
   def repetitionSignalsOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      size(graft.functions.NGramShingles.shinglesFast(toks, 2)).cast("long")
-        .as("n_distinct_bigrams"))
-    val top = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_n"))
-    base.join(top, "doc_id")
+    // top token multiplicity MAP-SIDE (round 11): a native hash-count
+    // expression (TopTokenCount) inside whole-stage codegen. The explode →
+    // groupBy(doc_id, tok) → groupBy(doc_id) form pushed every distinct
+    // (doc, token) pair of the corpus through two exchanges — at 100 TB a
+    // corpus-sized shuffle for a per-row statistic — and the interpreted
+    // aggregate(array_sort(...)) fold measured +0.4 s at sf0.1 (the HOF
+    // tax the other native expressions exist for). Null text is dropped
+    // below exactly as explode-of-null dropped those docs before.
+    val topCnt = graft.functions.TopTokenCount.topTokenCountFast(toks)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        size(graft.functions.NGramShingles.shinglesFast(toks, 2)).cast("long")
+          .as("n_distinct_bigrams"),
+        topCnt.as("top_token_n"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
         col("n_distinct_bigrams"), col("top_token_n"),
         (col("top_token_n").cast("double") / col("n_tokens")).as("top_token_ratio"),

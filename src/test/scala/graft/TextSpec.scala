@@ -210,6 +210,7 @@ class TextSpec extends AnyFunSuite {
   test("repetition signals: crafted docs give exact ratios, 1-token doc gives null bigram ratio") {
     import spark.implicits._
     graft.functions.NGramShingles.register(spark)
+    graft.functions.TopTokenCount.register(spark)
     val docs = Seq(
       (1L, "a a a b"),    // top a×3/4; bigrams: [a a, a a, a b] → 2 distinct of 3
       (2L, "w x y z"),    // no repetition: top 1/4, 3 distinct bigrams of 3
@@ -224,6 +225,30 @@ class TextSpec extends AnyFunSuite {
     val r2 = got(1)
     assert(math.abs(r2.getDouble(5) - 0.25) < 1e-15 && r2.getDouble(6) == 0.0)
     assert(got(2).isNullAt(6), "1-token doc must yield null dup_bigram_ratio, not a div-by-zero artifact")
+  }
+
+  test("TopTokenCount == explode+groupBy multiplicity, incl. nulls and ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.TopTokenCount.register(spark)
+    val arrs: Seq[(Long, Seq[Option[String]])] = Seq(
+      1L -> Seq(Some("a"), Some("b"), Some("a"), Some("a")),
+      2L -> Seq(Some("x"), Some("y")), // tie at 1
+      3L -> Seq(None, None, Some("z")), // null group counts like a token
+      4L -> Seq(Some("")), // empty-string token
+      5L -> Seq.empty) // empty array → 0 (explode form emits no row)
+    val df = arrs.toDF("id", "toks")
+    val native = df.select(col("id"),
+        graft.functions.TopTokenCount.topTokenCountFast(col("toks")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oracle = df.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    oracle.foreach { case (id, n) =>
+      assert(native(id) == n, s"id $id: native ${native(id)} vs explode $n")
+    }
+    assert(native(5L) == 0L, "empty array returns 0 on the native path")
   }
 
   test("sequence packing: bins advance exactly at context boundaries, per source") {
