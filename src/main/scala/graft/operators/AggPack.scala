@@ -373,7 +373,7 @@ object AggPack extends QueryPack {
     * max-over-admitting-rows semantics the previous (pg,name)-grouped
     * aggregate had. One exchange where the old agg + caller pivot took two.
     */
-  private[operators] def histogramPercentiles(hist: DataFrame, probesDf: DataFrame,
+  private[graft] def histogramPercentiles(hist: DataFrame, probesDf: DataFrame,
                                               names: Seq[String],
                                               fanAllGroups: Boolean,
                                               grouped: Boolean,

@@ -219,6 +219,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("histogramPercentiles ≡ buffered percentile() on random histograms") {
+    // the round-11 rewrite's exactness claim, pinned on arbitrary inputs:
+    // the distributed two-phase histogram + fused probe/pivot aggregate
+    // must reproduce Spark's own Percentile interpolation BIT-FOR-BIT,
+    // incl. ties (c > 1), negatives, magnitude spread, single-value
+    // groups, and the p=0 / p=1 rank edges
+    import spark.implicits._
+    val ps = List(("p0", 0.0), ("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p100", 1.0))
+    val names = ps.map(_._1)
+    val cellGen: Gen[List[(String, Double, Long)]] =
+      Gen.nonEmptyListOf(for {
+        g <- Gen.oneOf("g1", "g2")
+        v <- Gen.oneOf(-5.0, -1.25, 0.0, 1.0, 2.5, 3.0, 7.0, 100.0, 1e7)
+        c <- Gen.choose(1L, 4L)
+      } yield (g, v, c))
+    forAll(cellGen, n = 10) { cells =>
+      // collapse duplicate (g, v) cells — histogramPercentiles expects a
+      // proper histogram (one row per distinct value per group)
+      val hist = cells.groupBy(t => (t._1, t._2)).toList
+        .map { case ((g, v), l) => (g, v, l.map(_._3).sum) }
+      val histDf = hist.toDF("g", "v", "c")
+      val got = graft.operators.AggPack
+        .histogramPercentiles(histDf, ps.toDF("name", "p"), names,
+          fanAllGroups = true, grouped = true)
+        .collect().map(r => r.getString(0) ->
+          names.indices.map(i => r.getDouble(i + 1))).toMap
+      val raw = hist.flatMap { case (g, v, c) => List.fill(c.toInt)((g, v)) }
+        .toDF("g", "v")
+      val want = raw.groupBy(col("g"))
+        .agg(expr(s"percentile(v, array(${ps.map(_._2).mkString(",")}))").as("r"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (g, rs) =>
+        rs.zip(want(g)).zipWithIndex.foreach { case ((a, b), i) =>
+          assert(a == b, s"group $g ${names(i)}: histogram $a vs buffered $b " +
+            "must match to the last bit")
+        }
+      }
+    }
+  }
+
   test("TopKPerKey spill path ≡ in-memory path on random keyed data") {
     import spark.implicits._
     val dataGen: Gen[List[(Int, Int)]] = for {
