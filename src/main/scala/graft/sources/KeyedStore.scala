@@ -140,19 +140,28 @@ object KeyedStore {
   private def withFs(spark: SparkSession, loc: Path)(f: org.apache.hadoop.fs.FileSystem => Unit): Unit =
     f(loc.getFileSystem(spark.sessionState.newHadoopConf()))
 
+  /** Read a small `_`-named sidecar file fully as UTF-8. InputStream.read
+    * may legally return fewer bytes than available (chunking filesystems),
+    * so a single read() could truncate the value — loop to stream end,
+    * capped at `cap` bytes (sidecars here are <64 B by construction).
+    */
+  private[graft] def readSidecarUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path, cap: Int = 256): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](cap)
+      var off = 0
+      var n = 0
+      while (off < cap && { n = in.read(bytes, off, cap - off); n >= 0 }) off += n
+      new String(bytes, 0, off, "UTF-8")
+    } finally in.close()
+  }
+
   private[graft] def compactedVersions(spark: SparkSession, table: String): Option[Int] = {
     val loc = tableLocation(spark, table)
     val marker = new Path(loc, MarkerName)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try {
-        val bytes = new Array[Byte](32)
-        val n = in.read(bytes)
-        scala.util.Try(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toInt).toOption
-      } finally in.close()
-    }
+    else scala.util.Try(readSidecarUtf8(fs, marker).trim.toInt).toOption
   }
 
   private def writeCompactionMarker(spark: SparkSession, loc: Path, k: Int): Unit =
@@ -171,6 +180,15 @@ object KeyedStore {
     * versions per cell is served as a plain parquet read — no
     * (rowkey, family, qualifier) exchange, no ranking window. This is the
     * read path a build-once/serve-many index (q127/q135) lives on.
+    *
+    * CONSTRAINT — consume before the next write: the fast/slow path choice
+    * is made at DataFrame-BUILD time. A DataFrame built while the marker
+    * exists is a raw table read; if it is first (or re-) evaluated after a
+    * later put/delete — which invalidates the marker and appends — it will
+    * surface unresolved duplicate versions that the slow-path plan would
+    * have resolved. Evaluate (or checkpoint/cache) a scan before the next
+    * write to the same table; the single-writer contract plus eager
+    * consumption in the serve paths (q127/q135) satisfies this today.
     */
   def scan(spark: SparkSession, table: String, maxVersions: Int = 3): DataFrame =
     compactedVersions(spark, table) match {

@@ -362,13 +362,12 @@ object EventStreamJobs {
       try out.write(s"$mnUs $mxUs".getBytes("UTF-8")) finally out.close()
     }
     val (minUs, maxUs) = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(watch, "_bounds"))
-      try {
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        val parts = new String(bytes, 0, n, "UTF-8").trim.split(" ")
-        (parts(0).toLong, parts(1).toLong)
-      } finally in.close()
+      // read-fully via the shared sidecar helper — a single read() may
+      // legally return short and truncate the bounds
+      val parts = graft.sources.KeyedStore
+        .readSidecarUtf8(fs, new org.apache.hadoop.fs.Path(watch, "_bounds"))
+        .trim.split(" ")
+      (parts(0).toLong, parts(1).toLong)
     }
     val spanMs = (maxUs - minUs) / 1000L
     val delayMs = spanMs + 3600L * 1000

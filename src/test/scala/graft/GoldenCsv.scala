@@ -36,6 +36,12 @@ object GoldenDump {
         String.join("\n", lines: _*).concat("\n").getBytes("UTF-8"))
       println(s"wrote ${p} (${lines.size - 1} rows)")
     }
+    // Version sidecar: the pins are outputs of THIS Spark build. A jar
+    // refresh could silently shift approximate results (sketch internals,
+    // hash seeds); GoldenDriftSpec fails fast on a version mismatch so a
+    // bump forces a conscious regeneration + diff review.
+    java.nio.file.Files.write(root.resolve("_spark_version.txt"),
+      (org.apache.spark.SPARK_VERSION + "\n").getBytes("UTF-8"))
     SparkTestSession.spark.stop()
   }
 }

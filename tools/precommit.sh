@@ -32,8 +32,15 @@ fi
 
 echo "== precommit: graft.Verify on $SF =="
 VERIFY_LOG="$OUT/.verify.log"
-sbt -batch "runMain graft.Verify $SF $OUT" < /dev/null 2>&1 | tee "$VERIFY_LOG" \
-  | grep -E '\[verify\]|error\]:|Exception' || true
+# Capture to the log first and test sbt's own exit status — POSIX sh has no
+# pipefail, so a `sbt | tee | grep || true` chain would mask a hard JVM
+# crash. Only after the exit code passes do we grep for display + refusals.
+if ! sbt -batch "runMain graft.Verify $SF $OUT" < /dev/null > "$VERIFY_LOG" 2>&1; then
+  tail -40 "$VERIFY_LOG" >&2
+  echo "precommit: REFUSED — Verify exited nonzero (JVM/sbt failure)" >&2
+  exit 1
+fi
+grep -E '\[verify\]|error\]:|Exception' "$VERIFY_LOG" || true
 # Verify prints "[verify] <name> failed: …" per broken query and still
 # exits 0 (it dumps what it can) — the tripwire must treat any such line,
 # or a missing dump, as a refusal
@@ -48,5 +55,17 @@ tools/audit_dumps.sh "$SF" "$OUT"
 
 echo "== precommit: canonicalization pins =="
 python3 tools/test_canon.py
+
+# Pass stamp: proves this gate ran (and on what) before a round-closing
+# commit (VERDICT r11 item 4). `head` is the SHA the gate ran on top of —
+# necessarily the closing commit's parent, since a commit cannot embed its
+# own hash. `tree` pins the exact tracked content that was verified
+# (git stash create includes uncommitted tracked changes without touching
+# any ref), so the stamp is checkable against the closing commit's tree.
+STASH_C="$(git stash create 2>/dev/null || true)"
+printf 'sf=%s head=%s tree=%s date=%s\n' "$SF" \
+  "$(git rev-parse HEAD 2>/dev/null || echo unknown)" \
+  "$(git rev-parse "${STASH_C:-HEAD}^{tree}" 2>/dev/null || echo unknown)" \
+  "$(date -u +%Y-%m-%dT%H:%M:%SZ)" > tools/precommit.last
 
 echo "== precommit: all gates green =="
