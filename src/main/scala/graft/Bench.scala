@@ -118,9 +118,12 @@ object Bench {
     val loadGate = if (gatedLoad > loadMax) "contended" else "clean"
     val load0 = BenchUtil.loadavg()
     // builder-side targeted timing: SPARK_GRAFT_BENCH_FILTER=percentile
-    // times only matching queries (driver runs unfiltered)
-    val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
-    val names = SparkEntry.queries.keys.toSeq.filter(_.contains(nameFilter)).sorted
+    // times only matching queries (driver runs unfiltered); comma-separates
+    // into alternatives ("q106,q107" matches either) for one-run set timing
+    val nameFilters = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+      .split(",").toSeq.map(_.trim)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => nameFilters.exists(n.contains)).sorted
     names.headOption.foreach(exec) // untimed warmup
     // pass-ordered (all queries, then repeat): back-to-back repeats of one
     // query would overstate cache warmth relative to how the driver runs it

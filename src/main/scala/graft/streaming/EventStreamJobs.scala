@@ -57,20 +57,21 @@ object EventStreamJobs {
     graft.Tables.normalizeTs(tuned.parquet(watchDir))
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered (to 4) —
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
     * a stateful streaming query materializes one state-store instance per
     * shuffle partition per batch, and on the registered finite runs the
     * aggregation state is tiny (thousands of windows/sessions), so the
     * batch-tuned 32 partitions buy nothing but 32× state-store file churn
-    * per micro-batch. The override binds at checkpoint creation (both
-    * registered queries start from a fresh checkpoint every invocation);
-    * a real deployment sizes this to state volume ÷ executor memory, not
-    * to the batch shuffle default.
+    * per micro-batch; [[statePartsFor]] sizes `n` to the staged volume.
+    * The override binds at checkpoint creation (the registered queries
+    * start from a fresh checkpoint every invocation).
     */
   private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    // builder-side sweep knob (measurement only; default = caller's n)
+    val eff = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(n)
+    spark.conf.set(key, eff.toString)
     try body finally spark.conf.set(key, old)
   }
 
@@ -114,10 +115,33 @@ object EventStreamJobs {
     dir
   }
 
+  /** State-store partition count for a gated replay, sized to the staged
+    * input volume the way a deployment sizes it to state volume ÷ executor
+    * memory: one shuffle partition per ~4 MB of staged parquet, clamped to
+    * [1, 4]. Each stateful operator materializes one state-store instance
+    * per shuffle partition PER MICRO-BATCH (a stream-stream join holds
+    * four stores per partition), so at small replay volumes the per-commit
+    * file churn dominates the state pass and fewer partitions win
+    * (measured sf0.1: trio 9.5 → 7.2 s at 1 vs 4), while at 10× the
+    * volume the data pass dominates and 2–4 win (measured sf1: q148
+    * 6.5 s at 1 vs 5.4 s at 2). The clamp floor keeps a genuine
+    * state-store path; the ceiling is the round-9 finding that 16
+    * partitions only quadruple commit overhead.
+    */
+  private def statePartsFor(spark: SparkSession, watch: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(watch)
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+    val perPart = 4L << 20
+    val parts = math.max(1L, math.min(4L, (bytes + perPart - 1) / perPart)).toInt
+    System.err.println(s"[stream] $watch staged ${bytes >> 10} KiB -> $parts state partition(s)")
+    parts
+  }
+
   /** The shared writeStream scaffolding of the three gated streaming runs
     * (q136/q141/q148): checkpoint under the job's scratch, foreachBatch
     * coalesce(1) parquet sink at `$scratch/out`, Trigger.AvailableNow,
-    * micro-batch shuffles at 4 partitions, blocking until the replay
+    * micro-batch shuffles at `parts` partitions (see [[statePartsFor]]), blocking until the replay
     * drains. `complete` output re-emits the whole aggregation state each
     * batch so the sink OVERWRITES (last batch wins — q136's rollup);
     * `append` output emits only new final rows so the sink APPENDS
@@ -125,10 +149,10 @@ object EventStreamJobs {
     * drift across the three jobs.
     */
   private def runAvailableNow(spark: SparkSession, df: DataFrame,
-                              scratch: String, outputMode: String)
+                              scratch: String, outputMode: String, parts: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val sinkMode = if (outputMode == "complete") "overwrite" else "append"
-    withShufflePartitions(spark, 4) {
+    withShufflePartitions(spark, parts) {
       val q = df.writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", s"$scratch/ckpt")
@@ -178,7 +202,7 @@ object EventStreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"))
-    val query = runAvailableNow(spark, counts, scratch, "complete")
+    val query = runAvailableNow(spark, counts, scratch, "complete", statePartsFor(spark, watch))
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("bucket_ms"), col("event_type")))
   }
@@ -378,7 +402,7 @@ object EventStreamJobs {
     val counts = sessionWindowCounts(
       readEvents(spark, watch, maxFilesPerTrigger = 2),
       gapMs, s"$delayMs milliseconds")
-    val query = runAvailableNow(spark, counts, scratch, "append")
+    val query = runAvailableNow(spark, counts, scratch, "append", statePartsFor(spark, watch))
     (query, spark.read.parquet(s"$scratch/out")
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("start_ms")))
@@ -441,7 +465,7 @@ object EventStreamJobs {
         watermark = s"$delayMs milliseconds")
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_millis(col("l_ts")) - unix_millis(col("r_ts"))).as("gap_ms"))
-    val query = runAvailableNow(spark, joined, scratch, "append")
+    val query = runAvailableNow(spark, joined, scratch, "append", statePartsFor(spark, watch))
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("purchase_id"), col("click_id")))
   }
