@@ -515,9 +515,13 @@ object DedupPack extends QueryPack {
       val s = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
       if (marked) s else s.localCheckpoint(eager = true)
     }
-    val sentinel = resolved0.filter(col("family") === "m")
-      .select(col("value")).collect().headOption.map(_.getString(0).toLong)
-    val built = sentinel.exists(_ == resolved0.filter(col("family") === "p").count())
+    // sentinel fetch + validation count in ONE store pass (round 12; the
+    // same merge as the stored-df serve — two jobs became one aggregate)
+    val meta = resolved0.agg(
+      max(when(col("family") === "m", col("value"))).as("sentinel"),
+      sum(when(col("family") === "p", 1L).otherwise(0L)).as("n_postings")).head
+    val sentinel = Option(meta.getString(0)).map(_.toLong)
+    val built = sentinel.exists(_ == (if (meta.isNullAt(1)) 0L else meta.getLong(1)))
     // the (documented-residue) full-corpus df-cap window: the BUILD needs
     // both halves (postings = even docs) and snapshots the window once for
     // its three consumers; a SERVE-only invocation needs just the odd half,
@@ -613,9 +617,14 @@ object DedupPack extends QueryPack {
       val s = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
       if (marked) s else s.localCheckpoint(eager = true)
     }
-    val sentinel = resolved0.filter(col("family") === "m")
-      .select(col("value")).collect().headOption.map(_.getString(0).toLong)
-    val built = sentinel.exists(_ == resolved0.filter(col("family") =!= "m").count())
+    // sentinel fetch + validation count in ONE store pass (round 12): the
+    // two-job form paid the family-column scan twice per serve — this
+    // aggregate returns both in a single bounded metadata pass
+    val meta = resolved0.agg(
+      max(when(col("family") === "m", col("value"))).as("sentinel"),
+      sum(when(col("family") =!= "m", 1L).otherwise(0L)).as("n_cells")).head
+    val sentinel = Option(meta.getString(0)).map(_.toLong)
+    val built = sentinel.exists(_ == (if (meta.isNullAt(1)) 0L else meta.getLong(1)))
     if (!built) {
       val oldSh = rawShingles(spark, dir).filter(col("doc_id") % 2 === 0)
       val dfOld = oldSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
