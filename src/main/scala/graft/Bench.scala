@@ -93,6 +93,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BenchUtil.autoSizeForData(spark, sfDir)
 
     def exec(name: String): Double = BenchUtil.execNoop(spark, name, sfDir, "bench")
 

@@ -56,6 +56,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BenchUtil.autoSizeForData(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // A registered query that throws is a SHIPPED BUG, not a footnote: dump
     // everything (so the driver still gets the other results), then exit

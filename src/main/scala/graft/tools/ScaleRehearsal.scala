@@ -89,8 +89,13 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String, dir: String): Double =
+    def exec(name: String, dir: String): Double = {
+      // re-size split floors to THIS dir before each sample: A and B
+      // interleave, and each must run with its own data-proportional
+      // sizing (the walk over ~10 files is microseconds)
+      BenchUtil.autoSizeForData(spark, dir)
       BenchUtil.execNoop(spark, name, dir, "scale")
+    }
 
     val load0 = BenchUtil.loadavg()
     // equalize warmth: one untimed pass of the first query per dir
