@@ -75,6 +75,22 @@ object EventStreamJobs {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Run `body` with the engine's trailing no-data micro-batch disabled.
+    * The engine schedules an extra empty batch after the last data batch
+    * so watermark-gated operators can emit/evict — q141's session
+    * emission NEEDS it. An INNER stream-stream join does not: it emits
+    * on data arrival only (the watermark merely bounds state retention),
+    * so q148's empty finalize batch was pure per-batch machinery —
+    * measured 0.7–1.1 s of its ~3.5 s wall (engine progress log:
+    * batch 2, rows=0, trigger≈700–1100 ms).
+    */
+  private def withoutNoDataBatches[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Fresh per-job scratch tree (watch/ckpt/out live under it) — deleted
     * at entry so every invocation replays from clean offsets.
     */
@@ -149,15 +165,31 @@ object EventStreamJobs {
     * drift across the three jobs.
     */
   private def runAvailableNow(spark: SparkSession, df: DataFrame,
-                              scratch: String, outputMode: String, parts: Int = 4)
+                              scratch: String, outputMode: String, parts: Int = 4,
+                              lastBatchId: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val sinkMode = if (outputMode == "complete") "overwrite" else "append"
     withShufflePartitions(spark, parts) {
       val q = df.writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", s"$scratch/ckpt")
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.coalesce(1).write.mode(sinkMode).parquet(s"$scratch/out")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // Every batch MUST be fully executed — the stateful operators
+          // commit their state as a side effect of running the batch plan,
+          // and the next batch loads that committed version. But COMPLETE
+          // mode re-emits the WHOLE aggregation state every batch and the
+          // sink overwrites, so only the final batch's parquet can
+          // survive — a known-ahead replay (AvailableNow over a staged
+          // dir with fixed files-per-trigger) routes the dead
+          // intermediate batches through the noop sink instead: full plan
+          // + state commit, none of the parquet commit protocol. `>=`
+          // keeps any unexpected extra batch writing — worst case is a
+          // redundant overwrite, never a missing result. Append mode
+          // writes every batch (each emission is part of the result).
+          if (outputMode == "complete" && batchId < lastBatchId)
+            batch.write.format("noop").mode("overwrite").save()
+          else
+            batch.coalesce(1).write.mode(sinkMode).parquet(s"$scratch/out")
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -202,7 +234,13 @@ object EventStreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"))
-    val query = runAvailableNow(spark, counts, scratch, "complete", statePartsFor(spark, watch))
+    // last data batch = staged file count − 1 (one file per trigger); any
+    // extra engine batch past it still writes, per the `>=` guard above
+    val watchP = new org.apache.hadoop.fs.Path(watch)
+    val nFiles = watchP.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(watchP).count(_.getPath.getName.endsWith(".parquet"))
+    val query = runAvailableNow(spark, counts, scratch, "complete",
+      statePartsFor(spark, watch), lastBatchId = math.max(0, nFiles - 1).toLong)
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("bucket_ms"), col("event_type")))
   }
@@ -465,7 +503,9 @@ object EventStreamJobs {
         watermark = s"$delayMs milliseconds")
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_millis(col("l_ts")) - unix_millis(col("r_ts"))).as("gap_ms"))
-    val query = runAvailableNow(spark, joined, scratch, "append", statePartsFor(spark, watch))
+    val query = withoutNoDataBatches(spark) {
+      runAvailableNow(spark, joined, scratch, "append", statePartsFor(spark, watch))
+    }
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("purchase_id"), col("click_id")))
   }
