@@ -166,7 +166,7 @@ object EventStreamJobs {
     */
   private def runAvailableNow(spark: SparkSession, df: DataFrame,
                               scratch: String, outputMode: String, parts: Int = 4,
-                              lastBatchId: Long = 0L)
+                              sinkFromBatchId: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val sinkMode = if (outputMode == "complete") "overwrite" else "append"
     withShufflePartitions(spark, parts) {
@@ -176,17 +176,24 @@ object EventStreamJobs {
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           // Every batch MUST be fully executed — the stateful operators
           // commit their state as a side effect of running the batch plan,
-          // and the next batch loads that committed version. But COMPLETE
-          // mode re-emits the WHOLE aggregation state every batch and the
-          // sink overwrites, so only the final batch's parquet can
-          // survive — a known-ahead replay (AvailableNow over a staged
-          // dir with fixed files-per-trigger) routes the dead
-          // intermediate batches through the noop sink instead: full plan
-          // + state commit, none of the parquet commit protocol. `>=`
-          // keeps any unexpected extra batch writing — worst case is a
-          // redundant overwrite, never a missing result. Append mode
-          // writes every batch (each emission is part of the result).
-          if (outputMode == "complete" && batchId < lastBatchId)
+          // and the next batch loads that committed version. But batches
+          // below `sinkFromBatchId` route through the noop sink (full
+          // plan + state commit, none of the parquet commit protocol):
+          // the caller of a known-ahead replay (AvailableNow over a
+          // staged dir with fixed files-per-trigger) asserts their
+          // parquet could never contribute to the result —
+          //  - complete mode: every batch re-emits the WHOLE state and
+          //    the sink overwrites, so only the final write survives;
+          //  - append mode: the caller proves NO row can be emitted
+          //    before that batch (q141's sentinel protocol pins the
+          //    watermark below every session end until the sentinel
+          //    batch has committed, so emission happens only in the
+          //    final no-data batch — and the oracle gate re-checks the
+          //    full result every round).
+          // The `>=` direction means any unexpected extra batch still
+          // writes — worst case a redundant overwrite, never a missing
+          // result.
+          if (batchId < sinkFromBatchId)
             batch.write.format("noop").mode("overwrite").save()
           else
             batch.coalesce(1).write.mode(sinkMode).parquet(s"$scratch/out")
@@ -240,7 +247,7 @@ object EventStreamJobs {
     val nFiles = watchP.getFileSystem(spark.sessionState.newHadoopConf())
       .listStatus(watchP).count(_.getPath.getName.endsWith(".parquet"))
     val query = runAvailableNow(spark, counts, scratch, "complete",
-      statePartsFor(spark, watch), lastBatchId = math.max(0, nFiles - 1).toLong)
+      statePartsFor(spark, watch), sinkFromBatchId = math.max(0, nFiles - 1).toLong)
     (query, spark.read.parquet(s"$scratch/out")
       .orderBy(col("bucket_ms"), col("event_type")))
   }
@@ -405,7 +412,12 @@ object EventStreamJobs {
       def parquetFiles() = fs.listStatus(watchP)
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
       val before = parquetFiles()
-      spark.range(1).select(lit(999999999L).as("event_id"),
+      // numPartitions=1 pins the sentinel to exactly ONE part file —
+      // spark.range(1) under local[N] splits its single row across N
+      // partitions and the writer emits a second (empty) part file, which
+      // would both shift the sentinel batch boundary and break any
+      // file-count arithmetic over the staged dir
+      spark.range(0, 1, 1, 1).select(lit(999999999L).as("event_id"),
           timestamp_micros(lit(sentinelUs)).as("ts"), lit(-1L).as("user_id"),
           lit("view").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
         .write.mode("append").parquet(tmp)
@@ -440,7 +452,18 @@ object EventStreamJobs {
     val counts = sessionWindowCounts(
       readEvents(spark, watch, maxFilesPerTrigger = 2),
       gapMs, s"$delayMs milliseconds")
-    val query = runAvailableNow(spark, counts, scratch, "append", statePartsFor(spark, watch))
+    // Emission in batch N is gated by the watermark computed from batches
+    // < N: after the data batch(es) it sits at min(real) − 1 h (below
+    // every session), and only the sentinel batch's commit raises it past
+    // every session end — so NO session can be emitted before the batch
+    // AFTER the sentinel's. Those provably-empty append writes route to
+    // the noop sink. Batch ids: ceil(dataFiles/2) data batches (2 files
+    // per trigger), then the mtime-bumped sentinel's, then emission.
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(watch))
+      .count(_.getPath.getName.endsWith(".parquet")) - 1
+    val emissionBatch = (dataFiles + 1) / 2 + 1
+    val query = runAvailableNow(spark, counts, scratch, "append",
+      statePartsFor(spark, watch), sinkFromBatchId = emissionBatch.toLong)
     (query, spark.read.parquet(s"$scratch/out")
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("start_ms")))

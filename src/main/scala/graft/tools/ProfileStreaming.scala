@@ -35,7 +35,8 @@ object ProfileStreaming {
       "q141" -> (() => EventStreamJobs.sessionsStreamed(spark, sfDir)),
       "q148" -> (() => EventStreamJobs.attributionStreamed(spark, sfDir)))
 
-    jobs.foreach { case (name, run) =>
+    val only = args.lift(2).getOrElse("")
+    jobs.filter(_._1.contains(only)).foreach { case (name, run) =>
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         val (q, df) = run()
