@@ -14,8 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Memoized per (session, path): the driver testdata is immutable for a
+    * session's lifetime, but a bare `spark.read.parquet` re-lists the
+    * directory and re-reads the parquet footer for the schema on EVERY
+    * call — across 139 queries × several tables × repeated bench passes
+    * that relation-resolution latency is a measurable slice of a
+    * driver-latency-bound suite. The cached object is only the immutable
+    * logical DataFrame (and its InMemoryFileIndex); execution state is
+    * untouched. Mutable KeyedStore tables go through the catalog, never
+    * through this. Keyed by session too: a stopped session's cached plans
+    * must not leak into its successor (specs create many sessions).
+    */
+  private val tCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** SF fingerprint both engines can compute from the registered tables:
     * the lineitem row count (6e3/6e4/6e5 across the driver's SF dirs —

@@ -34,6 +34,12 @@ object ProfileStages {
     def reset(): Unit = { jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0; stageSubmit.clear() }
   }
 
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(1).map(_.toInt).getOrElse(3)
@@ -70,9 +76,10 @@ object ProfileStages {
         // between runs (diagnostic tolerance, not a correctness need)
         Thread.sleep(300)
         acc.reset()
+        val gc0 = gcMs()
         val w = graft.BenchUtil.execNoop(spark, n, sfDir, "profile")
         Thread.sleep(300)
-        println(f"$n%-36s  $i%2d  $w%8.3f  ${acc.jobs}%4d ${acc.stages}%5d ${acc.tasks}%5d  ${acc.taskTimeMs / 1e3}%10.3f  ${acc.taskTimeMs / 1e3 / cpus.toInt}%12.3f")
+        println(f"$n%-36s  $i%2d  $w%8.3f  ${acc.jobs}%4d ${acc.stages}%5d ${acc.tasks}%5d  ${acc.taskTimeMs / 1e3}%10.3f  ${acc.taskTimeMs / 1e3 / cpus.toInt}%12.3f  gc=${(gcMs() - gc0) / 1e3}%.2f")
       }
     }
     spark.stop()
