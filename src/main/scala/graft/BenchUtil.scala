@@ -72,12 +72,17 @@ object BenchUtil {
     */
   def execNoop(spark: SparkSession, name: String, dir: String, tag: String): Double = {
     val t0 = System.nanoTime()
+    // tag every job this run schedules with the query name, so an event-log
+    // or listener-based diagnostic (stage census, ProfileStages) can
+    // attribute stages to queries; cleared in finally so stray jobs from a
+    // later non-query context don't inherit the last query's label
+    spark.sparkContext.setJobGroup(name, s"$tag:$name")
     try SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[$tag] $name @ $dir failed: ${e.getMessage}")
       return -1.0
-    }
+    } finally spark.sparkContext.clearJobGroup()
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -43,6 +43,134 @@ object Tables {
       { case (s, p, _) => s.read.parquet(p) })
   }
 
+  /** Fan-out cap for [[widened]] — deliberately derived from the DATA
+    * (bytes, clamped), never from `defaultParallelism`: the partition
+    * count participates in downstream shuffle/fold geometry, and keying it
+    * to the core count would make query output bit-sensitive to the
+    * machine it ran on (the CPUS=4 vs 32 cross-core determinism
+    * invariant). 32 matches the bench slot count; on a larger cluster the
+    * row-group gate below means this value is never consulted for at-scale
+    * tables.
+    */
+  val WidenParts = 32
+
+  /** Data-proportional fan-out: one partition per ~96 KB of table bytes,
+    * clamped to [4, WidenParts]. Measured trade at bench SF: a fixed
+    * 32-way fan-out cut the serialized hot stages fine but added ~100 ms
+    * of per-task fixed CPU × 32 tasks × several stages to EVERY consumer —
+    * queries whose serialized leaf was already sub-second lost more to
+    * task overhead than they gained in parallelism (q134 taskTime
+    * 0.2 → 6.5 s for zero wall win). Bytes-derived counts keep the win
+    * where the work is (multi-second pair/tokenize stages) at a fraction
+    * of the overhead, and stay deterministic per dataset.
+    */
+  private def widenParts(bytes: Long): Int =
+    math.max(4L, math.min(WidenParts.toLong, bytes / (96L << 10))).toInt
+
+  private val rgCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+
+  /** Upper bound on the scan-stage parallelism of the parquet at `path`:
+    * parquet only splits at row-group boundaries, so a table stored as few
+    * single-row-group files runs its leaf stage on that many tasks no
+    * matter how small `spark.sql.files.maxPartitionBytes` is tuned — the
+    * extra splits exist but carry zero rows (measured: q116's whole
+    * 926k-pair cosine stage on ONE task of four). Counts files first and
+    * short-circuits at `cap`, so a cluster-scale table costs one listing
+    * and never reads footers; only a small listing (< cap files) pays one
+    * memoized footer read per file.
+    */
+  private[graft] def leafParallelismAtMost(
+      spark: SparkSession, path: String, cap: Int): Int = {
+    val p = java.nio.file.Paths.get(path)
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally s.close()
+      } else if (java.nio.file.Files.isRegularFile(p)) Seq(p)
+      else return cap // not local-listable (object store) — assume wide
+    if (files.size >= cap) return cap
+    files.iterator.map { f =>
+      val mtime =
+        try java.nio.file.Files.getLastModifiedTime(f).toMillis
+        catch { case _: Throwable => -1L }
+      rgCache.computeIfAbsent((f.toString, mtime), { _ =>
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString),
+            spark.sessionState.newHadoopConf())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try Integer.valueOf(r.getFooter.getBlocks.size) finally r.close()
+        } catch { case _: Throwable => Integer.valueOf(1) }
+      }).intValue
+    }.sum.min(cap)
+  }
+
+  /** [[t]] with a PARALLELISM FLOOR for CPU-dense pipelines: when the
+    * table's physical layout caps the scan below [[WidenParts]] tasks
+    * (bench-SF tables are single-row-group files — every downstream
+    * map/join runs single-threaded), hash-rebalance on `key` so the
+    * expensive per-row work (tokenize, shingle, cosine) spreads across
+    * slots. At production scale the row-group/file count exceeds the cap
+    * and this is IDENTICAL to [[t]] — no exchange is added to a plan that
+    * already has scan parallelism; the exchange that is added at bench SF
+    * moves a sub-MB table once.
+    *
+    * Only for call sites whose downstream is partitioning-insensitive
+    * (per-row compute, integer/min-max aggregation, exact dedup + sort) —
+    * a float SUM folded in partition order would become geometry-dependent.
+    * Each caller documents that argument at its use site.
+    */
+  def widened(spark: SparkSession, dir: String, name: String, key: String)
+      : DataFrame = {
+    val df = t(spark, dir, name)
+    val path = s"$dir/$name.parquet"
+    val parts = widenParts(pathBytes(path))
+    if (leafParallelismAtMost(spark, path, parts) >= parts) df
+    else df.repartition(parts, col(key))
+  }
+
+  /** Total bytes under `path` (file or directory, non-recursive part
+    * listing) — 0 when unlistable, which [[widenParts]] clamps to the
+    * 4-way floor.
+    */
+  private def pathBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(f => java.nio.file.Files.isRegularFile(f))
+            .map(f => java.nio.file.Files.size(f)).sum
+        } finally s.close()
+      } else java.nio.file.Files.size(p)
+    } catch { case _: Throwable => 0L }
+  }
+
+  /** `documents` behind the [[widened]] floor: every consumer runs
+    * CPU-dense per-row work (tokenize, shingle, hash, regex) directly
+    * above the scan, and the downstream reductions are integer counts,
+    * min/max, exact dedup, or already order-canonicalized sums — the
+    * partitioning-insensitivity [[widened]] requires. Keyed on `doc_id`
+    * (unique → even spread).
+    */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    widened(spark, dir, "documents", "doc_id")
+
+  /** `embeddings` behind the [[widened]] floor: consumers compute
+    * per-row/per-pair dot products and banded signatures above the scan
+    * (partitioning-insensitive per-row math; k-means/PCA TRAINING does not
+    * use this — it fixes its own fold geometry, see kmeansTrain). Keyed on
+    * `vec_id`.
+    */
+  def embs(spark: SparkSession, dir: String): DataFrame =
+    widened(spark, dir, "embeddings", "vec_id")
+
   /** SF fingerprint both engines can compute from the registered tables:
     * the lineitem row count (6e3/6e4/6e5 across the driver's SF dirs —
     * distinct where the documents/embeddings counts collide at 500/500).
@@ -256,7 +384,10 @@ object Tables {
     // ONE orders scan: each row explodes into its three cells (a codegen'd
     // Generate), vs the 3× unionAll-of-selects form that scanned the same
     // table three times — at 100 TB that's the difference between one and
-    // three full passes over the fact table
+    // three full passes over the fact table. NOT widened: the cells
+    // consumers' heavy work (version-resolution windows) runs above their
+    // own rowkey shuffle, which already spreads it — an upstream rebalance
+    // measured as pure overhead here (q104 warm 1.07 → 1.21 s).
     t(spark, dir, "orders").select(
         concat(lit("C"), col("o_custkey").cast("string")).as("rowkey"),
         col("o_orderkey").as("version"),

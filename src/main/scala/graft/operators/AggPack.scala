@@ -94,7 +94,7 @@ object AggPack extends QueryPack {
     // query; lazy materializes on the first real action and each
     // partition is cached as first computed, so the corpus is still
     // tokenized only once per execution
-    val pairs = t(spark, dir, "documents")
+    val pairs = graft.Tables.docs(spark, dir)
       .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
       .distinct()
       .localCheckpoint(eager = false)
@@ -123,7 +123,7 @@ object AggPack extends QueryPack {
     * runs approximate at real vocabulary sizes.
     */
   def topkSketchTokens(spark: SparkSession, dir: String): DataFrame = {
-    val tok = t(spark, dir, "documents")
+    val tok = graft.Tables.docs(spark, dir)
       .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
     val perSrc = tok.groupBy(col("source"))
       .agg(expr("approx_top_k_accumulate(tok, 64)").as("st"))

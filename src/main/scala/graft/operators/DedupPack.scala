@@ -57,7 +57,7 @@ object DedupPack extends QueryPack {
     * 100 TB the text column never crosses the wire.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_doc_id"), col("n_copies"))
@@ -93,7 +93,7 @@ object DedupPack extends QueryPack {
     */
   private def rawShingles(spark: SparkSession, dir: String): DataFrame = {
     NGramShingles.register(spark)
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"),
         explode(NGramShingles.shinglesFast(tokens(col("text")), 3)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
@@ -158,7 +158,7 @@ object DedupPack extends QueryPack {
   def dedupMinhashLsh(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold): DataFrame = {
     NGramShingles.register(spark)
     MinHashSig.register(spark)
-    val docs = t(spark, dir, "documents")
+    val docs = graft.Tables.docs(spark, dir)
       .select(col("doc_id"), NGramShingles.shinglesFast(tokens(col("text")), 3).as("sh"))
     val sig = docs.select(col("doc_id"),
       MinHashSig.minhashFast(col("sh"), 16).as("sig"))
@@ -199,7 +199,7 @@ object DedupPack extends QueryPack {
     */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     SimHash64.register(spark)
-    val sig = t(spark, dir, "documents")
+    val sig = graft.Tables.docs(spark, dir)
       .select(col("doc_id"), SimHash64.simhash64(tokens(col("text"))).as("sig"))
     // 4 fixed 16-bit band keys — literal shifts, no per-row hashing
     val banded = sig.select(col("doc_id"), col("sig"),
@@ -367,7 +367,7 @@ object DedupPack extends QueryPack {
     */
   def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     CosineSimilarity.register(spark)
-    val e = t(spark, dir, "embeddings")
+    val e = graft.Tables.embs(spark, dir)
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
@@ -415,7 +415,7 @@ object DedupPack extends QueryPack {
     CosineSimilarity.register(spark)
     HyperplaneSignature.register(spark)
     val rows = nBits / bands
-    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = graft.Tables.embs(spark, dir).select(col("vec_id"), col("embedding"))
     // NOTE: no snapshot needed — the banded self-join's two sides are
     // canonically identical subplans, so ReuseExchange computes the
     // signature exchange once and reuses it (verified in PLANS.md)
@@ -706,7 +706,7 @@ object DedupPack extends QueryPack {
                     pairSource: String = "exact"): DataFrame = {
     val clusters = clusterIndex(spark, dir, threshold, pairSource)
       .withColumnRenamed("doc_id", "member_id")
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val docs = graft.Tables.docs(spark, dir).select(col("doc_id"), col("source"))
     docs.join(clusters, docs("doc_id") === col("member_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -750,7 +750,7 @@ object DedupPack extends QueryPack {
     // once per side but both passes are map-only over the (small)
     // embeddings scan; materializing the exploded frame measured slower
     // at bench scale and at production scale would store nProbe× corpus
-    val e = t(spark, dir, "embeddings")
+    val e = graft.Tables.embs(spark, dir)
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.TopCells.topCells(col("embedding"), cents, nProbe))
           .as("cell"))
@@ -780,7 +780,7 @@ object DedupPack extends QueryPack {
     */
   def dupSpans(spark: SparkSession, dir: String, n: Int = SpanN): DataFrame = {
     NGramShingles.register(spark)
-    val grams = t(spark, dir, "documents")
+    val grams = graft.Tables.docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       // native one-pass span generation (every window position, duplicates
       // preserved) — the interpreted transform+slice+array_join chain costs
@@ -820,7 +820,10 @@ object DedupPack extends QueryPack {
     * ~len^d) — not materialized here.
     */
   def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
-    fuzzyPairs(t(spark, dir, "customer")
+    // widened: deletion-variant generation is the CPU-dense map directly
+    // above this scan, and downstream is an exact string join + integer
+    // distance filter — partitioning-insensitive
+    fuzzyPairs(graft.Tables.widened(spark, dir, "customer", "c_custkey")
       .select(col("c_custkey").as("id"), col("c_name").as("name")))
 
   /** The blocked fuzzy self-join over any `(id: long, name: string)` frame
@@ -899,7 +902,7 @@ object DedupPack extends QueryPack {
   val WinnowW = 5
 
   def winnowingPairs(spark: SparkSession, dir: String, w: Int = WinnowW): DataFrame = {
-    val grams = t(spark, dir, "documents")
+    val grams = graft.Tables.docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), (size(col("toks")) - 2).as("g"),

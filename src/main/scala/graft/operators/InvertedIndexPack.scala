@@ -22,7 +22,7 @@ import graft.Tables.t
 object InvertedIndexPack extends QueryPack {
 
   private def words(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
 
   /** v1: word → sorted distinct doc-id postings list. */
@@ -75,7 +75,7 @@ object InvertedIndexPack extends QueryPack {
   def bm25TopK(spark: SparkSession, dir: String,
                terms: Seq[String] = Seq("spark", "query", "vector"),
                k: Int = 20): DataFrame =
-    bm25Of(t(spark, dir, "documents"), terms, k)
+    bm25Of(graft.Tables.docs(spark, dir), terms, k)
 
   /** Core of q101 over any (doc_id, text) frame (crafted fixtures in
     * TextSpec assert the idf/tf monotonicity properties).

@@ -297,7 +297,7 @@ object JoinsPack extends QueryPack {
     * (bucketed by key) would elide even that exchange.
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = graft.Tables.docs(spark, dir)
     val newSide = docs.select(col("doc_id"), md5(col("text")).as("new_md5"))
     val oldSide = docs
       .filter(col("doc_id") % 5 =!= 0)

@@ -24,7 +24,7 @@ object MultimodalPack extends QueryPack {
     * (stand-in for image bytes), metadata = typed struct.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    graft.Tables.docs(spark, dir).select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(

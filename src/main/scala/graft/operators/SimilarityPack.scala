@@ -22,7 +22,7 @@ import graft.functions.{CosineSimilarity, HyperplaneSignature}
 object SimilarityPack extends QueryPack {
 
   private def queriesSide(spark: SparkSession, dir: String, nQueries: Int) =
-    t(spark, dir, "embeddings")
+    graft.Tables.embs(spark, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
@@ -47,7 +47,7 @@ object SimilarityPack extends QueryPack {
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
     CosineSimilarity.register(spark)
     val q = broadcast(queriesSide(spark, dir, nQueries))
-    val corpus = t(spark, dir, "embeddings")
+    val corpus = graft.Tables.embs(spark, dir)
     val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(CosineSimilarity.cosineFast(col("q_emb"), col("embedding")), 6).as("cos"))
@@ -104,7 +104,7 @@ object SimilarityPack extends QueryPack {
             struct(lit(b).as("band"),
               concat_ws("", slice(col("lsh_sig"), b * rows + 1, rows)).as("sig"))
           }: _*)).as("bk"))
-    val corpus = banded(t(spark, dir, "embeddings"), "vec_id", "embedding")
+    val corpus = banded(graft.Tables.embs(spark, dir), "vec_id", "embedding")
     val probes = banded(
       queriesSide(spark, dir, nQueries).withColumnRenamed("q_emb", "embedding"),
       "q_id", "embedding")
@@ -128,7 +128,7 @@ object SimilarityPack extends QueryPack {
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     CosineSimilarity.register(spark)
-    val emb = t(spark, dir, "embeddings")
+    val emb = graft.Tables.embs(spark, dir)
 
     // deterministic coarse quantizer: seed centroids = first nCells
     // WELL-FORMED sample vectors (same null gate as the kmeansTrain
@@ -194,7 +194,7 @@ object SimilarityPack extends QueryPack {
     // depending on what ran earlier in the shared session
     graft.functions.TopCells.register(spark)
     CosineSimilarity.register(spark)
-    val emb = t(spark, dir, "embeddings")
+    val emb = graft.Tables.embs(spark, dir)
     val cents = centroids.map(_.toSeq).toSeq
     val corpus = emb.select(col("vec_id"), col("embedding"),
       element_at(graft.functions.TopCells.topCells(col("embedding"), cents, 1), 1)
@@ -271,6 +271,9 @@ object SimilarityPack extends QueryPack {
   def pcaTrain(spark: SparkSession, dir: String, p: Int = 2, iters: Int = 50)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     import spark.implicits._
+    // plain t(), NOT the widened accessor: the Gramian partials merge in
+    // partition order, so the scan's own geometry is part of the model's
+    // determinism story — don't rebalance it here
     val stats = t(spark, dir, "embeddings").select(col("embedding"))
       .as[Array[Float]]
       .mapPartitions { it =>
@@ -551,7 +554,7 @@ object SimilarityPack extends QueryPack {
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       }
     }
-    pcaProject(t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+    pcaProject(graft.Tables.embs(spark, dir).select(col("vec_id"), col("embedding")),
         col("embedding"), mean, comps)
       .select(col("vec_id"),
         round(col("pc1"), 6).as("pc1"), round(col("pc2"), 6).as("pc2"))
@@ -595,6 +598,9 @@ object SimilarityPack extends QueryPack {
     graft.functions.TopCells.register(spark)
     CosineSimilarity.register(spark)
     val nParts = 16
+    // plain t(), NOT the widened accessor: training fixes its own fold
+    // geometry (fixed 16-partition hash + sortWithinPartitions) — an
+    // upstream rebalance would only add a second exchange
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .repartition(nParts, col("vec_id"))
@@ -726,7 +732,7 @@ object SimilarityPack extends QueryPack {
     graft.functions.Int8Quantize.register(spark)
     graft.functions.Int8Dequantize.register(spark)
     val e = col("embedding")
-    val recon = t(spark, dir, "embeddings")
+    val recon = graft.Tables.embs(spark, dir)
       .select(col("vec_id"),
         array_min(e).cast("double").as("lo"), array_max(e).cast("double").as("hi"),
         graft.functions.Int8Quantize.quantize(e).as("q"))
@@ -754,7 +760,7 @@ object SimilarityPack extends QueryPack {
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Int8Quantize.register(spark)
     val emb = col("embedding")
-    t(spark, dir, "embeddings")
+    graft.Tables.embs(spark, dir)
       .select(col("vec_id"),
         round(array_min(emb).cast("double"), 6).as("lo"),
         round(array_max(emb).cast("double"), 6).as("hi"),

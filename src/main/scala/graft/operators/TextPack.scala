@@ -50,7 +50,7 @@ object TextPack extends QueryPack {
 
   /** Per-document stats + a simple keep/drop quality flag. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id") +: stats(col("text")): _*)
       .withColumn("is_quality", qualityFlag)
       .orderBy(col("doc_id"))
@@ -62,7 +62,7 @@ object TextPack extends QueryPack {
     * gets for free.
     */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("source") +: stats(col("text")): _*)
       .withColumn("is_quality", qualityFlag)
       .groupBy(col("source"))
@@ -82,7 +82,7 @@ object TextPack extends QueryPack {
     // codegen'd aggregates (the array_min(transform)/array_max(transform)
     // form evaluated the interpreted md5 array twice per doc)
     graft.functions.NGramShingles.register(spark)
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("fp_md5"),
         explode(graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 3))
           .as("shingle"))
@@ -123,7 +123,7 @@ object TextPack extends QueryPack {
   }
 
   def langIdRollup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(langId(col("text")).as("pred_lang"))
       .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("pred_lang"))
@@ -138,7 +138,7 @@ object TextPack extends QueryPack {
       "\\s+", " "))
 
   def normalizeDocs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"), normalize(col("text")).as("norm_text"),
         size(tokens(normalize(col("text")))).as("n_norm_tokens"))
       .orderBy(col("doc_id"))
@@ -172,7 +172,7 @@ object TextPack extends QueryPack {
     * vacuous zeros-equal-zeros pass.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val seeded = t(spark, dir, "documents").select(
+    val seeded = graft.Tables.docs(spark, dir).select(
       col("doc_id"), col("source"),
       concat(
         col("text"),
@@ -211,7 +211,7 @@ object TextPack extends QueryPack {
     */
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(spark, dir, "documents")
+    val docs = graft.Tables.docs(spark, dir)
     val quality = docs
       .select(Seq(col("doc_id"), col("source"),
         md5(col("text")).as("fp")) ++ stats(col("text")): _*)
@@ -234,7 +234,7 @@ object TextPack extends QueryPack {
     */
   def topBigrams(spark: SparkSession, dir: String, k: Int = BigramK): DataFrame = {
     graft.functions.NGramShingles.register(spark)
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 2))
           .as("bigram"))
@@ -253,7 +253,7 @@ object TextPack extends QueryPack {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NGramShingles.register(spark)
     val probes = broadcast(topBigrams(spark, dir).select(col("bigram")))
-    val docs = t(spark, dir, "documents")
+    val docs = graft.Tables.docs(spark, dir)
       .select(col("doc_id"),
         graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 2).as("bigrams"))
     docs.join(probes,
@@ -302,7 +302,7 @@ object TextPack extends QueryPack {
       .head().getAs[Array[Byte]](0)
     val mightHit = (b: Column) => GraftSqlBridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), GraftSqlBridge.expression(xxhash64(b))))
-    val docs = t(spark, dir, "documents")
+    val docs = graft.Tables.docs(spark, dir)
       .select(col("doc_id"),
         graft.functions.NGramShingles.shinglesFast(tokens(col("text")), 2).as("bigrams"))
     docs.filter(exists(col("bigrams"), mightHit))
@@ -333,7 +333,7 @@ object TextPack extends QueryPack {
     * n_chars ≤ 10⁴ ⇒ per-row products ≤ 10⁸, so ~9·10¹⁰ rows fit a long.
     */
   def regressionSuffStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(size(tokens(col("text"))).cast("long").as("x1"),
         length(col("text")).cast("long").as("x2"),
         size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
@@ -363,7 +363,7 @@ object TextPack extends QueryPack {
     * precedent), rounded to 6 decimals at the boundary.
     */
   def regressionBySource(spark: SparkSession, dir: String): DataFrame = {
-    val stats = t(spark, dir, "documents")
+    val stats = graft.Tables.docs(spark, dir)
       .select(col("source"),
         size(tokens(col("text"))).cast("long").as("x1"),
         length(col("text")).cast("long").as("x2"),
@@ -454,7 +454,7 @@ object TextPack extends QueryPack {
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NGramShingles.register(spark)
     graft.functions.TopTokenCount.register(spark)
-    repetitionSignalsOf(t(spark, dir, "documents"))
+    repetitionSignalsOf(graft.Tables.docs(spark, dir))
   }
 
   /** Core of q100 over any (doc_id, text) frame (crafted fixtures in
@@ -496,7 +496,7 @@ object TextPack extends QueryPack {
     * key is (source, shard) so no single window sort exceeds a task.
     */
   def sequencePacking(spark: SparkSession, dir: String, ctxTokens: Int = PackCtx): DataFrame =
-    sequencePackingOf(t(spark, dir, "documents"), ctxTokens)
+    sequencePackingOf(graft.Tables.docs(spark, dir), ctxTokens)
 
   /** Core of q102 over any (doc_id, source, text) frame. */
   def sequencePackingOf(docs: DataFrame, ctxTokens: Int): DataFrame = {
@@ -528,7 +528,7 @@ object TextPack extends QueryPack {
                 window: Int = ChunkWindow, stride: Int = ChunkStride): DataFrame = {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window, got stride=$stride window=$window")
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       // tokens() never yields an empty array (split of "" is [""]), so the
       // start sequence 1, 1+stride, … ≤ len is always well-formed
@@ -551,7 +551,7 @@ object TextPack extends QueryPack {
     */
   def sourceLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hist = t(spark, dir, "documents")
+    val hist = graft.Tables.docs(spark, dir)
       .select(col("source").as("g"),
         size(tokens(col("text"))).cast("double").as("v"))
       // quantile_cont (the oracle) ignores NULLs; a NULL length would both
@@ -586,7 +586,7 @@ object TextPack extends QueryPack {
     import spark.implicits._
     val rates = boosted.map(_ -> boostRate).toDF("source", "rate")
     val u = graft.functions.md5Uniform(col("doc_id").cast("string"))
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .join(broadcast(rates), Seq("source"), "left")
       .withColumn("rate", coalesce(col("rate"), lit(baseRate)))
       .filter(u < col("rate"))
@@ -629,7 +629,7 @@ object TextPack extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val byLen = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
     val bySrc = Window.partitionBy(col("source"))
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("rk", row_number().over(byLen).cast("long"))
@@ -665,7 +665,7 @@ object TextPack extends QueryPack {
     */
   def temperatureMix(spark: SparkSession, dir: String, k: Double = MixK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(spark, dir, "documents")
+    val docs = graft.Tables.docs(spark, dir)
     val tok = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("tok"))
     val tokMax = tok.agg(max(col("tok")).as("tok_max"))
     val quota = tok.crossJoin(broadcast(tokMax))
@@ -700,7 +700,7 @@ object TextPack extends QueryPack {
       .cast("int").as("shard")
     val byShard = Window.partitionBy(col("shard"))
       .orderBy(md5(concat(lit("order:"), col("doc_id").cast("string"))), col("doc_id"))
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .select(col("doc_id"), shard)
       .withColumn("pos", row_number().over(byShard).cast("long"))
       .orderBy(col("shard"), col("pos"))
@@ -719,7 +719,7 @@ object TextPack extends QueryPack {
   def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
     val u = graft.functions.md5Uniform(concat(lit("split:"),
       col("doc_id").cast("string")))
-    t(spark, dir, "documents")
+    graft.Tables.docs(spark, dir)
       .withColumn("split",
         when(u < 0.8, "train").when(u < 0.9, "val").otherwise(lit("test")))
       .groupBy(col("source"), col("split"))
@@ -739,7 +739,7 @@ object TextPack extends QueryPack {
     * ln()'s 1-ulp cross-engine play and partial-sum merge-order wobble.
     */
   def lmQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val tok = t(spark, dir, "documents")
+    val tok = graft.Tables.docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = lm.agg(sum(col("cnt")).as("total"))
@@ -762,7 +762,7 @@ object TextPack extends QueryPack {
     * against this fixture's 31-token vocabulary makes OOV non-trivial.
     */
   def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = VocabN): DataFrame = {
-    val tok = t(spark, dir, "documents")
+    val tok = graft.Tables.docs(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
@@ -801,7 +801,7 @@ object TextPack extends QueryPack {
   def dsirImportance(spark: SparkSession, dir: String, target: String = DsirTarget,
                      k: Int = DsirK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = t(spark, dir, "documents")
+    val toks = graft.Tables.docs(spark, dir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
     val cnt = toks.groupBy(col("tok")).agg(
       count(lit(1)).as("c_raw"),
@@ -831,7 +831,7 @@ object TextPack extends QueryPack {
     */
   def samplePerSource(spark: SparkSession, dir: String, k: Int = PerSourceK): DataFrame =
     graft.plans.TopKPerKey(
-        t(spark, dir, "documents")
+        graft.Tables.docs(spark, dir)
           .select(col("doc_id"), col("source"),
             md5(col("doc_id").cast("string")).as("u")),
         Seq("source"),
