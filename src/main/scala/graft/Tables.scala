@@ -123,13 +123,28 @@ object Tables {
     * (per-row compute, integer/min-max aggregation, exact dedup + sort) —
     * a float SUM folded in partition order would become geometry-dependent.
     * Each caller documents that argument at its use site.
+    *
+    * MEASURED NEGATIVE — do not extend this to cheap-scan tables: widening
+    * lineitem (all integer-exact aggregates) and events (decimal-exact)
+    * was tried and REVERTED in round 12 — the suite went 80.6 → 83.3 s
+    * clean-gated. The floor only pays where the serialized stage carries
+    * ≥ ~1 s of real per-row CPU (pair joins, tokenize/shingle); for
+    * sub-second scan+agg leaves the added exchange plus ~100 ms of fixed
+    * CPU per extra task outweighs the parallelism (q31/q33/q34/q43/q01
+    * each lost 0.25-0.35 s; approx_percentile's sketch is additionally
+    * geometry-SENSITIVE and its golden pin moved). docs/embs/customer are
+    * the profiled set where it wins.
     */
   def widened(spark: SparkSession, dir: String, name: String, key: String)
       : DataFrame = {
     val df = t(spark, dir, name)
     val path = s"$dir/$name.parquet"
     val parts = widenParts(pathBytes(path))
-    if (leafParallelismAtMost(spark, path, parts) >= parts) df
+    // missing key column → identity: specs drive some packs with
+    // degenerate fixtures (a table of just the measure columns), and a
+    // parallelism floor is an optimization, never a requirement
+    if (!df.columns.contains(key)) df
+    else if (leafParallelismAtMost(spark, path, parts) >= parts) df
     else df.repartition(parts, col(key))
   }
 
