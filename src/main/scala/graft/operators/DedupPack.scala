@@ -875,7 +875,9 @@ object DedupPack extends QueryPack {
       .join(names.select(col("id").as("id2"), col("name").as("name2")), "id2")
       .filter(levenshtein(col("name1"), col("name2")) <= 1)
       .select(col("id1"), col("id2"),
-        levenshtein(col("name1"), col("name2")).as("dist"))
+        // long to match the oracle's BIGINT levenshtein — keeps the dump
+        // dtype audit drift-free (values are identical either way)
+        levenshtein(col("name1"), col("name2")).cast("long").as("dist"))
       .orderBy(col("id1"), col("id2"))
   }
 
