@@ -133,7 +133,13 @@ object Tables {
     * CPU per extra task outweighs the parallelism (q31/q33/q34/q43/q01
     * each lost 0.25-0.35 s; approx_percentile's sketch is additionally
     * geometry-SENSITIVE and its golden pin moved). docs/embs/customer are
-    * the profiled set where it wins.
+    * the profiled set where it wins. A TARGETED variant was also measured
+    * and rejected: widening lineitem only inside the two exact-percentile
+    * histogram builds (q85/q105, the largest remaining ~0.7 s serialized
+    * scans) moved their warm medians just −0.12/−0.05 s — inside the
+    * ±0.3 s suite noise band — while TRIPLING task time (q85 6.2→17 s);
+    * the per-task fixed cost eats sub-second serialized stages even when
+    * the exchange itself is cheap.
     */
   def widened(spark: SparkSession, dir: String, name: String, key: String)
       : DataFrame = {
