@@ -382,7 +382,7 @@ class DedupSpec extends AnyFunSuite {
       6L -> "mittens",                  // dist 1 of 2/3... and 2 of 1
       7L -> "zebra").toDF("id", "name")
     val got = DedupPack.fuzzyPairs(names)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // brute-force oracle via Spark's own levenshtein on the cross join
     val a = names.select($"id".as("id1"), $"name".as("name1"))
     val b = names.select($"id".as("id2"), $"name".as("name2"))
@@ -390,7 +390,7 @@ class DedupSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.levenshtein($"name1", $"name2") <= 1)
       .select($"id1", $"id2",
         org.apache.spark.sql.functions.levenshtein($"name1", $"name2").as("dist"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
     assert(got == want)
     // the handcrafted set really exercises all three arms
     assert(want.contains((1L, 2L, 1)), "substitution pair missing from fixture")
