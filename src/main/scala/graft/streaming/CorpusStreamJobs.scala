@@ -24,14 +24,21 @@ object CorpusStreamJobs {
     * `dropDuplicatesWithinWatermark` on the hash suppresses repeats
     * WITHIN the stream with state bounded by the watermark horizon —
     * the same residual-risk contract as EventStreamJobs.dedupStream.
-    * Works identically on a batch frame (watermark is a no-op there),
-    * which is what the spec equivalence pins.
+    * On a batch frame the same plan keeps the same TEXTS: the watermark
+    * node is analyzer-eliminated, and the within-watermark dedup (which
+    * Spark rejects outright on batch) degrades to a plain
+    * `dropDuplicates` — set-identical output, though WHICH doc_id
+    * represents a repeated text is a streaming-only (first-arrival)
+    * guarantee, since batch dropDuplicates keeps an arbitrary row per
+    * key. EventStreamSpec pins both modes.
     */
   def ingestDedup(newDocs: DataFrame, corpusIndex: DataFrame,
-                  watermark: String = "1 hour"): DataFrame =
-    newDocs
+                  watermark: String = "1 hour"): DataFrame = {
+    val novel = newDocs
       .withColumn("text_md5", md5(col("text")))
       .withWatermark("ts", watermark)
       .join(corpusIndex, Seq("text_md5"), "left_anti")
-      .dropDuplicatesWithinWatermark("text_md5")
+    if (newDocs.isStreaming) novel.dropDuplicatesWithinWatermark("text_md5")
+    else novel.dropDuplicates("text_md5")
+  }
 }

@@ -547,6 +547,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest dedup on a batch frame keeps the same texts as the stream") {
+    import spark.implicits._
+    // the scaladoc's claim that ingestDedup "works identically on a batch
+    // frame": the watermark is a no-op and dropDuplicatesWithinWatermark
+    // degrades to dropDuplicates. Equivalence is on the SET OF SURVIVING
+    // TEXTS — batch dropDuplicates keeps an arbitrary row per key, so
+    // which doc_id represents a repeated text is a streaming-only
+    // (first-arrival) guarantee.
+    val docs = Tables.t(spark, dir, "documents")
+    val corpus = graft.streaming.CorpusStreamJobs.corpusHashIndex(docs)
+    val knownText = docs.select(col("text")).head().getString(0)
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val batchIn = Seq(
+      (1000L, knownText, t0),             // dup of the existing corpus → drop
+      (1001L, "a genuinely new doc", t0), // new → keep
+      (1002L, "another new doc", t0),     // new → keep
+      (1003L, "a genuinely new doc", t0)) // repeat within the frame → drop
+      .toDF("doc_id", "text", "ts")
+    val kept = graft.streaming.CorpusStreamJobs.ingestDedup(batchIn, corpus)
+      .select(col("text")).collect().map(_.getString(0)).toSet
+    assert(kept == Set("a genuinely new doc", "another new doc"), s"got $kept")
+  }
+
   test("q136 runs a real multi-batch StreamingQuery and matches the batch tumbling counts") {
     import org.apache.spark.sql.functions.col
     val (q, df) = EventStreamJobs.tumblingCountsStreamed(spark, dir)
