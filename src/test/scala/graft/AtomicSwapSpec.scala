@@ -91,6 +91,60 @@ class AtomicSwapSpec extends AnyFunSuite {
       "stale _old must be cleared before the renames (nesting corrupts the swap)")
   }
 
+  test("crash at EVERY mutating step leaves the data recoverable (fault-injection sweep)") {
+    // the file's headline claim: "a crash at any step leaves the data
+    // recoverable in exactly one of live/tmp/old". Model a crash at the
+    // k-th mutating filesystem operation (rename/delete/tmp-write) by an
+    // injected IOException — the op does not happen and the protocol
+    // aborts there — then assert the recovery contract: recover() + one
+    // clean retry always converges to the new content, never loses the
+    // old content mid-way, and leaves no siblings.
+    class CrashFs(under: FileSystem, tick: () => Unit) extends org.apache.hadoop.fs.FilterFileSystem(under) {
+      override def rename(src: Path, dst: Path): Boolean = { tick(); super.rename(src, dst) }
+      override def delete(p: Path, recursive: Boolean): Boolean = { tick(); super.delete(p, recursive) }
+    }
+    var completedAt = -1
+    for (budget <- 0 to 10 if completedAt < 0) {
+      var left = budget
+      val tick: () => Unit = () => {
+        if (left == 0) throw new java.io.IOException(s"injected crash (budget $budget)")
+        left -= 1
+      }
+      val crashFs = new CrashFs(fs, tick)
+      val live = mkLive("v1")
+      val crashed =
+        try {
+          AtomicSwap.replaceDir(crashFs, live, s"crash-sweep-$budget") { tmp =>
+            fs.mkdirs(tmp)      // tmp dir can exist before its content does:
+            tick()              // a crash here leaves an EMPTY stale _tmp
+            writeF(tmp, "v2")
+          }
+          completedAt = budget
+          false
+        } catch { case _: java.io.IOException => true }
+
+      // recoverable NOW: recover() must yield a live dir holding a
+      // complete copy — the old content or the new, never neither
+      AtomicSwap.recover(fs, live, s"crash-sweep-$budget")
+      assert(fs.exists(new Path(live, "f")),
+        s"budget $budget: no complete copy recoverable after crash")
+      val content = readF(live)
+      assert(content == "v1" || content == "v2",
+        s"budget $budget: recovered a mixed/partial copy: $content")
+
+      // a clean retry from the crashed state must converge on the new
+      // content and clear every remnant
+      AtomicSwap.replaceDir(fs, live, s"crash-sweep-$budget-retry")(tmp => writeF(tmp, "v2"))
+      assert(readF(live) == "v2", s"budget $budget: retry did not converge")
+      assert(!fs.exists(sibling(live, "tmp")) && !fs.exists(sibling(live, "old")),
+        s"budget $budget: retry left siblings behind")
+      assert(crashed == (budget < completedAt || completedAt < 0))
+    }
+    // the sweep must actually cover the whole protocol: some budget let
+    // the swap complete without a fault, and every earlier one crashed it
+    assert(completedAt > 0, "fault injection never reached a clean completion")
+  }
+
   test("recover restores _old when live is missing, and only then") {
     val live = mkLive("precious")
     val old = sibling(live, "old")
