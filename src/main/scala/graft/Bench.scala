@@ -121,10 +121,10 @@ object Bench {
     // builder-side targeted timing: SPARK_GRAFT_BENCH_FILTER=percentile
     // times only matching queries (driver runs unfiltered); comma-separates
     // into alternatives ("q106,q107" matches either) for one-run set timing
-    val nameFilters = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
-      .split(",").toSeq.map(_.trim)
+    val nameFilters = BenchUtil.parseNameFilters(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ""))
     val names = SparkEntry.queries.keys.toSeq
-      .filter(n => nameFilters.exists(n.contains)).sorted
+      .filter(n => BenchUtil.matchesFilter(n, nameFilters)).sorted
     names.headOption.foreach(exec) // untimed warmup
     // pass-ordered (all queries, then repeat): back-to-back repeats of one
     // query would overstate cache warmth relative to how the driver runs it

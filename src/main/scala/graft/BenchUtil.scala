@@ -86,6 +86,22 @@ object BenchUtil {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Parse a comma-separated query-name filter (the
+    * SPARK_GRAFT_BENCH_FILTER contract): each non-empty trimmed segment is
+    * an alternative matched by substring. Empty segments are DROPPED — a
+    * trailing or doubled comma ("q106,") would otherwise contribute a ""
+    * alternative, and `name.contains("")` is vacuously true, silently
+    * degrading a targeted run to the full unfiltered suite. An
+    * all-empty/unset filter returns Nil, which [[matchesFilter]] treats as
+    * match-all (the driver's unfiltered run).
+    */
+  def parseNameFilters(raw: String): Seq[String] =
+    raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Match-all on an empty filter list, substring-any otherwise. */
+  def matchesFilter(name: String, filters: Seq[String]): Boolean =
+    filters.isEmpty || filters.exists(name.contains)
+
   /** Median of ASCENDING-sorted samples; -1.0 when empty (the failed-run
     * sentinel both harnesses filter on).
     */

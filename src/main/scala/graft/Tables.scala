@@ -14,34 +14,77 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Memoized per (session, path, table-dir mtime): a bare
-    * `spark.read.parquet` re-lists the directory and re-reads the parquet
-    * footer for the schema on EVERY call — across 139 queries × several
-    * tables × repeated bench passes that relation-resolution latency is a
-    * measurable slice of a driver-latency-bound suite (single cold pass:
-    * 130 → 123 s). The cached object is only the immutable logical
-    * DataFrame (and its InMemoryFileIndex); execution state is untouched.
+  /** Memoized per (session, path): a bare `spark.read.parquet` re-lists
+    * the directory and re-reads the parquet footer for the schema on EVERY
+    * call — across 139 queries × several tables × repeated bench passes
+    * that relation-resolution latency is a measurable slice of a
+    * driver-latency-bound suite (single cold pass: 130 → 123 s). The
+    * cached object is only the immutable logical DataFrame (and its
+    * InMemoryFileIndex); execution state is untouched.
     *
-    * Staleness guard: the key includes the table directory's modification
-    * time (ONE stat call, vs the listing + footer read it replaces), so a
-    * caller that rewrites a table between reads — DedupSpec regenerates
-    * its fixture `documents.parquet` mid-test — gets a fresh relation;
-    * parquet writers always create/remove part files (never rewrite in
-    * place), and that updates the directory mtime. Mutable KeyedStore
-    * tables go through the catalog, never through this. Keyed by session
-    * too: a stopped session's cached plans must not leak into a successor.
+    * Staleness guard: each entry carries a content-derived signature of
+    * the table directory — its mtime PLUS the part-file count and total
+    * bytes from one driver-local listing (microseconds for the ≤ dozens of
+    * files a local table holds; still orders cheaper than the distributed
+    * listing + footer read it replaces). The signature, not mtime alone,
+    * decides staleness: directory mtime granularity is filesystem-
+    * dependent (1 s on some filesystems), and a fixture rewritten within
+    * the same tick — DedupSpec regenerates `documents.parquet` mid-test,
+    * fast — would otherwise silently serve the deleted part files. A
+    * mismatched signature REPLACES the entry in place, so rewrites never
+    * grow the map (the old (…, mtime) key scheme accumulated one dead
+    * DataFrame per rewrite, unbounded). Mutable KeyedStore tables go
+    * through the catalog, never through this.
+    *
+    * Keyed by session too — a stopped session's cached plans must not leak
+    * into a successor — and entries whose session's SparkContext has
+    * stopped are swept on every insert, so a long-lived process that
+    * cycles sessions (the test suite) does not pin dead sessions via this
+    * map.
     */
-  private val tCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+  private val tCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), ((Long, Long, Long), DataFrame)]()
+
+  /** (dir mtime, part-file count, total part bytes) of the table at
+    * `path`; (-1,-1,-1) when not locally statable (read.parquet will
+    * surface the real error, or — object store — the path is outside this
+    * cache's local-fixture use case and a conservative constant key means
+    * at worst one rebuild per call, never a stale serve).
+    */
+  private def tableSig(path: String): (Long, Long, Long) =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (!java.nio.file.Files.isDirectory(p))
+        (mtime, 1L, java.nio.file.Files.size(p))
+      else {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          var n = 0L; var bytes = 0L
+          s.iterator().asScala.foreach { f =>
+            if (java.nio.file.Files.isRegularFile(f)) {
+              n += 1; bytes += java.nio.file.Files.size(f)
+            }
+          }
+          (mtime, n, bytes)
+        } finally s.close()
+      }
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val mtime = try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path)).toMillis
-    catch { case _: Throwable => -1L }
-    tCache.computeIfAbsent((spark, path, mtime),
-      { case (s, p, _) => s.read.parquet(p) })
+    val sig = tableSig(path)
+    tCache.forEachKey(Long.MaxValue, k =>
+      if (k._1.sparkContext.isStopped) tCache.remove(k))
+    tCache.compute((spark, path), { (k, old) =>
+      if (old != null && old._1 == sig) old
+      else (sig, k._1.read.parquet(k._2))
+    })._2
   }
+
+  /** Test hook: current live entry count (growth-bound specs). */
+  private[graft] def tCacheSize: Int = tCache.size()
 
   /** Fan-out cap for [[widened]] — deliberately derived from the DATA
     * (bytes, clamped), never from `defaultParallelism`: the partition

@@ -382,15 +382,19 @@ object EventStreamJobs {
     * the span-sized delay here is the batch-replay artifact that makes the
     * finite run exactly equal its batch twin.
     */
-  def sessionsStreamed(spark: SparkSession, dir: String)
+  def sessionsStreamed(spark: SparkSession, dir: String, stageFiles: Int = 2)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
     val gapMs = 30 * 60 * 1000L
     val scratch = freshScratch(spark, "stream_q141")
     val fs = new org.apache.hadoop.fs.Path(scratch)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val ev = graft.Tables.events(spark, dir)
-    val watch = cachedWatch(spark, "q141", dir) { tmp =>
-      ev.repartition(2).write.parquet(tmp)
+    // the default 2-file stage keeps its round-11 cache key; a non-default
+    // count (spec coverage of the odd-file sentinel arithmetic below) gets
+    // its own staged dir so the shapes never share a cache entry
+    val cacheSub = if (stageFiles == 2) "q141" else s"q141_f$stageFiles"
+    val watch = cachedWatch(spark, cacheSub, dir) { tmp =>
+      ev.repartition(stageFiles).write.parquet(tmp)
       // sentinel placement + replay delay need the data bounds, but not a
       // second pass over the slice: min/max of a bare column over the
       // just-staged parquet comes from the file FOOTERS when aggregate
@@ -457,11 +461,18 @@ object EventStreamJobs {
     // every session), and only the sentinel batch's commit raises it past
     // every session end — so NO session can be emitted before the batch
     // AFTER the sentinel's. Those provably-empty append writes route to
-    // the noop sink. Batch ids: ceil(dataFiles/2) data batches (2 files
-    // per trigger), then the mtime-bumped sentinel's, then emission.
+    // the noop sink. The sentinel's batch follows from its FILE INDEX, not
+    // from rounding the data-file count: files are consumed in mtime order
+    // two per trigger, the mtime-bumped sentinel sorts last at 0-based
+    // index dataFiles, so it lands in batch ⌊dataFiles/2⌋ — sharing a
+    // trigger with the final data file when dataFiles is odd (that batch
+    // still computes its watermark from the PRIOR batches, so its real
+    // events are never late-dropped) — and the first batch that can emit
+    // is the one after it. The old ⌈dataFiles/2⌉+1 form over-counted by
+    // one for odd counts, routing the real emission to the noop sink.
     val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(watch))
       .count(_.getPath.getName.endsWith(".parquet")) - 1
-    val emissionBatch = (dataFiles + 1) / 2 + 1
+    val emissionBatch = dataFiles / 2 + 1
     val query = runAvailableNow(spark, counts, scratch, "append",
       statePartsFor(spark, watch), sinkFromBatchId = emissionBatch.toLong)
     (query, spark.read.parquet(s"$scratch/out")

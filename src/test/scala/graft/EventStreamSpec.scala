@@ -603,6 +603,26 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("q141 with an ODD staged file count still emits (sentinel shares the final trigger)") {
+    import org.apache.spark.sql.functions.col
+    // 3 data files + sentinel at maxFilesPerTrigger=2: the mtime-bumped
+    // sentinel shares the last trigger with the final data file, so the
+    // emission batch is ⌊3/2⌋+1 = 2 — the old ⌈dataFiles/2⌉+1 arithmetic
+    // computed 3 and routed the ONLY real emission to the noop sink,
+    // returning a silently empty result (round-12 advice, medium)
+    val (q, df) = EventStreamJobs.sessionsStreamed(spark, dir, stageFiles = 3)
+    val withRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(withRows >= 2,
+      s"expected >=2 micro-batches with input rows, got $withRows")
+    val streamed = df
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventsPack.sessionize(spark, dir)
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("q148 runs a real multi-batch stream-stream join and matches batch attribution") {
     import org.apache.spark.sql.functions.col
     val (q, df) = EventStreamJobs.attributionStreamed(spark, dir)

@@ -11,6 +11,19 @@ import org.apache.spark.sql.types._
   */
 class HarnessSpec extends AnyFunSuite {
 
+  test("bench name filter: empty segments dropped, unset means match-all") {
+    // "q106," must NOT degrade to match-all: a "" alternative makes
+    // name.contains vacuously true for every query (round-12 advice)
+    assert(BenchUtil.parseNameFilters("q106,") == Seq("q106"))
+    assert(BenchUtil.parseNameFilters("q106,,q85") == Seq("q106", "q85"))
+    assert(BenchUtil.parseNameFilters("") == Nil)
+    assert(BenchUtil.parseNameFilters(" , ") == Nil)
+    assert(BenchUtil.matchesFilter("q85_percentiles", Nil),
+      "unset filter must match every query (the driver's unfiltered run)")
+    assert(BenchUtil.matchesFilter("q106_ann", Seq("q106")))
+    assert(!BenchUtil.matchesFilter("q85_percentiles", Seq("q106")))
+  }
+
   test("Bench.parseHistory reads its own file format and ignores non-query fields") {
     val line =
       """{"sf":"/root/testdata/sf0.1","q01_traffic_rollup":1.064715684,""" +
