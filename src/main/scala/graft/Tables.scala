@@ -51,7 +51,7 @@ object Tables {
     * cache's local-fixture use case and a conservative constant key means
     * at worst one rebuild per call, never a stale serve).
     */
-  private def tableSig(path: String): (Long, Long, Long) =
+  private[graft] def tableSig(path: String): (Long, Long, Long) =
     try {
       val p = java.nio.file.Paths.get(path)
       val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
@@ -110,8 +110,13 @@ object Tables {
   private def widenParts(bytes: Long): Int =
     math.max(4L, math.min(WidenParts.toLong, bytes / (96L << 10))).toInt
 
+  /** Keyed by file path, value carries the mtime it was read at — a
+    * regenerated fixture REPLACES its entry (the old (path, mtime) key
+    * scheme accumulated one dead entry per rewrite, the same unbounded
+    * growth the [[tCache]] redesign removed).
+    */
   private val rgCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Integer)]()
 
   /** Upper bound on the scan-stage parallelism of the parquet at `path`:
     * parquet only splits at row-group boundaries, so a table stored as few
@@ -140,15 +145,16 @@ object Tables {
       val mtime =
         try java.nio.file.Files.getLastModifiedTime(f).toMillis
         catch { case _: Throwable => -1L }
-      rgCache.computeIfAbsent((f.toString, mtime), { _ =>
-        try {
+      rgCache.compute(f.toString, { (path, old) =>
+        if (old != null && old._1 == mtime) old
+        else (mtime, try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toString),
+            new org.apache.hadoop.fs.Path(path),
             spark.sessionState.newHadoopConf())
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try Integer.valueOf(r.getFooter.getBlocks.size) finally r.close()
-        } catch { case _: Throwable => Integer.valueOf(1) }
-      }).intValue
+        } catch { case _: Throwable => Integer.valueOf(1) })
+      })._2.intValue
     }.sum.min(cap)
   }
 

@@ -117,7 +117,15 @@ object EventStreamJobs {
     */
   private def cachedWatch(spark: SparkSession, sub: String, sfDir: String)
                          (stage: String => Unit): String = {
-    val key = sub + "_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // all three gated replays stage from the events table; keying the
+    // cached dir on its content signature (mtime + file count + bytes)
+    // means a regenerated fixture re-stages instead of silently replaying
+    // the deleted table's rows — the same staleness class Tables.t guards
+    // against. Stale-keyed dirs are per-application scratch, swept with it.
+    val sig = graft.Tables.tableSig(s"$sfDir/events.parquet")
+    val sigTag = java.lang.Long.toHexString(
+      (sig._1 * 1000003L + sig._2) * 1000003L + sig._3)
+    val key = sub + "_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sigTag
     val dir = s"${graft.Tables.scratchDir(spark)}/watch_cache/$key"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
