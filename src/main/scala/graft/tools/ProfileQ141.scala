@@ -85,7 +85,10 @@ object ProfileQ141 {
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
     val before = parquetFiles()
     time("stage: sentinel append") {
-      spark.range(1).select(lit(999999999L).as("event_id"),
+      // one partition → exactly one part file, matching production
+      // (spark.range(1) under local[N] adds an empty second part file,
+      // which would shift the mirror's micro-batch boundaries)
+      spark.range(0, 1, 1, 1).select(lit(999999999L).as("event_id"),
           timestamp_micros(lit(sentinelUs)).as("ts"), lit(-1L).as("user_id"),
           lit("view").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
         .write.mode("append").parquet(s"$scratch/watch")

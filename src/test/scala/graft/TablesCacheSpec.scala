@@ -43,6 +43,19 @@ class TablesCacheSpec extends AnyFunSuite {
       "content signature (file count + bytes) must catch an mtime-tick collision")
   }
 
+  test("tableSig: dir vs file vs missing path") {
+    val dir = Files.createTempDirectory("tsig").toString
+    writeTable(dir, rows = 10)
+    val (mt, n, bytes) = Tables.tableSig(s"$dir/documents.parquet")
+    assert(mt > 0 && n >= 2 && bytes > 0,
+      s"dir signature must count part files + _SUCCESS with real bytes, got ($mt, $n, $bytes)")
+    val part = Files.list(Paths.get(s"$dir/documents.parquet"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    assert(Tables.tableSig(part.toString) == (
+      Files.getLastModifiedTime(part).toMillis, 1L, Files.size(part)))
+    assert(Tables.tableSig(s"$dir/no_such.parquet") == ((-1L, -1L, -1L)))
+  }
+
   test("repeated rewrites replace the entry — cache growth is bounded") {
     val dir = Files.createTempDirectory("tcache3").toString
     writeTable(dir, rows = 5)
