@@ -75,12 +75,20 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val sig = tableSig(path)
-    tCache.forEachKey(Long.MaxValue, k =>
-      if (k._1.sparkContext.isStopped) tCache.remove(k))
-    tCache.compute((spark, path), { (k, old) =>
-      if (old != null && old._1 == sig) old
-      else (sig, k._1.read.parquet(k._2))
-    })._2
+    val key = (spark, path)
+    // lock-free fast path: the suite calls t() on every query construction
+    // and the tables are almost always unchanged — only a miss or a stale
+    // signature pays the bin lock and the stopped-session sweep
+    val hit = tCache.get(key)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      tCache.forEachKey(Long.MaxValue, k =>
+        if (k._1.sparkContext.isStopped) tCache.remove(k))
+      tCache.compute(key, { (k, old) =>
+        if (old != null && old._1 == sig) old
+        else (sig, k._1.read.parquet(k._2))
+      })._2
+    }
   }
 
   /** Test hook: current live entry count (growth-bound specs). */
