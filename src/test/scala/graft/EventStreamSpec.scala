@@ -623,6 +623,22 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("q141 with ONE staged file (sentinel shares batch 0) still emits correctly") {
+    import org.apache.spark.sql.functions.col
+    // degenerate arm of the sentinel arithmetic: 1 data file + sentinel
+    // both fit the first trigger, so the emission batch is ⌊1/2⌋+1 = 1 —
+    // the engine's final no-data batch. Only result equality is asserted
+    // (a single row-bearing batch is the point of this shape)
+    val (_, df) = EventStreamJobs.sessionsStreamed(spark, dir, stageFiles = 1)
+    val streamed = df
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventsPack.sessionize(spark, dir)
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("q148 runs a real multi-batch stream-stream join and matches batch attribution") {
     import org.apache.spark.sql.functions.col
     val (q, df) = EventStreamJobs.attributionStreamed(spark, dir)
