@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   * head-truncated, hence `parsed: null` three rounds running). Queries
   * that fail every run are listed under "failed" (and excluded from the
   * total) instead of being silently dropped. `loadavg` records
-  * /proc/loadavg at start+end so a contended sample is identifiable.
+  * /proc/loadavg at start+end so a contended sample is identifiable;
+  * `ext_cores` stamps each query with the MAX external-busy-cores seen
+  * across its timed samples (see [[BenchUtil.cpuSnap]]) so a contaminated
+  * query is identifiable from the artifact alone — no worktree A/B needed
+  * to adjudicate a capture swing.
   *
   * CONTENTION DEFENSE: medians still read 2–3× high when another process
   * owns the host for a whole pass (round 8: two same-code runs at similar
@@ -46,12 +50,17 @@ object Bench {
     * The files are self-written (one flat JSON object whose only numeric
     * pairs are `"qNN_name":seconds`, plus string fields like "sf"), so a
     * regex pull of exactly those pairs is total — and importantly IGNORES
-    * string fields, the "failed"/"retried" arrays, and any qNN short-key
-    * compact line content that lacks the `_name` suffix.
+    * string fields, the "failed"/"retried" arrays, any qNN short-key
+    * compact line content that lacks the `_name` suffix, and the
+    * "ext_cores" stamp object (whose keys ARE full query names, so it is
+    * excised before the match — a BENCH_LOCAL line fed as history must
+    * yield medians, not contamination stamps).
     */
-  def parseHistory(text: String): Map[String, Double] =
-    "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(text)
+  def parseHistory(text: String): Map[String, Double] = {
+    val t = text.replaceAll("\"ext_cores\":\\{[^}]*\\}", "")
+    "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(t)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
 
   /** The history-file line. The sf field joins the query pairs through ONE
     * mkString so the empty-merged case (all queries failed, no prior
@@ -95,7 +104,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     BenchUtil.autoSizeForData(spark, sfDir)
 
-    def exec(name: String): Double = BenchUtil.execNoop(spark, name, sfDir, "bench")
+    // per-query contamination stamp (round-13 advice: adjudicating an 8 s
+    // capture swing cost a worktree A/B because nothing in the artifact said
+    // WHICH queries were hit): every timed sample snapshots /proc cpu
+    // counters around the run and keeps, per query, the MAX external busy
+    // cores seen across its samples — max, not mean, because one hot sample
+    // is enough to drag a 3-sample median. ~0 ⇒ that query's number is
+    // host-clean; ≥1 ⇒ a contending process overlapped at least one sample.
+    val extCores = scala.collection.mutable.Map[String, Double]()
+    def exec(name: String): Double = {
+      val snap0 = BenchUtil.cpuSnap()
+      val t0 = System.nanoTime
+      val sec = BenchUtil.execNoop(spark, name, sfDir, "bench")
+      val ext = BenchUtil.extCores(snap0, BenchUtil.cpuSnap(),
+        (System.nanoTime - t0) / 1e9)
+      if (ext >= 0)
+        extCores.updateWith(name)(p => Some(math.max(p.getOrElse(0.0), ext)))
+      sec
+    }
 
     // LOAD GATE: a capture launched onto a busy host reads 19–25% hot and
     // is not comparable round-to-round. Above the threshold (1-minute
@@ -125,7 +151,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ""))
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => BenchUtil.matchesFilter(n, nameFilters)).sorted
-    names.headOption.foreach(exec) // untimed warmup
+    // untimed warmup — bypasses the stamping wrapper so contamination during
+    // JVM/codegen startup is not charged to the first query's ext_cores
+    names.headOption.foreach(n => BenchUtil.execNoop(spark, n, sfDir, "bench"))
     // pass-ordered (all queries, then repeat): back-to-back repeats of one
     // query would overstate cache warmth relative to how the driver runs it
     val samples = (1 to runs).flatMap(_ => names.map(n => n -> exec(n)))
@@ -192,8 +220,14 @@ object Bench {
           .mkString("{", ",", "}")},"sf":"$sfDir","runs":$runs,""" +
         s""""failed":$failedJson$extra}"""
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // ext_cores only in the FULL artifact (the compact stdout twin must stay
+    // inside the driver's 2000-char tail); 2 decimals — it's a stamp, not a
+    // measurement
+    val extJson = names.flatMap(n => extCores.get(n).map(v =>
+      "\"" + n + "\":" + BenchUtil.fmt(v, 2))).mkString("{", ",", "}")
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
-      s""","retried":$retriedJson,"loadavg_start":"$load0",""" +
+      s""","retried":$retriedJson,"ext_cores":$extJson,""" +
+        s""""loadavg_start":"$load0",""" +
         s""""loadavg_end":"${BenchUtil.loadavg()}",""" +
         s""""load_gate":"$loadGate","load_gate_max":$loadMax""")
     try Files.writeString(Paths.get(outPath), full + "\n")

@@ -20,6 +20,40 @@ object BenchUtil {
       .split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  /** (system-wide busy jiffies summed over every CPU, this JVM's
+    * utime+stime jiffies), both from /proc; (-1,-1) off-Linux. The delta of
+    * two snapshots isolates EXTERNAL cpu work done during the interval —
+    * `(busyΔ − selfΔ)` — which, divided by elapsed seconds × USER_HZ (100
+    * on every mainstream Linux), reads as "average busy cores that were NOT
+    * this benchmark". That is the per-query contamination stamp: loadavg
+    * cannot serve here because a local[32] bench saturates loadavg by
+    * itself, while a clean host reads ~0 external cores and a contending
+    * process reads as its core count. (An sbt parent JVM idling while the
+    * forked bench runs contributes a small constant floor — stamps are for
+    * relative adjudication, not absolutes.)
+    */
+  def cpuSnap(): (Long, Long) = try {
+    val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator.next()
+    val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+    // busy = everything except idle (field 4) and iowait (field 5)
+    val busy = f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    val self = Files.readString(Paths.get("/proc/self/stat"))
+    // comm (field 2) may contain spaces/parens — parse after the LAST ')':
+    // the remainder starts at stat field 3, so utime/stime (fields 14/15)
+    // land at split indices 11/12
+    val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+    (busy, rest(11).toLong + rest(12).toLong)
+  } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Average external busy cores between two [[cpuSnap]]s over `elapsedSec`;
+    * -1.0 when either snapshot failed or the interval is degenerate.
+    */
+  def extCores(before: (Long, Long), after: (Long, Long),
+               elapsedSec: Double): Double =
+    if (before._1 < 0 || after._1 < 0 || elapsedSec <= 0) -1.0
+    else math.max(0.0,
+      ((after._1 - before._1) - (after._2 - before._2)) / 100.0 / elapsedSec)
+
   /** Size the scan-split and AQE-coalesce floors to the data actually
     * under `sfDir`, so a small-SF run fans CPU-dense scans (tokenize,
     * shingle, hash) across every slot instead of serializing them on one

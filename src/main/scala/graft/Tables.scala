@@ -45,10 +45,18 @@ object Tables {
   private val tCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), ((Long, Long, Long), DataFrame)]()
 
+  /** Sentinel signature for a path [[tableSig]] cannot stat. Treated as
+    * NEVER equal to a cached signature (checked explicitly in [[t]]'s fast
+    * path and compute closure — the tuple itself compares equal to itself,
+    * which round 13 shipped as a permanent stale serve for non-statable
+    * paths), so such paths degrade to one rebuild per call.
+    */
+  private[graft] val NoSig: (Long, Long, Long) = (-1L, -1L, -1L)
+
   /** (dir mtime, part-file count, total part bytes) of the table at
-    * `path`; (-1,-1,-1) when not locally statable (read.parquet will
+    * `path`; [[NoSig]] when not locally statable (read.parquet will
     * surface the real error, or — object store — the path is outside this
-    * cache's local-fixture use case and a conservative constant key means
+    * cache's local-fixture use case and the never-matching sentinel means
     * at worst one rebuild per call, never a stale serve).
     */
   private[graft] def tableSig(path: String): (Long, Long, Long) =
@@ -70,7 +78,7 @@ object Tables {
           (mtime, n, bytes)
         } finally s.close()
       }
-    } catch { case _: Throwable => (-1L, -1L, -1L) }
+    } catch { case _: Throwable => NoSig }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -79,13 +87,17 @@ object Tables {
     // lock-free fast path: the suite calls t() on every query construction
     // and the tables are almost always unchanged — only a miss or a stale
     // signature pays the bin lock and the stopped-session sweep
+    // NoSig (non-statable path) must never match: a cached NoSig entry
+    // compares equal to a fresh NoSig, which would serve the FIRST relation
+    // forever — the opposite of the documented rebuild-per-call degradation
+    val fresh = sig != NoSig
     val hit = tCache.get(key)
-    if (hit != null && hit._1 == sig) hit._2
+    if (hit != null && fresh && hit._1 == sig) hit._2
     else {
       tCache.forEachKey(Long.MaxValue, k =>
         if (k._1.sparkContext.isStopped) tCache.remove(k))
       tCache.compute(key, { (k, old) =>
-        if (old != null && old._1 == sig) old
+        if (old != null && fresh && old._1 == sig) old
         else (sig, k._1.read.parquet(k._2))
       })._2
     }

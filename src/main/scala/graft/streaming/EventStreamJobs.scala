@@ -115,6 +115,15 @@ object EventStreamJobs {
     * written once, not re-written per consumer — the re-staging cost was
     * pure harness IO charged to every bench sample.
     */
+  /** Scratch-dir tag for a staged-watch signature: injective over real
+    * signatures (all three components verbatim — no folding), unique per
+    * call for [[graft.Tables.NoSig]] so a non-statable events table is
+    * re-staged on every invocation rather than ever replayed stale.
+    */
+  private[graft] def watchSigTag(sig: (Long, Long, Long)): String =
+    if (sig == graft.Tables.NoSig) s"nosig_${System.nanoTime()}"
+    else s"${sig._1}_${sig._2}_${sig._3}"
+
   private def cachedWatch(spark: SparkSession, sub: String, sfDir: String)
                          (stage: String => Unit): String = {
     // all three gated replays stage from the events table; keying the
@@ -122,9 +131,14 @@ object EventStreamJobs {
     // means a regenerated fixture re-stages instead of silently replaying
     // the deleted table's rows — the same staleness class Tables.t guards
     // against. Stale-keyed dirs are per-application scratch, swept with it.
+    // The tag uses all three components verbatim (a multiply-add fold is
+    // not injective — distinct signatures could collide and replay a stale
+    // dir; the key is a scratch-dir name, so length is no constraint), and
+    // a non-statable table (NoSig) gets a per-call unique tag — re-stage
+    // every call, never replay — mirroring Tables.t's rebuild-per-call
+    // degradation for the same sentinel.
     val sig = graft.Tables.tableSig(s"$sfDir/events.parquet")
-    val sigTag = java.lang.Long.toHexString(
-      (sig._1 * 1000003L + sig._2) * 1000003L + sig._3)
+    val sigTag = EventStreamJobs.watchSigTag(sig)
     val key = sub + "_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sigTag
     val dir = s"${graft.Tables.scratchDir(spark)}/watch_cache/$key"
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -570,6 +570,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(kept == Set("a genuinely new doc", "another new doc"), s"got $kept")
   }
 
+  test("watchSigTag: injective over real signatures, unique per call for NoSig") {
+    import graft.streaming.EventStreamJobs.watchSigTag
+    // the round-13 multiply-add fold collided exactly these two: count −1
+    // compensated by bytes +1000003 at equal mtime
+    val sigA = (1700000000000L, 7L, 123456L)
+    val sigB = (1700000000000L, 6L, 123456L + 1000003L)
+    assert(watchSigTag(sigA) != watchSigTag(sigB),
+      "distinct signatures must map to distinct scratch tags")
+    assert(watchSigTag(sigA) == "1700000000000_7_123456",
+      "real signatures key deterministically (cache hits across passes)")
+    assert(watchSigTag(Tables.NoSig) != watchSigTag(Tables.NoSig),
+      "a non-statable table must re-stage per call, never replay a stale dir")
+  }
+
   test("q136 runs a real multi-batch StreamingQuery and matches the batch tumbling counts") {
     import org.apache.spark.sql.functions.col
     val (q, df) = EventStreamJobs.tumblingCountsStreamed(spark, dir)

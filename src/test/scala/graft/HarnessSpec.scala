@@ -39,10 +39,15 @@ class HarnessSpec extends AnyFunSuite {
     val line =
       """{"metric":"total","value":99.971,"unit":"sec","queries":{"q02_traffic_total":0.36},""" +
         """"sf":"/root/testdata/sf0.1","runs":3,"failed":["q999_zzz_broken"],""" +
-        """"retried":["q01_traffic_rollup"],"loadavg_start":"2.56 3.08 2.53"}"""
+        """"retried":["q01_traffic_rollup"],""" +
+        """"ext_cores":{"q02_traffic_total":1.73,"q03_decimal_agg":0.00},""" +
+        """"loadavg_start":"2.56 3.08 2.53"}"""
     val h = Bench.parseHistory(line)
     // numeric pairs only: the failed/retried ARRAY members carry no value
-    // and must not parse; "value"/"runs" lack the qNN_ prefix
+    // and must not parse; "value"/"runs" lack the qNN_ prefix; the
+    // ext_cores stamps use FULL query names and must be excised — else a
+    // BENCH_LOCAL line fed as history would read 1.73 (a contamination
+    // stamp) as q02's all-time-best median
     assert(h == Map("q02_traffic_total" -> 0.36))
   }
 

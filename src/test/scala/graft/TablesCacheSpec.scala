@@ -56,6 +56,25 @@ class TablesCacheSpec extends AnyFunSuite {
     assert(Tables.tableSig(s"$dir/no_such.parquet") == ((-1L, -1L, -1L)))
   }
 
+  test("non-statable path: sentinel never matches — rebuild per call, never a stale serve") {
+    val dir = Files.createTempDirectory("tcache_nosig").toString
+    writeTable(dir, rows = 10)
+    // "file:$dir" is a valid Spark URI but NOT a statable local path
+    // (Paths.get treats it as a literal relative name), so tableSig
+    // returns the NoSig sentinel — the round-13 defect served the FIRST
+    // cached relation forever because NoSig == NoSig
+    val uriDir = s"file:$dir"
+    assert(Tables.tableSig(s"$uriDir/documents.parquet") == Tables.NoSig)
+    val a = Tables.t(spark, uriDir, "documents")
+    assert(a.count() == 10)
+    val b = Tables.t(spark, uriDir, "documents")
+    assert(!(a eq b),
+      "a NoSig-keyed entry must rebuild per call, not serve the cached relation")
+    writeTable(dir, rows = 25)
+    assert(Tables.t(spark, uriDir, "documents").count() == 25,
+      "a rewrite behind a non-statable path must be visible on the next call")
+  }
+
   test("repeated rewrites replace the entry — cache growth is bounded") {
     val dir = Files.createTempDirectory("tcache3").toString
     writeTable(dir, rows = 5)
