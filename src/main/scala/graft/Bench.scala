@@ -110,7 +110,9 @@ object Bench {
     // counters around the run and keeps, per query, the MAX external busy
     // cores seen across its samples — max, not mean, because one hot sample
     // is enough to drag a 3-sample median. ~0 ⇒ that query's number is
-    // host-clean; ≥1 ⇒ a contending process overlapped at least one sample.
+    // host-clean; ≥1 ⇒ a contending process overlapped at least one sample;
+    // fractions in between on IO-heavy/sub-second queries are their own
+    // kernel-writeback floor (see the cpuSnap calibration note).
     val extCores = scala.collection.mutable.Map[String, Double]()
     def exec(name: String): Double = {
       val snap0 = BenchUtil.cpuSnap()

@@ -27,10 +27,18 @@ object BenchUtil {
     * on every mainstream Linux), reads as "average busy cores that were NOT
     * this benchmark". That is the per-query contamination stamp: loadavg
     * cannot serve here because a local[32] bench saturates loadavg by
-    * itself, while a clean host reads ~0 external cores and a contending
-    * process reads as its core count. (An sbt parent JVM idling while the
-    * forked bench runs contributes a small constant floor — stamps are for
-    * relative adjudication, not absolutes.)
+    * itself, while a contending process reads as its core count.
+    *
+    * Calibration (measured on a provably idle host, 1-min loadavg 0.04):
+    * pure-compute queries stamp 0.00, but IO-heavy ones carry a
+    * SELF-INDUCED floor — kernel writeback/readahead threads (kworkers)
+    * and the sbt parent JVM are out-of-process, so a KeyedStore writer
+    * (q125) reads ~0.25 and even a 70 ms store lookup ~0.15 (small
+    * absolute jiffies over a short interval read as a high rate). So:
+    * ~0 ⇒ clean; a fraction under ~0.7 on an IO-heavy or sub-second
+    * query is its own writeback floor; ≥1 sustained ⇒ a real intruder
+    * overlapped the sample. Adjudicate against the query's idle-host
+    * floor, not against zero.
     */
   def cpuSnap(): (Long, Long) = try {
     val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator.next()
