@@ -83,6 +83,32 @@ class HarnessSpec extends AnyFunSuite {
       Set("q01_a")) == Seq("q01_a" -> 1.0))
   }
 
+  test("Bench.retrySet: history trigger, ext-stamp trigger, floor guard, failed-always, cap") {
+    val history = Map("q01_a" -> 1.0, "q02_b" -> 0.3, "q03_c" -> 0.2, "q04_d" -> 1.0)
+    val medians = Seq("q01_a" -> 2.5, "q02_b" -> 0.45, "q03_c" -> 0.25,
+      "q04_d" -> 0.9, "q05_e" -> -1.0)
+    // q01: 2.5 > 2×1.0 and > 0.5 s → history trigger (excess 1.5).
+    // q02: under the 2× trigger's 0.5 s noise floor, but an intruder stamp
+    //   of 1.2 cores + median above its 0.3 floor → ext trigger (the
+    //   round-14 q123–q125 burst fired ZERO history retries).
+    // q03: stamped hot but AT/below any damage threshold? median 0.25 >
+    //   floor 0.2 → also retried; q04: stamped hot but median 0.9 ≤ floor
+    //   1.0 → NOT retried (nothing to recover). q05: failed → always.
+    val ext = Map("q02_b" -> 1.2, "q03_c" -> 3.0, "q04_d" -> 2.0)
+    val r = Bench.retrySet(medians, history, ext)
+    assert(r.map(_._1) == Seq("q01_a", "q02_b", "q03_c", "q05_e"),
+      s"worst-excess order, ext hits included, floor-safe q04 excluded: $r")
+    // no stamps, no regressions → only failures retry
+    assert(Bench.retrySet(medians, Map.empty ++ history.view.mapValues(_ * 10),
+      Map.empty).map(_._1) == Seq("q05_e"))
+    // cap: 13 history-hot queries keep only the 12 worst by excess
+    val many = (1 to 13).map(i => (f"q$i%02d_x", 10.0 + i))
+    val manyHist = many.map { case (n, _) => n -> 1.0 }.toMap
+    val capped = Bench.retrySet(many, manyHist, Map.empty)
+    assert(capped.size == 12 && !capped.map(_._1).contains("q01_x"),
+      "cap keeps the 12 worst by absolute excess")
+  }
+
   test("scratchDir default is salted with the application id (concurrent-session isolation)") {
     // streaming jobs fs.delete their scratch at start — a fixed shared
     // default would let two concurrent sessions (bench + test run) delete
