@@ -24,10 +24,10 @@ import org.apache.spark.sql.SparkSession
   * that fail every run are listed under "failed" (and excluded from the
   * total) instead of being silently dropped. `loadavg` records
   * /proc/loadavg at start+end so a contended sample is identifiable;
-  * `ext_cores` stamps each query with the MAX external-busy-cores seen
-  * across its timed samples (see [[BenchUtil.cpuSnap]]) so a contaminated
-  * query is identifiable from the artifact alone — no worktree A/B needed
-  * to adjudicate a capture swing.
+  * `ext_cores` stamps each query with the `[max, mean]` external-busy-cores
+  * pair over its timed samples (see [[BenchUtil.cpuSnap]]) so a
+  * contaminated query is identifiable — and sustained-vs-spike adjudicable —
+  * from the artifact alone, no worktree A/B needed.
   *
   * CONTENTION DEFENSE: medians still read 2–3× high when another process
   * owns the host for a whole pass (round 8: two same-code runs at similar
@@ -77,7 +77,11 @@ object Bench {
     *    result stays UNDER the 2× trigger (round-14 capture: an intruder
     *    burst at 1.2+ cores over q123–q125 fired zero history retries);
     *    the 0.5 s noise floor does not apply here because the stamp is
-    *    direct evidence of contention, not an inference from the timing;
+    *    direct evidence of contention, not an inference from the timing.
+    *    A HISTORY-LESS stamped query still retries (nothing proves its
+    *    median clean) but ranks at excess 0 — its raw median is not a
+    *    regression measure, so on a first capture under load it must not
+    *    crowd genuine history regressions out of the shared cap;
     *  - every query that failed all pass-ordered runs (transient crash).
     *
     * The first two are capped together at the 12 worst by absolute excess
@@ -95,7 +99,7 @@ object Bench {
       case (n, m) if m >= 0 && !flagged(n) &&
         extStamps.getOrElse(n, 0.0) >= 1.0 &&
         history.get(n).forall(h => m > h) =>
-        (n, m, m - history.getOrElse(n, 0.0))
+        (n, m, history.get(n).map(m - _).getOrElse(0.0))
     }
     (hot ++ extHit).sortBy(-_._3).take(12) ++
       medians.collect { case (n, m) if m < 0 => (n, m, 0.0) }
@@ -146,13 +150,16 @@ object Bench {
     // per-query contamination stamp (round-13 advice: adjudicating an 8 s
     // capture swing cost a worktree A/B because nothing in the artifact said
     // WHICH queries were hit): every timed sample snapshots /proc cpu
-    // counters around the run and keeps, per query, the MAX external busy
-    // cores seen across its samples — max, not mean, because one hot sample
-    // is enough to drag a 3-sample median. ~0 ⇒ that query's number is
-    // host-clean; ≥1 ⇒ a contending process overlapped at least one sample;
+    // counters around the run and keeps, per query, every sample's external
+    // busy-core reading. The artifact stamps the pair [MAX, MEAN] over the
+    // query's timed samples: MAX is the retry trigger (one hot sample is
+    // enough to drag a 3-sample median) and MEAN is the sustained-vs-spike
+    // adjudicator the round-14 88.3 s capture still needed prose for — a
+    // max≈mean≥1 pair reads "intruder held the whole window", max≫mean
+    // reads "one-hot burst". ~0 ⇒ that query's number is host-clean;
     // fractions in between on IO-heavy/sub-second queries are their own
     // kernel-writeback floor (see the cpuSnap calibration note).
-    val extCores = scala.collection.mutable.Map[String, Double]()
+    val extSamples = scala.collection.mutable.Map[String, List[Double]]()
     def exec(name: String): Double = {
       val snap0 = BenchUtil.cpuSnap()
       val t0 = System.nanoTime
@@ -160,9 +167,11 @@ object Bench {
       val ext = BenchUtil.extCores(snap0, BenchUtil.cpuSnap(),
         (System.nanoTime - t0) / 1e9)
       if (ext >= 0)
-        extCores.updateWith(name)(p => Some(math.max(p.getOrElse(0.0), ext)))
+        extSamples.updateWith(name)(p => Some(ext :: p.getOrElse(Nil)))
       sec
     }
+    def extMax(name: String): Option[Double] =
+      extSamples.get(name).filter(_.nonEmpty).map(_.max)
 
     // LOAD GATE: a capture launched onto a busy host reads 19–25% hot and
     // is not comparable round-to-round. Above the threshold (1-minute
@@ -208,7 +217,8 @@ object Bench {
     val history: Map[String, Double] =
       (try parseHistory(Files.readString(Paths.get(historyPath)))
        catch { case _: Throwable => Map.empty[String, Double] })
-    val toRetry = retrySet(medians0, history, extCores.toMap)
+    val toRetry = retrySet(medians0, history,
+      names.flatMap(n => extMax(n).map(n -> _)).toMap)
     val retried = toRetry.map(_._1)
     val betterOf = toRetry.map { case (n, m, _) =>
       val again = BenchUtil.median((1 to runs).map(_ => exec(n)).filter(_ >= 0.0).sorted)
@@ -255,9 +265,16 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ext_cores only in the FULL artifact (the compact stdout twin must stay
     // inside the driver's 2000-char tail); 2 decimals — it's a stamp, not a
-    // measurement
-    val extJson = names.flatMap(n => extCores.get(n).map(v =>
-      "\"" + n + "\":" + BenchUtil.fmt(v, 2))).mkString("{", ",", "}")
+    // measurement. Value is the [max, mean] pair over ALL the query's timed
+    // samples (retry samples included — they are part of the evidence);
+    // arrays keep the object free of nested braces so parseHistory's
+    // single-level excision regex stays total over this file format.
+    val extJson = names.flatMap { n =>
+      extSamples.get(n).filter(_.nonEmpty).map { xs =>
+        "\"" + n + "\":[" + BenchUtil.fmt(xs.max, 2) + "," +
+          BenchUtil.fmt(xs.sum / xs.size, 2) + "]"
+      }
+    }.mkString("{", ",", "}")
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"ext_cores":$extJson,""" +
         s""""loadavg_start":"$load0",""" +

@@ -43,8 +43,13 @@ object BenchUtil {
   def cpuSnap(): (Long, Long) = try {
     val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator.next()
     val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
-    // busy = everything except idle (field 4) and iowait (field 5)
-    val busy = f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    // busy = everything except idle (idx 3) and iowait (idx 4); guest (8)
+    // and guest_nice (9) are also excluded because the kernel already
+    // accounts guest vCPU time inside user/nice — summing them too would
+    // double-count external busy cores whenever this host runs VMs
+    val busy = f.zipWithIndex.collect {
+      case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
+    }.sum
     val self = Files.readString(Paths.get("/proc/self/stat"))
     // comm (field 2) may contain spaces/parens — parse after the LAST ')':
     // the remainder starts at stat field 3, so utime/stime (fields 14/15)

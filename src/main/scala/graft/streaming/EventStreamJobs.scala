@@ -119,13 +119,17 @@ object EventStreamJobs {
     * signatures (all three components verbatim — no folding), unique per
     * call for [[graft.Tables.NoSig]] so a non-statable events table is
     * re-staged on every invocation rather than ever replayed stale.
+    * Uniqueness comes from an AtomicLong, not the wall clock: two
+    * concurrent calls (or a coarse clock) could share a nanoTime reading
+    * and stage into the same dir.
     */
+  private val nosigSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def watchSigTag(sig: (Long, Long, Long)): String =
-    if (sig == graft.Tables.NoSig) s"nosig_${System.nanoTime()}"
+    if (sig == graft.Tables.NoSig) s"nosig_${nosigSeq.incrementAndGet()}"
     else s"${sig._1}_${sig._2}_${sig._3}"
 
-  private def cachedWatch(spark: SparkSession, sub: String, sfDir: String)
-                         (stage: String => Unit): String = {
+  private[graft] def cachedWatch(spark: SparkSession, sub: String, sfDir: String)
+                                (stage: String => Unit): String = {
     // all three gated replays stage from the events table; keying the
     // cached dir on its content signature (mtime + file count + bytes)
     // means a regenerated fixture re-stages instead of silently replaying
@@ -139,10 +143,28 @@ object EventStreamJobs {
     // degradation for the same sentinel.
     val sig = graft.Tables.tableSig(s"$sfDir/events.parquet")
     val sigTag = EventStreamJobs.watchSigTag(sig)
-    val key = sub + "_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + sigTag
-    val dir = s"${graft.Tables.scratchDir(spark)}/watch_cache/$key"
+    val dirKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val key = sub + "_" + dirKey + "_" + sigTag
+    val cacheRoot = s"${graft.Tables.scratchDir(spark)}/watch_cache"
+    val dir = s"$cacheRoot/$key"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a NoSig (non-statable) table re-stages under a fresh tag every call,
+    // so its prior per-call dirs are dead the moment a new one is cut —
+    // sweep them here (prefix-scoped to THIS sub+sfDir, tmp litter
+    // included) so within-session scratch stays bounded at ≤1 staged dir
+    // per replay site instead of growing until the app-end sweep.
+    // Sweep-before-stage is safe under the same assumption the rest of the
+    // replay path already makes: one site never runs concurrently with
+    // itself ([[freshScratch]] clears its ckpt/out at entry)
+    if (sig == graft.Tables.NoSig) {
+      val root = new org.apache.hadoop.fs.Path(cacheRoot)
+      val prefix = sub + "_" + dirKey + "_nosig_"
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, true)
+        }
+    }
     if (!fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(dir + "._tmp")
       fs.delete(tmp, true)

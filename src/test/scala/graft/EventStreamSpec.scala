@@ -584,6 +584,26 @@ class EventStreamSpec extends AnyFunSuite {
       "a non-statable table must re-stage per call, never replay a stale dir")
   }
 
+  test("cachedWatch: NoSig re-stages fresh per call but sweeps prior litter (≤1 residual dir)") {
+    // "file:$dir" is a valid Spark URI but not statable by java.nio →
+    // tableSig degrades to NoSig, the rebuild-per-call path
+    val uriDir = s"file:$dir"
+    assert(Tables.tableSig(s"$uriDir/events.parquet") == Tables.NoSig)
+    def stage(tmp: String): Unit =
+      assert(new java.io.File(tmp).mkdirs(), s"stage mkdirs $tmp")
+    val d1 = EventStreamJobs.cachedWatch(spark, "litterspec", uriDir)(stage)
+    val d2 = EventStreamJobs.cachedWatch(spark, "litterspec", uriDir)(stage)
+    assert(d1 != d2, "NoSig must stage a fresh dir per call, never reuse")
+    assert(!new java.io.File(d1).exists, "the prior per-call dir must be swept")
+    assert(new java.io.File(d2).exists, "the current call's dir must survive")
+    // residue bound: exactly one staged dir (the live one) for this replay
+    // site, tmp litter included in the sweep
+    val prefix = "litterspec_" + uriDir.replaceAll("[^A-Za-z0-9.]", "_") + "_nosig_"
+    val residual = new java.io.File(s"${Tables.scratchDir(spark)}/watch_cache")
+      .listFiles.map(_.getName).filter(_.startsWith(prefix))
+    assert(residual.length == 1, s"expected 1 residual staged dir, got ${residual.toSeq}")
+  }
+
   test("q136 runs a real multi-batch StreamingQuery and matches the batch tumbling counts") {
     import org.apache.spark.sql.functions.col
     val (q, df) = EventStreamJobs.tumblingCountsStreamed(spark, dir)

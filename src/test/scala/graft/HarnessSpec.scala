@@ -40,7 +40,7 @@ class HarnessSpec extends AnyFunSuite {
       """{"metric":"total","value":99.971,"unit":"sec","queries":{"q02_traffic_total":0.36},""" +
         """"sf":"/root/testdata/sf0.1","runs":3,"failed":["q999_zzz_broken"],""" +
         """"retried":["q01_traffic_rollup"],""" +
-        """"ext_cores":{"q02_traffic_total":1.73,"q03_decimal_agg":0.00},""" +
+        """"ext_cores":{"q02_traffic_total":[1.73,0.64],"q03_decimal_agg":[0.00,0.00]},""" +
         """"loadavg_start":"2.56 3.08 2.53"}"""
     val h = Bench.parseHistory(line)
     // numeric pairs only: the failed/retried ARRAY members carry no value
@@ -49,6 +49,10 @@ class HarnessSpec extends AnyFunSuite {
     // BENCH_LOCAL line fed as history would read 1.73 (a contamination
     // stamp) as q02's all-time-best median
     assert(h == Map("q02_traffic_total" -> 0.36))
+    // the pre-r15 scalar stamp form must stay excised too (old BENCH_LOCAL
+    // artifacts remain valid parseHistory input)
+    val legacy = line.replace("[1.73,0.64]", "1.73").replace("[0.00,0.00]", "0.00")
+    assert(Bench.parseHistory(legacy) == Map("q02_traffic_total" -> 0.36))
   }
 
   test("Bench.parseHistory of garbage or empty input is empty, not an exception") {
@@ -107,6 +111,21 @@ class HarnessSpec extends AnyFunSuite {
     val capped = Bench.retrySet(many, manyHist, Map.empty)
     assert(capped.size == 12 && !capped.map(_._1).contains("q01_x"),
       "cap keeps the 12 worst by absolute excess")
+    // history-less ext hit: still retried (nothing proves the median clean)
+    // but ranked at excess 0, NOT its raw median — on a history-less first
+    // capture under load, a long stamped query must not crowd genuine
+    // history regressions out of the shared 12-cap
+    val r2 = Bench.retrySet(
+      Seq("q01_new" -> 50.0, "q02_b" -> 0.45),
+      Map("q02_b" -> 0.3),
+      Map("q01_new" -> 2.0, "q02_b" -> 1.2))
+    assert(r2.map(t => (t._1, t._3)) == Seq("q02_b" -> (0.45 - 0.3), "q01_new" -> 0.0),
+      s"history-less stamped query ranks last at excess 0: $r2")
+    // and under cap pressure the history-less hit is the one dropped
+    val manyExt = many.map { case (n, _) => n -> 1.5 }.toMap + ("q99_new" -> 5.0)
+    val pressed = Bench.retrySet(many :+ ("q99_new" -> 100.0), manyHist, manyExt)
+    assert(pressed.size == 12 && !pressed.map(_._1).contains("q99_new"),
+      s"history-less ext hit must not displace real regressions: $pressed")
   }
 
   test("scratchDir default is salted with the application id (concurrent-session isolation)") {
