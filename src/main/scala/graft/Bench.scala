@@ -56,12 +56,12 @@ object Bench {
     * regex pull of exactly those pairs is total — and importantly IGNORES
     * string fields, the "failed"/"retried" arrays, any qNN short-key
     * compact line content that lacks the `_name` suffix, and the
-    * "ext_cores" stamp object (whose keys ARE full query names, so it is
-    * excised before the match — a BENCH_LOCAL line fed as history must
-    * yield medians, not contamination stamps).
+    * "ext_cores"/"ext_cores_retry" stamp objects (whose keys ARE full
+    * query names, so both are excised before the match — a BENCH_LOCAL
+    * line fed as history must yield medians, not contamination stamps).
     */
   def parseHistory(text: String): Map[String, Double] = {
-    val t = text.replaceAll("\"ext_cores\":\\{[^}]*\\}", "")
+    val t = text.replaceAll("\"ext_cores[a-z_]*\":\\{[^}]*\\}", "")
     "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(t)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
@@ -152,7 +152,8 @@ object Bench {
     // WHICH queries were hit): every timed sample snapshots /proc cpu
     // counters around the run and keeps, per query, every sample's external
     // busy-core reading. The artifact stamps the pair [MAX, MEAN] over the
-    // query's timed samples: MAX is the retry trigger (one hot sample is
+    // query's pass-ordered samples (retry-window samples get their own
+    // "ext_cores_retry" stamp): MAX is the retry trigger (one hot sample is
     // enough to drag a 3-sample median) and MEAN is the sustained-vs-spike
     // adjudicator the round-14 88.3 s capture still needed prose for — a
     // max≈mean≥1 pair reads "intruder held the whole window", max≫mean
@@ -220,6 +221,14 @@ object Bench {
     val toRetry = retrySet(medians0, history,
       names.flatMap(n => extMax(n).map(n -> _)).toMap)
     val retried = toRetry.map(_._1)
+    // snapshot the PASS-ORDERED sample lists before the retry runs append
+    // to extSamples: the retry decision above consumed exactly these, so
+    // the artifact's "ext_cores" stamp must aggregate the same set — a
+    // reader applying the SKILL.md rule ("max ≥1 fires a retry when above
+    // floor") must never see a ≥1 max on a query whose retry trigger saw
+    // only clean samples (or vice versa). Retry-window contamination gets
+    // its own stamp below.
+    val extPass = extSamples.toMap
     val betterOf = toRetry.map { case (n, m, _) =>
       val again = BenchUtil.median((1 to runs).map(_ => exec(n)).filter(_ >= 0.0).sorted)
       n -> (if (again >= 0.0) { if (m >= 0.0) math.min(m, again) else again } else m)
@@ -265,18 +274,33 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ext_cores only in the FULL artifact (the compact stdout twin must stay
     // inside the driver's 2000-char tail); 2 decimals — it's a stamp, not a
-    // measurement. Value is the [max, mean] pair over ALL the query's timed
-    // samples (retry samples included — they are part of the evidence);
-    // arrays keep the object free of nested braces so parseHistory's
-    // single-level excision regex stays total over this file format.
-    val extJson = names.flatMap { n =>
-      extSamples.get(n).filter(_.nonEmpty).map { xs =>
+    // measurement. "ext_cores" is the [max, mean] pair over the query's
+    // PASS-ORDERED samples — the exact evidence the retry decision
+    // consumed, so the stamp and the fired/not-fired retry set never
+    // contradict each other for a reader applying the SKILL.md rule.
+    // Retry-window samples (exec calls after the decision) land in the
+    // separate "ext_cores_retry" object, keyed only for retried queries —
+    // they adjudicate whether a retry median itself ran clean. Arrays keep
+    // both objects free of nested braces so parseHistory's single-level
+    // excision regex stays total over this file format.
+    def extPairJson(m: Map[String, List[Double]]): String = names.flatMap { n =>
+      m.get(n).filter(_.nonEmpty).map { xs =>
         "\"" + n + "\":[" + BenchUtil.fmt(xs.max, 2) + "," +
           BenchUtil.fmt(xs.sum / xs.size, 2) + "]"
       }
     }.mkString("{", ",", "}")
+    // samples are PREPENDED in exec(), so a query's retry-window samples
+    // are the head of its final list, before the pass-ordered suffix
+    val extRetry = extSamples.toMap.flatMap { case (n, all) =>
+      val passN = extPass.get(n).map(_.size).getOrElse(0)
+      val r = all.take(all.size - passN)
+      if (r.nonEmpty) Some(n -> r) else None
+    }
+    val extJson = extPairJson(extPass)
+    val extRetryJson = extPairJson(extRetry)
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"ext_cores":$extJson,""" +
+        s""""ext_cores_retry":$extRetryJson,""" +
         s""""loadavg_start":"$load0",""" +
         s""""loadavg_end":"${BenchUtil.loadavg()}",""" +
         s""""load_gate":"$loadGate","load_gate_max":$loadMax""")

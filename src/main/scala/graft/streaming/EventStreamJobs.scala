@@ -128,6 +128,27 @@ object EventStreamJobs {
     if (sig == graft.Tables.NoSig) s"nosig_${nosigSeq.incrementAndGet()}"
     else s"${sig._1}_${sig._2}_${sig._3}"
 
+  /** Scratch-dir name for one replay site's staged input. The sub and
+    * sfDir components are sanitized to `[A-Za-z0-9._]` and joined with
+    * `-` — a character the sanitizer excludes — so the (sub, sfDir) site
+    * boundary is structurally unambiguous: no choice of sub/path can make
+    * one site's name a string-prefix of another site's names. (The old
+    * `_`-joined form was only convention-safe: sub "q141" vs "q141_f3"
+    * stayed disjoint solely because sanitized sfDirs never started with
+    * "f3_" — a future sub/path combination could have let the NoSig sweep
+    * below delete a sibling site's LIVE staged dir.) The sigTag is the
+    * final segment and may contain underscores freely.
+    */
+  private[graft] def watchKey(sub: String, sfDir: String, sigTag: String): String =
+    watchSitePrefix(sub, sfDir) + sigTag
+  /** `<sub>-<dirKey>-` — every dir this site ever stages starts with this,
+    * and (by the delimiter argument above) no other site's dir does.
+    */
+  private[graft] def watchSitePrefix(sub: String, sfDir: String): String = {
+    def clean(s: String) = s.replaceAll("[^A-Za-z0-9.]", "_")
+    clean(sub) + "-" + clean(sfDir) + "-"
+  }
+
   private[graft] def cachedWatch(spark: SparkSession, sub: String, sfDir: String)
                                 (stage: String => Unit): String = {
     // all three gated replays stage from the events table; keying the
@@ -143,23 +164,23 @@ object EventStreamJobs {
     // degradation for the same sentinel.
     val sig = graft.Tables.tableSig(s"$sfDir/events.parquet")
     val sigTag = EventStreamJobs.watchSigTag(sig)
-    val dirKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val key = sub + "_" + dirKey + "_" + sigTag
+    val key = EventStreamJobs.watchKey(sub, sfDir, sigTag)
     val cacheRoot = s"${graft.Tables.scratchDir(spark)}/watch_cache"
     val dir = s"$cacheRoot/$key"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // a NoSig (non-statable) table re-stages under a fresh tag every call,
     // so its prior per-call dirs are dead the moment a new one is cut —
-    // sweep them here (prefix-scoped to THIS sub+sfDir, tmp litter
-    // included) so within-session scratch stays bounded at ≤1 staged dir
-    // per replay site instead of growing until the app-end sweep.
+    // sweep them here (scoped to THIS sub+sfDir via the structurally
+    // unambiguous [[watchSitePrefix]], tmp litter included) so
+    // within-session scratch stays bounded at ≤1 staged dir per replay
+    // site instead of growing until the app-end sweep.
     // Sweep-before-stage is safe under the same assumption the rest of the
     // replay path already makes: one site never runs concurrently with
     // itself ([[freshScratch]] clears its ckpt/out at entry)
     if (sig == graft.Tables.NoSig) {
       val root = new org.apache.hadoop.fs.Path(cacheRoot)
-      val prefix = sub + "_" + dirKey + "_nosig_"
+      val prefix = EventStreamJobs.watchSitePrefix(sub, sfDir) + "nosig_"
       if (fs.exists(root))
         fs.listStatus(root).foreach { st =>
           if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, true)

@@ -598,10 +598,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(new java.io.File(d2).exists, "the current call's dir must survive")
     // residue bound: exactly one staged dir (the live one) for this replay
     // site, tmp litter included in the sweep
-    val prefix = "litterspec_" + uriDir.replaceAll("[^A-Za-z0-9.]", "_") + "_nosig_"
+    val prefix = EventStreamJobs.watchSitePrefix("litterspec", uriDir) + "nosig_"
     val residual = new java.io.File(s"${Tables.scratchDir(spark)}/watch_cache")
       .listFiles.map(_.getName).filter(_.startsWith(prefix))
     assert(residual.length == 1, s"expected 1 residual staged dir, got ${residual.toSeq}")
+  }
+
+  test("watchSitePrefix: site boundary is structurally unambiguous (r15 advice)") {
+    import graft.streaming.EventStreamJobs.{watchKey, watchSitePrefix}
+    // the exact collision class the `_`-joined scheme allowed: site
+    // (sub="lit", sfDir="b/e") sweeps with old prefix "lit_b_e_nosig_",
+    // and site (sub="lit_b", sfDir="e") staged old dirs "lit_b_e_nosig_N"
+    // — a string-prefix hit that would delete the sibling's LIVE dir.
+    // With the `-` delimiter (excluded from sanitized components) the
+    // sweep prefix of one site can never match another site's dirs.
+    assert(("lit_b_e_nosig_1").startsWith("lit_b_e_nosig_"),
+      "sanity: the old scheme really did collide on this pair")
+    assert(!watchKey("lit_b", "e", "nosig_1")
+      .startsWith(watchSitePrefix("lit", "b/e") + "nosig_"))
+    // same site still matches itself, tmp litter included
+    assert(watchKey("lit", "b/e", "nosig_7")
+      .startsWith(watchSitePrefix("lit", "b/e") + "nosig_"))
+    assert((watchKey("lit", "b/e", "nosig_7") + "._tmp")
+      .startsWith(watchSitePrefix("lit", "b/e") + "nosig_"))
+    // and the prefix test is sub/path-proof in the other direction too:
+    // a sub that extends another sub never inherits its dirs
+    assert(!watchKey("q141_f3", "/root/testdata/sf0.01", "nosig_2")
+      .startsWith(watchSitePrefix("q141", "/root/testdata/sf0.01") + "nosig_"))
   }
 
   test("q136 runs a real multi-batch StreamingQuery and matches the batch tumbling counts") {

@@ -41,13 +41,14 @@ class HarnessSpec extends AnyFunSuite {
         """"sf":"/root/testdata/sf0.1","runs":3,"failed":["q999_zzz_broken"],""" +
         """"retried":["q01_traffic_rollup"],""" +
         """"ext_cores":{"q02_traffic_total":[1.73,0.64],"q03_decimal_agg":[0.00,0.00]},""" +
+        """"ext_cores_retry":{"q02_traffic_total":[2.10,1.05]},""" +
         """"loadavg_start":"2.56 3.08 2.53"}"""
     val h = Bench.parseHistory(line)
     // numeric pairs only: the failed/retried ARRAY members carry no value
     // and must not parse; "value"/"runs" lack the qNN_ prefix; the
-    // ext_cores stamps use FULL query names and must be excised — else a
-    // BENCH_LOCAL line fed as history would read 1.73 (a contamination
-    // stamp) as q02's all-time-best median
+    // ext_cores / ext_cores_retry stamps use FULL query names and must be
+    // excised — else a BENCH_LOCAL line fed as history would read 1.73 (a
+    // contamination stamp) as q02's all-time-best median
     assert(h == Map("q02_traffic_total" -> 0.36))
     // the pre-r15 scalar stamp form must stay excised too (old BENCH_LOCAL
     // artifacts remain valid parseHistory input)
