@@ -202,6 +202,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ""))
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => BenchUtil.matchesFilter(n, nameFilters)).sorted
+    // CPU reference spin at suite start (twin at suite end): fixed work
+    // whose wall time stretches only when the HOST withholds cycles — the
+    // direct stamp for the guest-invisible slow-window class that clean
+    // ext_cores pairs cannot see (see BenchUtil.cpuRefSpin). Taken before
+    // the warmup so it reads the same host window the first queries get.
+    val refStart = BenchUtil.cpuRefSpin()
     // untimed warmup — bypasses the stamping wrapper so contamination during
     // JVM/codegen startup is not charged to the first query's ext_cores
     names.headOption.foreach(n => BenchUtil.execNoop(spark, n, sfDir, "bench"))
@@ -234,6 +240,10 @@ object Bench {
       n -> (if (again >= 0.0) { if (m >= 0.0) math.min(m, again) else again } else m)
     }.toMap
     val medians = medians0.map { case (n, m) => n -> betterOf.getOrElse(n, m) }
+    // suite-end twin of refStart — a degraded period that began (or ended)
+    // mid-capture shows as start/end disagreement; both stretched vs the
+    // clean-host calibration reads "whole capture ran slow-windowed"
+    val refEnd = BenchUtil.cpuRefSpin()
 
     val failed = medians.collect { case (n, v) if v < 0 => n }
     val ok = medians.filter(_._2 >= 0)
@@ -298,9 +308,16 @@ object Bench {
     }
     val extJson = extPairJson(extPass)
     val extRetryJson = extPairJson(extRetry)
+    // "cpu_ref": [wall, threadCpu] seconds for the fixed reference spin at
+    // suite start/end — keys are not query names and the arrays hold no
+    // braces, so parseHistory stays total over this format (pinned in
+    // HarnessSpec). Full artifact only, like ext_cores.
+    def refJson(r: (Double, Double, Long)): String =
+      "[" + BenchUtil.fmt(r._1, 3) + "," + BenchUtil.fmt(r._2, 3) + "]"
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"ext_cores":$extJson,""" +
         s""""ext_cores_retry":$extRetryJson,""" +
+        s""""cpu_ref":{"start":${refJson(refStart)},"end":${refJson(refEnd)}},""" +
         s""""loadavg_start":"$load0",""" +
         s""""loadavg_end":"${BenchUtil.loadavg()}",""" +
         s""""load_gate":"$loadGate","load_gate_max":$loadMax""")

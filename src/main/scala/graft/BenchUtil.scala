@@ -67,6 +67,63 @@ object BenchUtil {
     else math.max(0.0,
       ((after._1 - before._1) - (after._2 - before._2)) / 100.0 / elapsedSec)
 
+  /** Iterations of the [[cpuRefSpin]] reference loop — fixed so the stamp
+    * is comparable across captures and rounds. ~0.3–0.5 s on this host's
+    * cores at full speed.
+    */
+  val CpuRefIters: Long = 1L << 28
+
+  // JIT can prove the spin result dead without an escaping sink; volatile
+  // write defeats that without measurable cost (one store per spin)
+  @volatile private var cpuRefSink: Long = 0L
+
+  /** Fixed-work single-thread CPU reference spin: returns
+    * `(wallSec, threadCpuSec, checksum)` for `iters` xorshift64 steps from
+    * a fixed seed (checksum is deterministic — pinned in HarnessSpec).
+    *
+    * Purpose: DIRECT evidence for the host's guest-invisible slow-window
+    * class (documented 2026-08-15: uniform ~30% capture slowdown with
+    * clean ext_cores stamps and no guest-side CPU accounting of the
+    * thief). The same fixed work takes longer wall time only when the
+    * host withholds cycles; the wall-vs-cpu split attributes HOW:
+    *
+    *  - wall ≈ cpu ≈ the clean-host reading → host clean (the stamp's
+    *    baseline; calibrate per host from clean captures);
+    *  - wall stretched, cpu ≈ clean reading → the vCPU was descheduled
+    *    (hypervisor steal the guest kernel never ticks);
+    *  - wall ≈ cpu, both stretched → the guest sees every cycle but each
+    *    buys less work (frequency scaling / co-tenant IPC pressure).
+    *
+    * A short untimed warmup fragment precedes the measured loop so JIT
+    * compilation lands on neither stamp (the suite-end spin would
+    * otherwise always read faster than suite-start). Thread CPU time is
+    * -1.0 where the JVM can't supply it.
+    */
+  def cpuRefSpin(iters: Long = CpuRefIters): (Double, Double, Long) = {
+    def spin(n: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      x
+    }
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val cpuOk =
+      try bean.isCurrentThreadCpuTimeSupported && bean.isThreadCpuTimeEnabled
+      catch { case _: Throwable => false }
+    cpuRefSink = spin(iters >> 6 max 1L) // JIT warmup, untimed
+    val c0 = if (cpuOk) bean.getCurrentThreadCpuTime else -1L
+    val t0 = System.nanoTime
+    val sum = spin(iters)
+    cpuRefSink = sum
+    val wall = (System.nanoTime - t0) / 1e9
+    val cpu =
+      if (cpuOk) (bean.getCurrentThreadCpuTime - c0) / 1e9 else -1.0
+    (wall, cpu, sum)
+  }
+
   /** Size the scan-split and AQE-coalesce floors to the data actually
     * under `sfDir`, so a small-SF run fans CPU-dense scans (tokenize,
     * shingle, hash) across every slot instead of serializing them on one

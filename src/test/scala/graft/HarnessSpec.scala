@@ -42,6 +42,7 @@ class HarnessSpec extends AnyFunSuite {
         """"retried":["q01_traffic_rollup"],""" +
         """"ext_cores":{"q02_traffic_total":[1.73,0.64],"q03_decimal_agg":[0.00,0.00]},""" +
         """"ext_cores_retry":{"q02_traffic_total":[2.10,1.05]},""" +
+        """"cpu_ref":{"start":[0.412,0.409],"end":[0.318,0.317]},""" +
         """"loadavg_start":"2.56 3.08 2.53"}"""
     val h = Bench.parseHistory(line)
     // numeric pairs only: the failed/retried ARRAY members carry no value
@@ -54,6 +55,27 @@ class HarnessSpec extends AnyFunSuite {
     // artifacts remain valid parseHistory input)
     val legacy = line.replace("[1.73,0.64]", "1.73").replace("[0.00,0.00]", "0.00")
     assert(Bench.parseHistory(legacy) == Map("q02_traffic_total" -> 0.36))
+  }
+
+  test("cpuRefSpin: deterministic work, sane wall/cpu split") {
+    // small iteration count — this pins the CONTRACT (fixed work, fixed
+    // checksum, single-thread cpu ≤ wall), not the host's speed
+    val iters = 1L << 22
+    val r1 = BenchUtil.cpuRefSpin(iters)
+    val r2 = BenchUtil.cpuRefSpin(iters)
+    assert(r1._3 == r2._3, "fixed seed + fixed iters must give a fixed checksum")
+    // thread cpu time: either unsupported (-1) or positive and bounded by
+    // wall (single thread; +20ms slack for timer granularity)
+    for ((w, c, _) <- Seq(r1, r2)) {
+      assert(w > 0.0)
+      if (c != -1.0) {
+        assert(c > 0.0)
+        assert(c <= w + 0.02,
+          s"single-thread cpu time $c cannot exceed its wall time $w")
+      }
+    }
+    // default-iteration stamp field is the committed artifact contract
+    assert(BenchUtil.CpuRefIters == (1L << 28))
   }
 
   test("Bench.parseHistory of garbage or empty input is empty, not an exception") {
