@@ -208,6 +208,7 @@ object Bench {
     // ext_cores pairs cannot see (see BenchUtil.cpuRefSpin). Taken before
     // the warmup so it reads the same host window the first queries get.
     val refStart = BenchUtil.cpuRefSpin()
+    val memStart = BenchUtil.memRefWalk()
     // untimed warmup — bypasses the stamping wrapper so contamination during
     // JVM/codegen startup is not charged to the first query's ext_cores
     names.headOption.foreach(n => BenchUtil.execNoop(spark, n, sfDir, "bench"))
@@ -244,6 +245,7 @@ object Bench {
     // mid-capture shows as start/end disagreement; both stretched vs the
     // clean-host calibration reads "whole capture ran slow-windowed"
     val refEnd = BenchUtil.cpuRefSpin()
+    val memEnd = BenchUtil.memRefWalk()
 
     val failed = medians.collect { case (n, v) if v < 0 => n }
     val ok = medians.filter(_._2 >= 0)
@@ -308,16 +310,18 @@ object Bench {
     }
     val extJson = extPairJson(extPass)
     val extRetryJson = extPairJson(extRetry)
-    // "cpu_ref": [wall, threadCpu] seconds for the fixed reference spin at
-    // suite start/end — keys are not query names and the arrays hold no
-    // braces, so parseHistory stays total over this format (pinned in
-    // HarnessSpec). Full artifact only, like ext_cores.
+    // "cpu_ref"/"mem_ref": [wall, threadCpu] seconds for the fixed
+    // reference spin (register-only cycles) and memory walk (DRAM
+    // bandwidth) at suite start/end — keys are not query names and the
+    // arrays hold no braces, so parseHistory stays total over this format
+    // (pinned in HarnessSpec). Full artifact only, like ext_cores.
     def refJson(r: (Double, Double, Long)): String =
       "[" + BenchUtil.fmt(r._1, 3) + "," + BenchUtil.fmt(r._2, 3) + "]"
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"ext_cores":$extJson,""" +
         s""""ext_cores_retry":$extRetryJson,""" +
         s""""cpu_ref":{"start":${refJson(refStart)},"end":${refJson(refEnd)}},""" +
+        s""""mem_ref":{"start":${refJson(memStart)},"end":${refJson(memEnd)}},""" +
         s""""loadavg_start":"$load0",""" +
         s""""loadavg_end":"${BenchUtil.loadavg()}",""" +
         s""""load_gate":"$loadGate","load_gate_max":$loadMax""")

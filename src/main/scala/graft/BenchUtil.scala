@@ -124,6 +124,62 @@ object BenchUtil {
     (wall, cpu, sum)
   }
 
+  /** [[memRefWalk]] working-set bytes (64 MiB — past any per-core LLC
+    * share, so the walk prices DRAM, not cache) and sequential passes
+    * (16 ⇒ 1 GiB of traffic, ~0.1 s at uncontended bandwidth). Fixed so
+    * the stamp is comparable across captures.
+    */
+  val MemRefBytes: Long = 64L << 20
+  val MemRefPasses: Int = 16
+
+  /** Fixed-work single-thread MEMORY reference: `(wallSec, threadCpuSec,
+    * checksum)` for `passes` sequential sums over a deterministically
+    * filled `bytes`-sized long array. Complement of [[cpuRefSpin]]: the
+    * spin is register-only, so a capture whose cpu_ref reads clean while
+    * queries run uniformly above floors (first observed the session this
+    * stamp was added: spin at full speed, suite at 1.26× floors) has
+    * excluded cycle stealing — the remaining host-side mechanism is
+    * shared memory-bandwidth/LLC pressure from a co-tenant, which ONLY a
+    * memory-bound reference can see. A stretch here is wall≈cpu (stall
+    * cycles are charged as cpu time), so the attribution key is the PAIR
+    * of stamps: cpu_ref stretched ⇒ cycles withheld; cpu_ref clean +
+    * mem_ref stretched ⇒ memory-side contention; both clean yet the
+    * suite slow ⇒ the cause is not host CPU or bandwidth (look at IO).
+    * Untimed fill + one warmup pass keep JIT and page faults off the
+    * measured loop.
+    */
+  def memRefWalk(bytes: Long = MemRefBytes,
+                 passes: Int = MemRefPasses): (Double, Double, Long) = {
+    val n = (bytes / 8).toInt
+    val a = new Array[Long](n)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      a(i) = x; i += 1
+    }
+    def pass(): Long = {
+      var s = 0L; var j = 0
+      while (j < n) { s += a(j); j += 1 }
+      s
+    }
+    cpuRefSink = pass() // JIT + page-in warmup, untimed
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val cpuOk =
+      try bean.isCurrentThreadCpuTimeSupported && bean.isThreadCpuTimeEnabled
+      catch { case _: Throwable => false }
+    val c0 = if (cpuOk) bean.getCurrentThreadCpuTime else -1L
+    val t0 = System.nanoTime
+    var sum = 0L
+    var p = 0
+    while (p < passes) { sum ^= pass() + p; p += 1 }
+    cpuRefSink = sum
+    val wall = (System.nanoTime - t0) / 1e9
+    val cpu =
+      if (cpuOk) (bean.getCurrentThreadCpuTime - c0) / 1e9 else -1.0
+    (wall, cpu, sum)
+  }
+
   /** Size the scan-split and AQE-coalesce floors to the data actually
     * under `sfDir`, so a small-SF run fans CPU-dense scans (tokenize,
     * shingle, hash) across every slot instead of serializing them on one

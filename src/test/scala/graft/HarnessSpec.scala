@@ -43,6 +43,7 @@ class HarnessSpec extends AnyFunSuite {
         """"ext_cores":{"q02_traffic_total":[1.73,0.64],"q03_decimal_agg":[0.00,0.00]},""" +
         """"ext_cores_retry":{"q02_traffic_total":[2.10,1.05]},""" +
         """"cpu_ref":{"start":[0.412,0.409],"end":[0.318,0.317]},""" +
+        """"mem_ref":{"start":[0.101,0.100],"end":[0.099,0.099]},""" +
         """"loadavg_start":"2.56 3.08 2.53"}"""
     val h = Bench.parseHistory(line)
     // numeric pairs only: the failed/retried ARRAY members carry no value
@@ -76,6 +77,20 @@ class HarnessSpec extends AnyFunSuite {
     }
     // default-iteration stamp field is the committed artifact contract
     assert(BenchUtil.CpuRefIters == (1L << 28))
+  }
+
+  test("memRefWalk: deterministic work, sane wall/cpu split") {
+    // small working set + passes: pins the contract, not the host's speed
+    val r1 = BenchUtil.memRefWalk(1L << 20, 2)
+    val r2 = BenchUtil.memRefWalk(1L << 20, 2)
+    assert(r1._3 == r2._3, "fixed fill + fixed passes must give a fixed checksum")
+    for ((w, c, _) <- Seq(r1, r2)) {
+      assert(w > 0.0)
+      if (c != -1.0) { assert(c > 0.0); assert(c <= w + 0.02) }
+    }
+    // artifact-comparability constants (64 MiB working set, 16 passes)
+    assert(BenchUtil.MemRefBytes == (64L << 20))
+    assert(BenchUtil.MemRefPasses == 16)
   }
 
   test("Bench.parseHistory of garbage or empty input is empty, not an exception") {
