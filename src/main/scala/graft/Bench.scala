@@ -209,6 +209,7 @@ object Bench {
     // the warmup so it reads the same host window the first queries get.
     val refStart = BenchUtil.cpuRefSpin()
     val memStart = BenchUtil.memRefWalk()
+    val parStart = BenchUtil.parRefSpin()
     // untimed warmup — bypasses the stamping wrapper so contamination during
     // JVM/codegen startup is not charged to the first query's ext_cores
     names.headOption.foreach(n => BenchUtil.execNoop(spark, n, sfDir, "bench"))
@@ -246,6 +247,7 @@ object Bench {
     // clean-host calibration reads "whole capture ran slow-windowed"
     val refEnd = BenchUtil.cpuRefSpin()
     val memEnd = BenchUtil.memRefWalk()
+    val parEnd = BenchUtil.parRefSpin()
 
     val failed = medians.collect { case (n, v) if v < 0 => n }
     val ok = medians.filter(_._2 >= 0)
@@ -322,6 +324,8 @@ object Bench {
         s""""ext_cores_retry":$extRetryJson,""" +
         s""""cpu_ref":{"start":${refJson(refStart)},"end":${refJson(refEnd)}},""" +
         s""""mem_ref":{"start":${refJson(memStart)},"end":${refJson(memEnd)}},""" +
+        s""""par_ref":{"start":${refJson(parStart)},"end":${refJson(parEnd)},""" +
+        s""""threads":${Runtime.getRuntime.availableProcessors}},""" +
         s""""loadavg_start":"$load0",""" +
         s""""loadavg_end":"${BenchUtil.loadavg()}",""" +
         s""""load_gate":"$loadGate","load_gate_max":$loadMax""")

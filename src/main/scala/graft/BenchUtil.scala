@@ -99,29 +99,78 @@ object BenchUtil {
     * otherwise always read faster than suite-start). Thread CPU time is
     * -1.0 where the JVM can't supply it.
     */
-  def cpuRefSpin(iters: Long = CpuRefIters): (Double, Double, Long) = {
-    def spin(n: Long): Long = {
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0L
-      while (i < n) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-        i += 1
-      }
-      x
+  private def xorshiftSpin(n: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
     }
+    x
+  }
+
+  private def threadCpuOk: Boolean = {
     val bean = java.lang.management.ManagementFactory.getThreadMXBean
-    val cpuOk =
-      try bean.isCurrentThreadCpuTimeSupported && bean.isThreadCpuTimeEnabled
-      catch { case _: Throwable => false }
-    cpuRefSink = spin(iters >> 6 max 1L) // JIT warmup, untimed
+    try bean.isCurrentThreadCpuTimeSupported && bean.isThreadCpuTimeEnabled
+    catch { case _: Throwable => false }
+  }
+
+  def cpuRefSpin(iters: Long = CpuRefIters): (Double, Double, Long) = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val cpuOk = threadCpuOk
+    cpuRefSink = xorshiftSpin(iters >> 6 max 1L) // JIT warmup, untimed
     val c0 = if (cpuOk) bean.getCurrentThreadCpuTime else -1L
     val t0 = System.nanoTime
-    val sum = spin(iters)
+    val sum = xorshiftSpin(iters)
     cpuRefSink = sum
     val wall = (System.nanoTime - t0) / 1e9
     val cpu =
       if (cpuOk) (bean.getCurrentThreadCpuTime - c0) / 1e9 else -1.0
     (wall, cpu, sum)
+  }
+
+  /** All-core twin of [[cpuRefSpin]]: `threads` concurrent fixed spins;
+    * returns `(wallSec, sumThreadCpuSec, checksum)`. The interesting
+    * reading is DELIVERED CORES = cpu/wall: the single-thread references
+    * cannot see a host that delivers one vCPU at full speed but caps (or
+    * contends) AGGREGATE throughput — the measured slow-window signature
+    * on this box is exactly that (86.8 s capture, session this stamp was
+    * added: cpu_ref 0.574/0.577, mem_ref 0.077/0.070, ext near-zero, yet
+    * every query uniformly 1.32× its floor). Clean host: cpu/wall ≈
+    * thread count (minus SMT sharing). Capped/contended: wall stretches,
+    * cpu/wall ≈ the cores actually delivered; if the hypervisor's
+    * descheduling is additionally unticked, per-thread cpu undercounts
+    * and cpu/wall still reads the delivered rate. Per-thread work is
+    * [[CpuRefIters]]/2 so the stamp costs ~0.3 s, not 32× that.
+    */
+  def parRefSpin(threads: Int = Runtime.getRuntime.availableProcessors,
+                 iters: Long = CpuRefIters / 2): (Double, Double, Long) = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val cpuOk = threadCpuOk
+    cpuRefSink = xorshiftSpin(iters >> 6 max 1L) // JIT warmup, untimed
+    val checksum = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (1 to threads).foreach { _ =>
+      val t = new Thread(() => {
+        try {
+          start.await()
+          val c0 = if (cpuOk) bean.getCurrentThreadCpuTime else 0L
+          val s = xorshiftSpin(iters)
+          if (cpuOk) cpuNs.addAndGet(bean.getCurrentThreadCpuTime - c0)
+          checksum.addAndGet(s)
+        } finally done.countDown()
+      })
+      t.setDaemon(true)
+      t.start()
+    }
+    val t0 = System.nanoTime
+    start.countDown()
+    done.await()
+    val wall = (System.nanoTime - t0) / 1e9
+    val cpu = if (cpuOk) cpuNs.get() / 1e9 else -1.0
+    (wall, cpu, checksum.get())
   }
 
   /** [[memRefWalk]] working-set bytes (64 MiB — past any per-core LLC

@@ -44,6 +44,7 @@ class HarnessSpec extends AnyFunSuite {
         """"ext_cores_retry":{"q02_traffic_total":[2.10,1.05]},""" +
         """"cpu_ref":{"start":[0.412,0.409],"end":[0.318,0.317]},""" +
         """"mem_ref":{"start":[0.101,0.100],"end":[0.099,0.099]},""" +
+        """"par_ref":{"start":[0.320,9.910],"end":[0.310,9.850],"threads":32},""" +
         """"loadavg_start":"2.56 3.08 2.53"}"""
     val h = Bench.parseHistory(line)
     // numeric pairs only: the failed/retried ARRAY members carry no value
@@ -91,6 +92,22 @@ class HarnessSpec extends AnyFunSuite {
     // artifact-comparability constants (64 MiB working set, 16 passes)
     assert(BenchUtil.MemRefBytes == (64L << 20))
     assert(BenchUtil.MemRefPasses == 16)
+  }
+
+  test("parRefSpin: deterministic work, cpu sum bounded by threads x wall") {
+    val r1 = BenchUtil.parRefSpin(threads = 2, iters = 1L << 21)
+    val r2 = BenchUtil.parRefSpin(threads = 2, iters = 1L << 21)
+    assert(r1._3 == r2._3,
+      "fixed seed + fixed iters + fixed thread count must give a fixed checksum")
+    for ((w, c, _) <- Seq(r1, r2)) {
+      assert(w > 0.0)
+      if (c != -1.0) {
+        assert(c > 0.0)
+        // 2 threads: aggregate cpu cannot exceed 2x wall (+timer slack)
+        assert(c <= 2 * w + 0.04,
+          s"aggregate cpu $c cannot exceed threads x wall (2 x $w)")
+      }
+    }
   }
 
   test("Bench.parseHistory of garbage or empty input is empty, not an exception") {
