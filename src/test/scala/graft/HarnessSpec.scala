@@ -183,6 +183,52 @@ class HarnessSpec extends AnyFunSuite {
       s"history-less ext hit must not displace real regressions: $pressed")
   }
 
+  test("BenchUtil.captureProfile: clean iff no band/intruder/gate evidence fires") {
+    // band constants are the committed artifact contract (this host's
+    // measured envelopes — see the scaladoc's calibration sources)
+    assert(BenchUtil.CpuRefCleanWallMax == 0.70)
+    assert(BenchUtil.MemRefCleanWallMax == 0.12)
+    assert(BenchUtil.ParRefCleanFracMin == 0.80)
+    val cleanCpu = Seq("start" -> 0.60, "end" -> 0.63)
+    val cleanMem = Seq("start" -> 0.08, "end" -> 0.11)
+    val cleanPar = Seq("start" -> 29.4, "end" -> 28.1)
+    // fully clean capture: verdict "clean", zero flags
+    assert(BenchUtil.captureProfile(cleanCpu, cleanMem, cleanPar, 32,
+      Nil, "clean") == ("clean", Nil))
+    // the r16 degraded capture's shape: mem_ref START stretched (0.164) +
+    // intruder stamps on two queries — exactly the evidence the prose
+    // adjudication used, now machine-readable
+    val (v, flags) = BenchUtil.captureProfile(cleanCpu,
+      Seq("start" -> 0.164, "end" -> 0.08), cleanPar, 32,
+      Seq("q49_point_lookup_miss", "q125_kmeans_train"), "clean")
+    assert(v == "degraded" && flags.size == 2)
+    assert(flags.head == "mem_ref start 0.164 above 0.12")
+    assert(flags(1) == "ext_cores max ge 1.0 on q49_point_lookup_miss q125_kmeans_train")
+    // the measured aggregate-starvation window (18.5 of 32 delivered)
+    val (v2, f2) = BenchUtil.captureProfile(cleanCpu, cleanMem,
+      Seq("start" -> 18.5, "end" -> 30.7), 32, Nil, "clean")
+    assert(v2 == "degraded" &&
+      f2 == Seq("par_ref start delivered 18.5 of 32 cores under 25.6"))
+    // unknown delivered cores (thread-cpu unsupported ⇒ -1) is SKIPPED,
+    // never read as degraded; a contended load gate alone degrades
+    assert(BenchUtil.captureProfile(cleanCpu, cleanMem,
+      Seq("start" -> -1.0, "end" -> -1.0), 32, Nil, "clean")._1 == "clean")
+    assert(BenchUtil.captureProfile(cleanCpu, cleanMem, cleanPar, 32,
+      Nil, "contended") == ("degraded", Seq("load gate contended")))
+    // cpu_ref stretch fires its own flag
+    assert(BenchUtil.captureProfile(Seq("start" -> 0.60, "end" -> 0.93),
+      cleanMem, cleanPar, 32, Nil, "clean")._2
+      == Seq("cpu_ref end 0.930 above 0.70"))
+    // parseHistory totality over an artifact carrying the new fields:
+    // flags hold query names but never the `"qNN_name":<number>` shape
+    val line = """{"q02_traffic_total":0.36,"capture_profile":"degraded",""" +
+      """"capture_flags":["mem_ref start 0.164 above 0.12",""" +
+      """"ext_cores max ge 1.0 on q49_point_lookup_miss q125_kmeans_train"],""" +
+      """"load_gate":"clean"}"""
+    assert(Bench.parseHistory(line) == Map("q02_traffic_total" -> 0.36),
+      "capture stamps must not poison a BENCH_LOCAL line fed as history")
+  }
+
   test("scratchDir default is salted with the application id (concurrent-session isolation)") {
     // streaming jobs fs.delete their scratch at start — a fixed shared
     // default would let two concurrent sessions (bench + test run) delete
