@@ -367,13 +367,17 @@ object Bench {
     }
     println(full)
     // compact twin LAST: qNN keys, 3-decimal values — must fit the 2000-char
-    // stdout tail the driver parses (full names live in the file/line above)
+    // stdout tail the driver parses (full names live in the file/line above).
+    // The capture verdict rides along (29 chars against ~65 of measured
+    // headroom at 139 queries) so a round artifact built from the tail
+    // carries clean/degraded without opening BENCH_LOCAL.json; the flags
+    // stay full-artifact-only.
     val shortKeys = ok.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val short =
       if (shortKeys.map(_._1).distinct.size == shortKeys.size) shortKeys
       else ok // prefix collision: fall back to full names rather than lose queries
     println(jsonLine(short.map { case (k, v) => k -> f3(v) },
-      s""","full":"$outPath""""))
+      s""","capture_profile":"$profile","full":"$outPath""""))
     spark.stop()
   }
 }

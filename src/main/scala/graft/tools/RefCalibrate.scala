@@ -20,11 +20,19 @@ import graft.BenchUtil
   * Protocol per run: stamp /proc/loadavg, watch external busy cores over
   * a 2 s idle window ([[BenchUtil.extCores]] — the sbt/launcher parent is
   * out-of-process and counts, hence the 0.3-core allowance), then time N
-  * triad rounds. The output is ONE JSON line: per-reference wall
+  * triad rounds with a SECOND ext-cores reading spanning the whole timed
+  * section. The output is ONE JSON line: per-reference wall
   * `[min, median, max]` (plus delivered-cores for par_ref) and the
   * idleness evidence, with `"host":"idle"` only when 1-min loadavg ≤ 0.5
-  * AND the watched window showed ≤ 0.3 external cores. A `"host":"busy"`
-  * run's numbers are upper bounds, not calibration — rerun it.
+  * AND the pre-watch showed ≤ 0.3 external cores AND the whole-run
+  * reading stayed ≤ 0.5 (first measured idle-gated run: launch clean,
+  * co-tenant burst arriving MID-RUN stretched the mem_ref median to
+  * 0.150 while the min held 0.072 — the launch gate alone cannot certify
+  * the span). A `"host":"busy"` run's MEDIANS are ambient-pressure
+  * datapoints, not calibration; its MINIMA remain usable (contamination
+  * only ever slows a fixed-work reference, and with 12 rounds against
+  * sub-minute pressure oscillation some rounds land in the gaps), which
+  * is how docs/CALIBRATION.md derives the clean floors.
   *
   * Usage: plain `java -cp` with `target/scala-2.13/classes` plus every
   * jar under /opt/spark/jars (a glob classpath element), main class
@@ -43,13 +51,16 @@ object RefCalibrate {
     val idleExt = BenchUtil.extCores(s0, BenchUtil.cpuSnap(), 2.0)
     val load1m = load0.split("\\s+").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
-    val host =
-      if (load1m >= 0 && load1m <= 0.5 && idleExt >= 0 && idleExt <= 0.3) "idle"
-      else "busy"
+    val gateOk = load1m >= 0 && load1m <= 0.5 && idleExt >= 0 && idleExt <= 0.3
     val threads = Runtime.getRuntime.availableProcessors
+    val runSnap0 = BenchUtil.cpuSnap()
+    val runT0 = System.nanoTime
     val rows = (1 to rounds).map { _ =>
       (BenchUtil.cpuRefSpin(), BenchUtil.memRefWalk(), BenchUtil.parRefSpin())
     }
+    val runExt = BenchUtil.extCores(runSnap0, BenchUtil.cpuSnap(),
+      (System.nanoTime - runT0) / 1e9)
+    val host = if (gateOk && runExt >= 0 && runExt <= 0.5) "idle" else "busy"
     def mmm(xs: Seq[Double]): String = {
       val s = xs.sorted
       "[" + Seq(s.head, BenchUtil.median(s), s.last)
@@ -63,6 +74,7 @@ object RefCalibrate {
     println(
       s"""{"tool":"ref_calibrate","rounds":$rounds,"host":"$host",""" +
         s""""loadavg_start":"$load0","idle_ext_cores":${BenchUtil.fmt(idleExt, 2)},""" +
+        s""""run_ext_cores":${BenchUtil.fmt(runExt, 2)},""" +
         s""""cpu_ref_wall":${mmm(cpuW)},"mem_ref_wall":${mmm(memW)},""" +
         s""""par_ref_wall":${mmm(parW)},"par_ref_delivered":${mmm(delivered)},""" +
         s""""threads":$threads,"loadavg_end":"${BenchUtil.loadavg()}"}""")
