@@ -219,10 +219,35 @@ object Bench {
     // untimed warmup — bypasses the stamping wrapper so contamination during
     // JVM/codegen startup is not charged to the first query's ext_cores
     names.headOption.foreach(n => BenchUtil.execNoop(spark, n, sfDir, "bench"))
+    // mid-suite segment stamps (r16 VERDICT): the 91.5 s capture showed a
+    // starved window FADING mid-run (18.5 → 30.7 delivered cores between
+    // the start/end stamps) — end-point stamps can't say which queries a
+    // transient window hit, so degraded-period medians relied on the retry
+    // heuristic alone. A mem_ref walk + par_ref spin (full fixed work —
+    // SAME clean bands as the end-point stamps, no separate calibration)
+    // now runs at the three quarter-points of the pass-ordered exec
+    // sequence: ~0.45 s each clean, ~1.35 s per suite. Each stamp records
+    // the exec index and the query it followed, bracketing any window to
+    // a quarter-suite span. Pass-ordered execs only — retry execs happen
+    // after the suite, inside the end stamps' coverage.
+    val segStamps =
+      scala.collection.mutable.ArrayBuffer[(Int, String, Double, Double)]()
+    val totalExecs = runs * names.size
+    val segEvery = math.max(1, totalExecs / 4)
+    var execIdx = 0
     // pass-ordered (all queries, then repeat): back-to-back repeats of one
     // query would overstate cache warmth relative to how the driver runs it
-    val samples = (1 to runs).flatMap(_ => names.map(n => n -> exec(n)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).filter(_ >= 0.0).sorted).toMap
+    val samples = (1 to runs).flatMap(_ => names.map { n =>
+      val r = n -> exec(n)
+      execIdx += 1
+      if (execIdx % segEvery == 0 && execIdx < totalExecs && segStamps.size < 3) {
+        val m = BenchUtil.memRefWalk()
+        val p = BenchUtil.parRefSpin()
+        val cores = if (p._2 < 0 || p._1 <= 0) -1.0 else p._2 / p._1
+        segStamps += ((execIdx, n, m._1, cores))
+      }
+      r
+    }).groupBy(_._1).view.mapValues(_.map(_._2).filter(_ >= 0.0).sorted).toMap
     val medians0 = names.map(n => n -> BenchUtil.median(samples.getOrElse(n, Nil)))
 
     // ---- contention defense (see scaladoc) -------------------------------
@@ -334,10 +359,18 @@ object Bench {
       if (r._2 < 0 || r._1 <= 0) -1.0 else r._2 / r._1
     val intruders = names.filter(n =>
       extPass.get(n).exists(xs => xs.nonEmpty && xs.max >= 1.0))
+    // segment stamps join the verdict between the end-points (same fixed
+    // work ⇒ same bands): a capture with clean ends but a degraded middle
+    // must not write the clean record
+    val segMem = segStamps.toSeq.zipWithIndex.map {
+      case ((_, _, m, _), i) => s"seg${i + 1}" -> m }
+    val segPar = segStamps.toSeq.zipWithIndex.map {
+      case ((_, _, _, c), i) => s"seg${i + 1}" -> c }
     val (profile, profileFlags) = BenchUtil.captureProfile(
       Seq("start" -> refStart._1, "end" -> refEnd._1),
-      Seq("start" -> memStart._1, "end" -> memEnd._1),
-      Seq("start" -> deliveredCores(parStart), "end" -> deliveredCores(parEnd)),
+      ("start" -> memStart._1) +: segMem :+ ("end" -> memEnd._1),
+      ("start" -> deliveredCores(parStart)) +: segPar :+
+        ("end" -> deliveredCores(parEnd)),
       threads, intruders, loadGate)
     val flagsJson = profileFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
@@ -347,6 +380,14 @@ object Bench {
         s""""mem_ref":{"start":${refJson(memStart)},"end":${refJson(memEnd)}},""" +
         s""""par_ref":{"start":${refJson(parStart)},"end":${refJson(parEnd)},""" +
         s""""threads":$threads},""" +
+        // "seg_ref": quarter-point [exec index, query it followed, mem_ref
+        // wall, delivered cores]. The query name appears as a VALUE (never
+        // followed by a colon-number), so parseHistory's `"qNN_name":<num>`
+        // key match cannot fire on it — pinned in HarnessSpec.
+        s""""seg_ref":${segStamps.map { case (at, after, mem, cores) =>
+          s"""{"at":$at,"after":"$after","mem":${BenchUtil.fmt(mem, 3)},""" +
+            s""""cores":${BenchUtil.fmt(cores, 1)}}"""
+        }.mkString("[", ",", "]")},""" +
         s""""capture_profile":"$profile","capture_flags":$flagsJson,""" +
         s""""loadavg_start":"$load0",""" +
         s""""loadavg_end":"${BenchUtil.loadavg()}",""" +

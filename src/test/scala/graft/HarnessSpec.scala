@@ -219,9 +219,21 @@ class HarnessSpec extends AnyFunSuite {
     assert(BenchUtil.captureProfile(Seq("start" -> 0.60, "end" -> 0.93),
       cleanMem, cleanPar, 32, Nil, "clean")._2
       == Seq("cpu_ref end 0.930 above 0.70"))
+    // mid-suite segment entries ride the same band checks under their own
+    // tags — a clean-ends capture with a degraded middle must degrade
+    val (v3, f3) = BenchUtil.captureProfile(cleanCpu,
+      Seq("start" -> 0.08, "seg1" -> 0.09, "seg2" -> 0.196, "end" -> 0.07),
+      Seq("start" -> 29.4, "seg1" -> 28.0, "seg2" -> 21.3, "end" -> 30.1),
+      32, Nil, "clean")
+    assert(v3 == "degraded" && f3 == Seq(
+      "mem_ref seg2 0.196 above 0.12",
+      "par_ref seg2 delivered 21.3 of 32 cores under 25.6"))
     // parseHistory totality over an artifact carrying the new fields:
-    // flags hold query names but never the `"qNN_name":<number>` shape
-    val line = """{"q02_traffic_total":0.36,"capture_profile":"degraded",""" +
+    // flags and seg_ref hold query names only as VALUES (or inside flag
+    // prose) — never the `"qNN_name":<number>` key shape
+    val line = """{"q02_traffic_total":0.36,""" +
+      """"seg_ref":[{"at":104,"after":"q45_widecol_prefix_scan",""" +
+      """"mem":0.081,"cores":29.3}],"capture_profile":"degraded",""" +
       """"capture_flags":["mem_ref start 0.164 above 0.12",""" +
       """"ext_cores max ge 1.0 on q49_point_lookup_miss q125_kmeans_train"],""" +
       """"load_gate":"clean"}"""
