@@ -216,6 +216,23 @@ object Bench {
     val refStart = BenchUtil.cpuRefSpin()
     val memStart = BenchUtil.memRefWalk()
     val parStart = BenchUtil.parRefSpin()
+    // host-stall counters (steal + PSI) bracket each capture quarter —
+    // the DECOMPOSITION the triad can't give: steal-cores says the
+    // hypervisor ran a co-tenant while this guest was runnable, psi_cpu
+    // says guest tasks queued on vCPUs, psi_mem/psi_io say stalls were
+    // memory- or IO-side. Quarter spans share the seg_ref points; the
+    // last span (seg3→end) includes the retry execs by construction.
+    var stallPrev = BenchUtil.stallSnap()
+    var stallPrevT = System.nanoTime
+    val stallSegs = scala.collection.mutable.ArrayBuffer[
+      (String, (Double, Double, Double, Double))]()
+    def stallMark(tag: String): Unit = {
+      val now = BenchUtil.stallSnap()
+      val t = System.nanoTime
+      stallSegs += ((tag,
+        BenchUtil.stallDeltas(stallPrev, now, (t - stallPrevT) / 1e9)))
+      stallPrev = now; stallPrevT = t
+    }
     // untimed warmup — bypasses the stamping wrapper so contamination during
     // JVM/codegen startup is not charged to the first query's ext_cores
     names.headOption.foreach(n => BenchUtil.execNoop(spark, n, sfDir, "bench"))
@@ -245,6 +262,7 @@ object Bench {
         val p = BenchUtil.parRefSpin()
         val cores = if (p._2 < 0 || p._1 <= 0) -1.0 else p._2 / p._1
         segStamps += ((execIdx, n, m._1, cores))
+        stallMark(s"seg${segStamps.size}")
       }
       r
     }).groupBy(_._1).view.mapValues(_.map(_._2).filter(_ >= 0.0).sorted).toMap
@@ -279,6 +297,7 @@ object Bench {
     val refEnd = BenchUtil.cpuRefSpin()
     val memEnd = BenchUtil.memRefWalk()
     val parEnd = BenchUtil.parRefSpin()
+    stallMark("end")
 
     val failed = medians.collect { case (n, v) if v < 0 => n }
     val ok = medians.filter(_._2 >= 0)
@@ -387,6 +406,18 @@ object Bench {
         s""""seg_ref":${segStamps.map { case (at, after, mem, cores) =>
           s"""{"at":$at,"after":"$after","mem":${BenchUtil.fmt(mem, 3)},""" +
             s""""cores":${BenchUtil.fmt(cores, 1)}}"""
+        }.mkString("[", ",", "]")},""" +
+        // "stall_ref": per-quarter steal-cores + PSI stalled fractions
+        // (spans end at the matching seg_ref point; the last span covers
+        // seg3→suite-end including retries). Tags and keys carry no
+        // `"qNN_name":<number>` shape — parseHistory totality pinned in
+        // HarnessSpec. Observational this round: no verdict gating until
+        // clean bands exist for steal/PSI (docs/CALIBRATION.md protocol).
+        s""""stall_ref":${stallSegs.map { case (tag, (st, pc, pm, pi)) =>
+          s"""{"span":"$tag","steal_cores":${BenchUtil.fmt(st, 3)},""" +
+            s""""psi_cpu":${BenchUtil.fmt(pc, 4)},""" +
+            s""""psi_mem":${BenchUtil.fmt(pm, 4)},""" +
+            s""""psi_io":${BenchUtil.fmt(pi, 4)}}"""
         }.mkString("[", ",", "]")},""" +
         s""""capture_profile":"$profile","capture_flags":$flagsJson,""" +
         s""""loadavg_start":"$load0",""" +

@@ -67,6 +67,48 @@ object BenchUtil {
     else math.max(0.0,
       ((after._1 - before._1) - (after._2 - before._2)) / 100.0 / elapsedSec)
 
+  /** Absolute host-stall counters from the guest kernel, for the
+    * capture-quarter "stall_ref" stamps (see Bench): steal ticks
+    * (/proc/stat cpu field 8 — cycles the hypervisor ran someone else
+    * while this guest was runnable; MEASURED ticking on this host,
+    * 2026-08-16, so steal-class withholding is directly observable, not
+    * only inferable from a stretched cpu_ref wall) and the three PSI
+    * "some" stall totals in microseconds (/proc/pressure/{cpu,memory,io}
+    * — cumulative time at least one guest task sat stalled on that
+    * resource; distinguishes in-guest queueing from host withholding).
+    * Monotonic counters; consumers stamp deltas via [[stallDeltas]].
+    * Each field is -1 where its interface is unreadable.
+    */
+  def stallSnap(): (Long, Long, Long, Long) = {
+    def stealTicks: Long = try {
+      val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator.next()
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+    def psiSome(res: String): Long = try {
+      Files.readString(Paths.get(s"/proc/pressure/$res")).linesIterator
+        .find(_.startsWith("some"))
+        .flatMap(_.split("total=").lift(1)).map(_.trim.toLong).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    (stealTicks, psiSome("cpu"), psiSome("memory"), psiSome("io"))
+  }
+
+  /** Normalized stall deltas over `elapsedSec`: steal as average stolen
+    * cores (ticks/100/s — same unit as [[extCores]]), each PSI total as
+    * the stalled-time FRACTION of the interval. -1.0 per component where
+    * either endpoint was unreadable; negative deltas (counter reset)
+    * clamp to 0 like extCores.
+    */
+  def stallDeltas(before: (Long, Long, Long, Long),
+                  after: (Long, Long, Long, Long),
+                  elapsedSec: Double): (Double, Double, Double, Double) = {
+    def d(b: Long, a: Long, scale: Double): Double =
+      if (b < 0 || a < 0 || elapsedSec <= 0) -1.0
+      else math.max(0.0, (a - b) / scale / elapsedSec)
+    (d(before._1, after._1, 100.0), d(before._2, after._2, 1e6),
+      d(before._3, after._3, 1e6), d(before._4, after._4, 1e6))
+  }
+
   /** Iterations of the [[cpuRefSpin]] reference loop — fixed so the stamp
     * is comparable across captures and rounds. ~0.3–0.5 s on this host's
     * cores at full speed.
@@ -90,7 +132,9 @@ object BenchUtil {
     *  - wall ≈ cpu ≈ the clean-host reading → host clean (the stamp's
     *    baseline; calibrate per host from clean captures);
     *  - wall stretched, cpu ≈ clean reading → the vCPU was descheduled
-    *    (hypervisor steal the guest kernel never ticks);
+    *    (hypervisor steal; this host's kernel DOES tick steal —
+    *    measured 2026-08-16 — so the "stall_ref" steal-cores stamp
+    *    should corroborate when this arm fires);
     *  - wall ≈ cpu, both stretched → the guest sees every cycle but each
     *    buys less work (frequency scaling / co-tenant IPC pressure).
     *

@@ -233,12 +233,38 @@ class HarnessSpec extends AnyFunSuite {
     // prose) — never the `"qNN_name":<number>` key shape
     val line = """{"q02_traffic_total":0.36,""" +
       """"seg_ref":[{"at":104,"after":"q45_widecol_prefix_scan",""" +
-      """"mem":0.081,"cores":29.3}],"capture_profile":"degraded",""" +
+      """"mem":0.081,"cores":29.3}],""" +
+      """"stall_ref":[{"span":"seg1","steal_cores":0.031,""" +
+      """"psi_cpu":0.0012,"psi_mem":0.0000,"psi_io":0.0404}],""" +
+      """"capture_profile":"degraded",""" +
       """"capture_flags":["mem_ref start 0.164 above 0.12",""" +
       """"ext_cores max ge 1.0 on q49_point_lookup_miss q125_kmeans_train"],""" +
       """"load_gate":"clean"}"""
     assert(Bench.parseHistory(line) == Map("q02_traffic_total" -> 0.36),
       "capture stamps must not poison a BENCH_LOCAL line fed as history")
+  }
+
+  test("stall counters: snapshots are monotonic and deltas normalize per second") {
+    // live read: every readable counter is non-negative and never counts
+    // down between consecutive snapshots (they are cumulative kernel
+    // counters; a -1 means the interface is absent and must stay -1)
+    val a = BenchUtil.stallSnap()
+    val b = BenchUtil.stallSnap()
+    for ((x, y) <- Seq(a._1 -> b._1, a._2 -> b._2, a._3 -> b._3, a._4 -> b._4)) {
+      assert(x >= -1L)
+      if (x >= 0) assert(y >= x, "cumulative stall counter went backwards")
+      else assert(y == -1L, "an absent interface must stay absent")
+    }
+    // arithmetic pin: steal ticks normalize at 100/s to average cores
+    // (the extCores unit), PSI totals at 1e6/s to stalled fractions
+    val d = BenchUtil.stallDeltas((1000L, 0L, 500000L, 0L),
+      (1200L, 2000000L, 500000L, 1000000L), 2.0)
+    assert(d == ((1.0, 1.0, 0.0, 0.5)))
+    // -1 endpoints poison only their own component; counter resets clamp
+    // to zero like extCores; degenerate interval poisons all four
+    val e = BenchUtil.stallDeltas((-1L, 100L, 50L, 7L), (10L, 90L, 60L, 7L), 1.0)
+    assert(e == ((-1.0, 0.0, 0.00001, 0.0)))
+    assert(BenchUtil.stallDeltas(a, b, 0.0) == ((-1.0, -1.0, -1.0, -1.0)))
   }
 
   test("scratchDir default is salted with the application id (concurrent-session isolation)") {
