@@ -54,12 +54,18 @@ object RefCalibrate {
     val gateOk = load1m >= 0 && load1m <= 0.5 && idleExt >= 0 && idleExt <= 0.3
     val threads = Runtime.getRuntime.availableProcessors
     val runSnap0 = BenchUtil.cpuSnap()
+    val stall0 = BenchUtil.stallSnap()
     val runT0 = System.nanoTime
     val rows = (1 to rounds).map { _ =>
       (BenchUtil.cpuRefSpin(), BenchUtil.memRefWalk(), BenchUtil.parRefSpin())
     }
-    val runExt = BenchUtil.extCores(runSnap0, BenchUtil.cpuSnap(),
-      (System.nanoTime - runT0) / 1e9)
+    val runElapsed = (System.nanoTime - runT0) / 1e9
+    val runExt = BenchUtil.extCores(runSnap0, BenchUtil.cpuSnap(), runElapsed)
+    // whole-run stall deltas (steal cores + PSI stalled fractions — see
+    // BenchUtil.stallSnap): probes logged over a day ARE the ambient
+    // dataset the stall_ref observational bands get frozen from
+    val (stSteal, stCpu, stMem, stIo) =
+      BenchUtil.stallDeltas(stall0, BenchUtil.stallSnap(), runElapsed)
     val host = if (gateOk && runExt >= 0 && runExt <= 0.5) "idle" else "busy"
     def mmm(xs: Seq[Double]): String = {
       val s = xs.sorted
@@ -75,6 +81,10 @@ object RefCalibrate {
       s"""{"tool":"ref_calibrate","rounds":$rounds,"host":"$host",""" +
         s""""loadavg_start":"$load0","idle_ext_cores":${BenchUtil.fmt(idleExt, 2)},""" +
         s""""run_ext_cores":${BenchUtil.fmt(runExt, 2)},""" +
+        s""""steal_cores":${BenchUtil.fmt(stSteal, 3)},""" +
+        s""""psi_cpu":${BenchUtil.fmt(stCpu, 4)},""" +
+        s""""psi_mem":${BenchUtil.fmt(stMem, 4)},""" +
+        s""""psi_io":${BenchUtil.fmt(stIo, 4)},""" +
         s""""cpu_ref_wall":${mmm(cpuW)},"mem_ref_wall":${mmm(memW)},""" +
         s""""par_ref_wall":${mmm(parW)},"par_ref_delivered":${mmm(delivered)},""" +
         s""""threads":$threads,"loadavg_end":"${BenchUtil.loadavg()}"}""")
