@@ -39,8 +39,13 @@ try: d = json.loads(sys.argv[1])
 except Exception: print("parse_error"); sys.exit()
 cpu = d["cpu_ref_wall"][0]; mem = d["mem_ref_wall"][0]
 par = d["par_ref_delivered"][2]; thr = d["threads"]
+# ext gate (added after capture #2): a probe can read full delivered
+# cores while 2-3 external cores burn — those intruders then stamp the
+# capture degraded anyway. Same 0.5-core bound RefCalibrate's idle
+# verdict uses over the timed span.
+ext = max(d.get("run_ext_cores", 0.0), 0.0)
 fast = cpu <= float(__import__("os").environ.get("CPU_FAST", "0.52"))
-clean = cpu <= 0.70 and mem <= 0.12 and par >= 0.8 * thr
+clean = cpu <= 0.70 and mem <= 0.12 and par >= 0.8 * thr and ext <= 0.5
 print("fast" if fast else ("clean" if clean else "busy"))
 EOF
 )
