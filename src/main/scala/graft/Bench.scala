@@ -167,14 +167,26 @@ object Bench {
     // fractions in between on IO-heavy/sub-second queries are their own
     // kernel-writeback floor (see the cpuSnap calibration note).
     val extSamples = scala.collection.mutable.Map[String, List[Double]]()
+    // the steal component of each ext sample (see BenchUtil.stealCores):
+    // stamped as "ext_cores_steal" so a ≥1-core "intruder" reading is
+    // attributable to a co-tenant VM (steal ≈ ext) vs in-guest external
+    // work like the query's own kernel writeback (steal ≈ 0) — the
+    // latter follows the query into its retry window and a retry is
+    // wasted on it. Name prefix keeps it inside parseHistory's
+    // ext_cores excision.
+    val stealSamples = scala.collection.mutable.Map[String, List[Double]]()
     def exec(name: String): Double = {
       val snap0 = BenchUtil.cpuSnap()
       val t0 = System.nanoTime
       val sec = BenchUtil.execNoop(spark, name, sfDir, "bench")
-      val ext = BenchUtil.extCores(snap0, BenchUtil.cpuSnap(),
-        (System.nanoTime - t0) / 1e9)
+      val snap1 = BenchUtil.cpuSnap()
+      val elapsed = (System.nanoTime - t0) / 1e9
+      val ext = BenchUtil.extCores(snap0, snap1, elapsed)
       if (ext >= 0)
         extSamples.updateWith(name)(p => Some(ext :: p.getOrElse(Nil)))
+      val st = BenchUtil.stealCores(snap0, snap1, elapsed)
+      if (st >= 0)
+        stealSamples.updateWith(name)(p => Some(st :: p.getOrElse(Nil)))
       sec
     }
     def extMax(name: String): Option[Double] =
@@ -286,6 +298,9 @@ object Bench {
     // only clean samples (or vice versa). Retry-window contamination gets
     // its own stamp below.
     val extPass = extSamples.toMap
+    // steal twin, same pass-ordered snapshot discipline (diagnostic only
+    // — never a retry input, so no retry-window twin is needed)
+    val stealPass = stealSamples.toMap
     val betterOf = toRetry.map { case (n, m, _) =>
       val again = BenchUtil.median((1 to runs).map(_ => exec(n)).filter(_ >= 0.0).sorted)
       n -> (if (again >= 0.0) { if (m >= 0.0) math.min(m, again) else again } else m)
@@ -362,6 +377,7 @@ object Bench {
     }
     val extJson = extPairJson(extPass)
     val extRetryJson = extPairJson(extRetry)
+    val extStealJson = extPairJson(stealPass)
     // "cpu_ref"/"mem_ref": [wall, threadCpu] seconds for the fixed
     // reference spin (register-only cycles) and memory walk (DRAM
     // bandwidth) at suite start/end — keys are not query names and the
@@ -395,6 +411,7 @@ object Bench {
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"ext_cores":$extJson,""" +
         s""""ext_cores_retry":$extRetryJson,""" +
+        s""""ext_cores_steal":$extStealJson,""" +
         s""""cpu_ref":{"start":${refJson(refStart)},"end":${refJson(refEnd)}},""" +
         s""""mem_ref":{"start":${refJson(memStart)},"end":${refJson(memEnd)}},""" +
         s""""par_ref":{"start":${refJson(parStart)},"end":${refJson(parEnd)},""" +

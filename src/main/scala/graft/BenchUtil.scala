@@ -40,7 +40,7 @@ object BenchUtil {
     * overlapped the sample. Adjudicate against the query's idle-host
     * floor, not against zero.
     */
-  def cpuSnap(): (Long, Long) = try {
+  def cpuSnap(): (Long, Long, Long) = try {
     val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator.next()
     val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
     // busy = everything except idle (idx 3) and iowait (idx 4); guest (8)
@@ -55,17 +55,36 @@ object BenchUtil {
     // the remainder starts at stat field 3, so utime/stime (fields 14/15)
     // land at split indices 11/12
     val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
-    (busy, rest(11).toLong + rest(12).toLong)
-  } catch { case _: Throwable => (-1L, -1L) }
+    // steal (idx 7) rides along separately: it is already inside `busy`
+    // (withheld capacity IS externally consumed capacity), but stamping
+    // it on its own decomposes each per-query external reading into
+    // co-tenant steal vs in-guest processes (kernel writeback, sibling
+    // JVMs) — the two need different responses (a retry helps against a
+    // passing co-tenant burst; a store-write query's own flusher follows
+    // it into the retry window)
+    (busy, rest(11).toLong + rest(12).toLong,
+      if (f.length > 7) f(7) else -1L)
+  } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   /** Average external busy cores between two [[cpuSnap]]s over `elapsedSec`;
     * -1.0 when either snapshot failed or the interval is degenerate.
     */
-  def extCores(before: (Long, Long), after: (Long, Long),
+  def extCores(before: (Long, Long, Long), after: (Long, Long, Long),
                elapsedSec: Double): Double =
     if (before._1 < 0 || after._1 < 0 || elapsedSec <= 0) -1.0
     else math.max(0.0,
       ((after._1 - before._1) - (after._2 - before._2)) / 100.0 / elapsedSec)
+
+  /** Average STOLEN cores between two [[cpuSnap]]s — the co-tenant
+    * component of the same interval's [[extCores]] reading (steal ticks
+    * are part of the busy sum). ext ≈ steal reads "a co-tenant VM held
+    * the window"; ext ≫ steal reads "in-guest external work" (kernel
+    * flusher, sibling JVM). -1.0 when steal is unreadable.
+    */
+  def stealCores(before: (Long, Long, Long), after: (Long, Long, Long),
+                 elapsedSec: Double): Double =
+    if (before._3 < 0 || after._3 < 0 || elapsedSec <= 0) -1.0
+    else math.max(0.0, (after._3 - before._3) / 100.0 / elapsedSec)
 
   /** Absolute host-stall counters from the guest kernel, for the
     * capture-quarter "stall_ref" stamps (see Bench): steal ticks

@@ -236,6 +236,7 @@ class HarnessSpec extends AnyFunSuite {
       """"mem":0.081,"cores":29.3}],""" +
       """"stall_ref":[{"span":"seg1","steal_cores":0.031,""" +
       """"psi_cpu":0.0012,"psi_mem":0.0000,"psi_io":0.0404}],""" +
+      """"ext_cores_steal":{"q45_widecol_prefix_scan":[0.73,0.12]},""" +
       """"capture_profile":"degraded",""" +
       """"capture_flags":["mem_ref start 0.164 above 0.12",""" +
       """"ext_cores max ge 1.0 on q49_point_lookup_miss q125_kmeans_train"],""" +
