@@ -29,6 +29,7 @@ import sys
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scout.log"
     probes = []          # (ts, cpu_min, mem_min, par_max, verdict)
+    stalls = []          # (steal_cores, psi_cpu, psi_mem, psi_io)
     captures = []        # (ts, total, profile)
     pending_launch = None
     for line in open(path):
@@ -39,6 +40,9 @@ def main() -> None:
             probes.append((m.group(1), d["cpu_ref_wall"][0],
                            d["mem_ref_wall"][0], d["par_ref_delivered"][2],
                            None))
+            if "steal_cores" in d:
+                stalls.append((d["steal_cores"], d["psi_cpu"],
+                               d["psi_mem"], d["psi_io"]))
             continue
         m = re.match(r"^(\S+) verdict=(\w+)", line)
         if m and probes:
@@ -80,6 +84,18 @@ def main() -> None:
     if pairs:
         print(f"clean persistence over one probe interval: {stay}/{pairs}"
               f" = {stay / pairs:.2f}")
+    if stalls:
+        # ambient stall dataset (probes carrying steal/PSI): the raw
+        # material for freezing stall_ref observational bands
+        sv = sorted(s[0] for s in stalls)
+        k = len(sv)
+        print(f"ambient steal_cores over {k} probes: min {sv[0]:.3f}  "
+              f"median {sv[k//2]:.3f}  p90 {sv[9*k//10]:.3f}  max {sv[-1]:.3f}")
+        print(f"probes with steal >= 0.5 cores: "
+              f"{sum(1 for s in sv if s >= 0.5)}/{k}")
+        for i, name in ((1, "psi_cpu"), (2, "psi_mem"), (3, "psi_io")):
+            mx = max(s[i] for s in stalls)
+            print(f"max {name}: {mx:.4f}")
     print(f"captures launched: {len(captures)}")
     for ts, total, prof in captures:
         print(f"  {ts}  {total:.1f} s  {prof}")
