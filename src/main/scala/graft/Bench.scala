@@ -47,7 +47,12 @@ import org.apache.spark.sql.SparkSession
   * external process at ≥1 busy core overlapped a sample is also retried
   * when its median sits above its history floor — direct contamination
   * evidence, caught even when the damage stays under the 2× trigger
-  * (see [[retrySet]]). The retried set is reported under
+  * (see [[retrySet]]) — PROVIDED the intruder is co-tenant-confirmed by
+  * the query's steal stamp (see [[retryExtStamps]]): an in-guest ext
+  * reading (the query's own kernel writeback, a sibling JVM) follows
+  * the query into its retry window, so that retry re-measures the same
+  * contamination and injects a back-to-back-warm median for nothing.
+  * The retried set is reported under
   * "retried", and the history is re-written as the element-wise minimum
   * after every run, so it converges to clean-host numbers and never
   * ratchets upward. Cap: the 12 worst offenders by absolute excess —
@@ -78,7 +83,10 @@ object Bench {
     *  - history defense: median > 2× the query's all-time floor AND
     *    > 0.5 s (sub-second 2× is noise, not contention);
     *  - ext-stamp defense: an external process at ≥1 busy core overlapped
-    *    one of the query's samples AND the median sits above its floor —
+    *    one of the query's samples (callers pass stamps already filtered
+    *    to co-tenant-confirmed intruders — see [[retryExtStamps]]; this
+    *    function stays agnostic of HOW a stamp was confirmed) AND the
+    *    median sits above its floor —
     *    one contaminated sample drags a 3-sample median even when the
     *    result stays UNDER the 2× trigger (round-14 capture: an intruder
     *    burst at 1.2+ cores over q123–q125 fired zero history retries);
@@ -110,6 +118,25 @@ object Bench {
     (hot ++ extHit).sortBy(-_._3).take(12) ++
       medians.collect { case (n, m) if m < 0 => (n, m, 0.0) }
   }
+
+  /** The ext-stamp evidence [[retrySet]] consumes: each query's max
+    * pass-ordered external-cores reading, kept only where the query's
+    * steal stamp co-tenant-confirms the intruder
+    * ([[BenchUtil.stealConfirms]] over the query's max steal reading —
+    * the same [max over samples] aggregation the artifact's
+    * "ext_cores"/"ext_cores_steal" stamps carry, so a reader holding
+    * BENCH_LOCAL.json can re-derive every fired/not-fired retry from the
+    * two stamp objects alone). Queries whose steal samples are empty
+    * (counter unreadable on this host) confirm conservatively — the
+    * pre-steal retry behavior. Pinned in HarnessSpec.
+    */
+  def retryExtStamps(ext: Map[String, List[Double]],
+                     steal: Map[String, List[Double]]): Map[String, Double] =
+    ext.collect {
+      case (n, xs) if xs.nonEmpty &&
+        BenchUtil.stealConfirms(steal.get(n).filter(_.nonEmpty).map(_.max)) =>
+        n -> xs.max
+    }
 
   /** The history-file line. The sf field joins the query pairs through ONE
     * mkString so the empty-merged case (all queries failed, no prior
@@ -171,9 +198,10 @@ object Bench {
     // stamped as "ext_cores_steal" so a ≥1-core "intruder" reading is
     // attributable to a co-tenant VM (steal ≈ ext) vs in-guest external
     // work like the query's own kernel writeback (steal ≈ 0) — the
-    // latter follows the query into its retry window and a retry is
-    // wasted on it. Name prefix keeps it inside parseHistory's
-    // ext_cores excision.
+    // latter follows the query into its retry window, so since the
+    // band freeze (docs/CALIBRATION.md) it no longer fires the ext
+    // retry (see retryExtStamps). Name prefix keeps it inside
+    // parseHistory's ext_cores excision.
     val stealSamples = scala.collection.mutable.Map[String, List[Double]]()
     def exec(name: String): Double = {
       val snap0 = BenchUtil.cpuSnap()
@@ -189,8 +217,6 @@ object Bench {
         stealSamples.updateWith(name)(p => Some(st :: p.getOrElse(Nil)))
       sec
     }
-    def extMax(name: String): Option[Double] =
-      extSamples.get(name).filter(_.nonEmpty).map(_.max)
 
     // LOAD GATE: a capture launched onto a busy host reads 19–25% hot and
     // is not comparable round-to-round. Above the threshold (1-minute
@@ -287,20 +313,19 @@ object Bench {
     val history: Map[String, Double] =
       (try parseHistory(Files.readString(Paths.get(historyPath)))
        catch { case _: Throwable => Map.empty[String, Double] })
-    val toRetry = retrySet(medians0, history,
-      names.flatMap(n => extMax(n).map(n -> _)).toMap)
-    val retried = toRetry.map(_._1)
-    // snapshot the PASS-ORDERED sample lists before the retry runs append
-    // to extSamples: the retry decision above consumed exactly these, so
-    // the artifact's "ext_cores" stamp must aggregate the same set — a
-    // reader applying the SKILL.md rule ("max ≥1 fires a retry when above
-    // floor") must never see a ≥1 max on a query whose retry trigger saw
-    // only clean samples (or vice versa). Retry-window contamination gets
-    // its own stamp below.
+    // snapshot the PASS-ORDERED sample lists BEFORE the retry decision and
+    // the retry runs that append to extSamples/stealSamples: the decision
+    // consumes exactly these snapshots (via retryExtStamps), and the
+    // artifact's "ext_cores"/"ext_cores_steal" stamps aggregate the same
+    // sets — a reader applying the SKILL.md rule ("ext max ≥1 AND steal
+    // max ≥0.5 fires a retry when above floor") must never see stamps
+    // that contradict the fired/not-fired retry set. Retry-window
+    // contamination gets its own stamp below.
     val extPass = extSamples.toMap
-    // steal twin, same pass-ordered snapshot discipline (diagnostic only
-    // — never a retry input, so no retry-window twin is needed)
     val stealPass = stealSamples.toMap
+    val toRetry = retrySet(medians0, history,
+      retryExtStamps(extPass, stealPass))
+    val retried = toRetry.map(_._1)
     val betterOf = toRetry.map { case (n, m, _) =>
       val again = BenchUtil.median((1 to runs).map(_ => exec(n)).filter(_ >= 0.0).sorted)
       n -> (if (again >= 0.0) { if (m >= 0.0) math.min(m, again) else again } else m)
@@ -353,10 +378,12 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ext_cores only in the FULL artifact (the compact stdout twin must stay
     // inside the driver's 2000-char tail); 2 decimals — it's a stamp, not a
-    // measurement. "ext_cores" is the [max, mean] pair over the query's
-    // PASS-ORDERED samples — the exact evidence the retry decision
-    // consumed, so the stamp and the fired/not-fired retry set never
-    // contradict each other for a reader applying the SKILL.md rule.
+    // measurement. "ext_cores" and "ext_cores_steal" are [max, mean]
+    // pairs over the query's PASS-ORDERED samples — together the exact
+    // evidence the retry decision consumed (retryExtStamps applies
+    // stealConfirms to the same maxima), so the stamps and the
+    // fired/not-fired retry set never contradict each other for a
+    // reader applying the SKILL.md rule.
     // Retry-window samples (exec calls after the decision) land in the
     // separate "ext_cores_retry" object, keyed only for retried queries —
     // they adjudicate whether a retry median itself ran clean. Arrays keep

@@ -307,6 +307,44 @@ object BenchUtil {
   val MemRefCleanWallMax: Double = 0.12
   val ParRefCleanFracMin: Double = 0.80
 
+  /** Steal-confirmation threshold for the ext-stamp retry trigger, in
+    * average stolen cores over a timed sample ([[stealCores]] unit).
+    *
+    * The per-query ext_cores stamp cannot tell a co-tenant VM burst from
+    * in-guest external work (the query's own kernel writeback, the sbt
+    * parent) — but the two need OPPOSITE retry responses: a co-tenant
+    * burst is independent of the query and has usually moved on by the
+    * post-suite retry window, while self-induced work follows the query
+    * into the retry and the retry re-measures the same thing (measured
+    * 2026-08-16, 87.8 s capture: q104 ext [1.41,0.47] / steal [1.65,0.57]
+    * retried into a cleaner window, vs q93 ext [1.08,0.38] / steal
+    * [0.03,0.01] whose retry was a waste). The steal counter separates
+    * them on this host: two dedicated multi-hour RefCalibrate
+    * distributions (docs/CALIBRATION.md) read steal ≤ 0.01 cores on a
+    * truly idle host and 0.73–5.83 cores during live co-tenant bursts,
+    * with probe bursts reading steal ≈ ext (0.732 vs 0.75, 2.515 vs
+    * 2.52) — while in-guest work ticks no steal at all. 0.5 sits an
+    * order of magnitude above the idle floor and below every measured
+    * burst, and matches RefCalibrate's own idle-verdict ext bound.
+    *
+    * Applied at QUERY level (max steal over the pass-ordered samples),
+    * not per sample, so the rule stays auditable from the artifact's two
+    * [max, mean] stamps alone — and a steal burst on a *different*
+    * sample of the same query still justifies the retry (steal ticks are
+    * inside the busy sum, so that sample was contaminated too). A query
+    * with NO readable steal samples confirms conservatively (hosts
+    * without steal ticking keep the pre-steal behavior). Pinned in
+    * HarnessSpec.
+    */
+  val StealConfirmMinCores: Double = 0.5
+
+  /** Whether a query's intruder stamp is co-tenant-confirmed (see
+    * [[StealConfirmMinCores]]): `stealMax` is the max steal reading over
+    * the query's pass-ordered samples, None when steal was unreadable.
+    */
+  def stealConfirms(stealMax: Option[Double]): Boolean =
+    stealMax.forall(_ >= StealConfirmMinCores)
+
   /** Capture-LEVEL adjudication from the per-capture host evidence (r16
     * ADVICE: BENCH_LOCAL.json is strict last-run output, so a consumer
     * treating a degraded-window total as representative overstates

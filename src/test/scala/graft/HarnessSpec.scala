@@ -183,6 +183,40 @@ class HarnessSpec extends AnyFunSuite {
       s"history-less ext hit must not displace real regressions: $pressed")
   }
 
+  test("Bench.retryExtStamps: steal-confirmed intruders only, conservative when unreadable") {
+    // the band-freeze constant is the committed retry contract: idle-host
+    // steal reads ≤0.01 cores, measured co-tenant bursts 0.73–5.83, so
+    // 0.5 separates them by an order of magnitude each way
+    // (docs/CALIBRATION.md, two dedicated distributions)
+    assert(BenchUtil.StealConfirmMinCores == 0.5)
+    assert(BenchUtil.stealConfirms(None), "unreadable steal confirms (pre-steal behavior)")
+    assert(!BenchUtil.stealConfirms(Some(0.49)))
+    assert(BenchUtil.stealConfirms(Some(0.5)))
+    val ext = Map(
+      "q01_a" -> List(1.41, 0.10),  // co-tenant burst (steal ≈ ext)
+      "q02_b" -> List(1.08, 0.20),  // in-guest work (steal ≈ 0)
+      "q03_c" -> List(2.00),        // steal samples missing entirely
+      "q04_d" -> List(0.90, 1.10),  // steal burst on the OTHER sample:
+      "q05_e" -> List.empty[Double]) //   query-level max still confirms
+    val steal = Map(
+      "q01_a" -> List(1.65, 0.02),
+      "q02_b" -> List(0.03, 0.01),
+      "q04_d" -> List(0.85, 0.04),
+      "q05_e" -> List(3.0))
+    val stamps = Bench.retryExtStamps(ext, steal)
+    assert(stamps == Map("q01_a" -> 1.41, "q03_c" -> 2.0, "q04_d" -> 1.1),
+      s"q02 dropped (in-guest), q03 kept (unreadable), q05 dropped (no ext samples): $stamps")
+    // composition with retrySet: the measured wasted-retry case (q93-shaped
+    // in-guest stamp above floor) no longer fires; the co-tenant case does
+    val medians = Seq("q01_a" -> 0.45, "q02_b" -> 0.45)
+    val history = Map("q01_a" -> 0.3, "q02_b" -> 0.3)
+    assert(Bench.retrySet(medians, history,
+      Bench.retryExtStamps(
+        Map("q01_a" -> List(1.41), "q02_b" -> List(1.08)),
+        Map("q01_a" -> List(1.65), "q02_b" -> List(0.03)))).map(_._1)
+      == Seq("q01_a"))
+  }
+
   test("BenchUtil.captureProfile: clean iff no band/intruder/gate evidence fires") {
     // band constants are the committed artifact contract (this host's
     // measured envelopes — see the scaladoc's calibration sources)
