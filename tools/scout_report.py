@@ -42,7 +42,8 @@ def main() -> None:
                            None))
             if "steal_cores" in d:
                 stalls.append((d["steal_cores"], d["psi_cpu"],
-                               d["psi_mem"], d["psi_io"]))
+                               d["psi_mem"], d["psi_io"],
+                               d.get("run_ext_cores", -1.0)))
             continue
         m = re.match(r"^(\S+) verdict=(\w+)", line)
         if m and probes:
@@ -93,6 +94,18 @@ def main() -> None:
               f"median {sv[k//2]:.3f}  p90 {sv[9*k//10]:.3f}  max {sv[-1]:.3f}")
         print(f"probes with steal >= 0.5 cores: "
               f"{sum(1 for s in sv if s >= 0.5)}/{k}")
+        # quiet-guest split: probes whose own whole-run ext reading was
+        # ≤0.5 cores (RefCalibrate's idle-verdict bound) isolate the
+        # steal floor from in-guest-load windows — the number the
+        # StealConfirmMinCores freeze cites (steal ticks only for
+        # co-tenant work, so the split should barely move the maxima
+        # but pins the floor on a provably quiet guest)
+        quiet = sorted(s[0] for s in stalls if 0 <= s[4] <= 0.5)
+        if quiet:
+            q = len(quiet)
+            print(f"quiet-guest (run_ext <= 0.5) steal over {q} probes: "
+                  f"min {quiet[0]:.3f}  median {quiet[q//2]:.3f}  "
+                  f"max {quiet[-1]:.3f}")
         for i, name in ((1, "psi_cpu"), (2, "psi_mem"), (3, "psi_io")):
             mx = max(s[i] for s in stalls)
             print(f"max {name}: {mx:.4f}")
