@@ -29,11 +29,15 @@ import org.apache.spark.sql.SparkSession
   * contaminated query is identifiable — and sustained-vs-spike adjudicable —
   * from the artifact alone, no worktree A/B needed. The artifact also
   * carries a capture-level `capture_profile` verdict ("clean"/"degraded"
-  * plus the flags that fired — see [[BenchUtil.captureProfile]]), and a
-  * fully-clean unfiltered zero-failure capture additionally overwrites
-  * BENCH_CLEAN.<sf>.json (env SPARK_GRAFT_BENCH_CLEAN_OUT) — the
-  * representative-performance record that degraded windows can't clobber
-  * while BENCH_LOCAL.json stays strict last-run output.
+  * plus the flags that fired — see [[BenchUtil.captureProfile]]) and a
+  * `capture_class` host-window sub-class ("pristine" zero-co-tenancy vs
+  * "ambient" — see [[BenchUtil.captureClass]]; this host's two measured
+  * clean states differ ~14% in total, so the clean record must say which
+  * state it holds), and a fully-clean unfiltered zero-failure capture
+  * additionally overwrites BENCH_CLEAN.<sf>.json
+  * (env SPARK_GRAFT_BENCH_CLEAN_OUT) — the representative-performance
+  * record that degraded windows can't clobber while BENCH_LOCAL.json
+  * stays strict last-run output.
   *
   * CONTENTION DEFENSE: medians still read 2–3× high when another process
   * owns the host for a whole pass (round 8: two same-code runs at similar
@@ -126,16 +130,26 @@ object Bench {
     * the same [max over samples] aggregation the artifact's
     * "ext_cores"/"ext_cores_steal" stamps carry, so a reader holding
     * BENCH_LOCAL.json can re-derive every fired/not-fired retry from the
-    * two stamp objects alone). Queries whose steal samples are empty
-    * (counter unreadable on this host) confirm conservatively — the
-    * pre-steal retry behavior. Pinned in HarnessSpec.
+    * two stamp objects alone). Both maxima are [[BenchUtil.round2]]-
+    * rounded BEFORE gating — the gates must consume the same 2-decimal
+    * values the stamps carry, or boundary readings (ext 0.995 stamping
+    * 1.00, steal 0.495 stamping 0.50) would make the stamps contradict
+    * the fired/not-fired set. Queries whose steal samples are empty OR
+    * fewer than their ext samples confirm conservatively (the pre-steal
+    * retry behavior): steal and ext come from the same /proc snapshots,
+    * so a count mismatch means the steal read failed on some sample —
+    * possibly exactly the contaminated one — and the artifact omits the
+    * partial steal stamp for that query (see the stamp filter in main),
+    * so absent-stamp = conservative-confirm stays reader-derivable.
+    * Pinned in HarnessSpec.
     */
   def retryExtStamps(ext: Map[String, List[Double]],
                      steal: Map[String, List[Double]]): Map[String, Double] =
     ext.collect {
-      case (n, xs) if xs.nonEmpty &&
-        BenchUtil.stealConfirms(steal.get(n).filter(_.nonEmpty).map(_.max)) =>
-        n -> xs.max
+      case (n, xs) if xs.nonEmpty && BenchUtil.stealConfirms(
+        steal.get(n).filter(st => st.size >= xs.size)
+          .map(st => BenchUtil.round2(st.max))) =>
+        n -> BenchUtil.round2(xs.max)
     }
 
   /** The history-file line. The sf field joins the query pairs through ONE
@@ -274,6 +288,14 @@ object Bench {
     // untimed warmup — bypasses the stamping wrapper so contamination during
     // JVM/codegen startup is not charged to the first query's ext_cores
     names.headOption.foreach(n => BenchUtil.execNoop(spark, n, sfDir, "bench"))
+    // reset the stall-span origin AFTER the warmup (r17 ADVICE): the seg1
+    // span must start where the first TIMED exec starts, or warmup/JVM-
+    // startup stalls get charged to seg1's steal/PSI deltas — unlike
+    // ext_cores, which already excludes the warmup by construction. The
+    // triad start stamps above are deliberately pre-warmup (they read the
+    // host window the first queries get); only the quarter DELTAS move.
+    stallPrev = BenchUtil.stallSnap()
+    stallPrevT = System.nanoTime
     // mid-suite segment stamps (r16 VERDICT): the 91.5 s capture showed a
     // starved window FADING mid-run (18.5 → 30.7 delivered cores between
     // the start/end stamps) — end-point stamps can't say which queries a
@@ -404,7 +426,13 @@ object Bench {
     }
     val extJson = extPairJson(extPass)
     val extRetryJson = extPairJson(extRetry)
-    val extStealJson = extPairJson(stealPass)
+    // a PARTIAL steal list (fewer samples than the query's ext list —
+    // the steal read failed on some sample) is omitted from the stamp:
+    // retryExtStamps treats it as unreadable (conservative confirm), and
+    // an absent steal stamp is exactly how the artifact spells
+    // "unreadable" to a reader re-deriving the retry set
+    val extStealJson = extPairJson(stealPass.filter { case (n, st) =>
+      extPass.get(n).forall(xs => st.size >= xs.size) })
     // "cpu_ref"/"mem_ref": [wall, threadCpu] seconds for the fixed
     // reference spin (register-only cycles) and memory walk (DRAM
     // bandwidth) at suite start/end — keys are not query names and the
@@ -419,8 +447,12 @@ object Bench {
     val threads = Runtime.getRuntime.availableProcessors
     def deliveredCores(r: (Double, Double, Long)): Double =
       if (r._2 < 0 || r._1 <= 0) -1.0 else r._2 / r._1
+    // round2 before the ≥1.0 gate: the verdict's intruder criterion must
+    // consume the same 2-decimal value the ext_cores stamp carries (a
+    // 0.995 reading stamps 1.00 and must flag; see retryExtStamps)
     val intruders = names.filter(n =>
-      extPass.get(n).exists(xs => xs.nonEmpty && xs.max >= 1.0))
+      extPass.get(n).exists(xs =>
+        xs.nonEmpty && BenchUtil.round2(xs.max) >= 1.0))
     // segment stamps join the verdict between the end-points (same fixed
     // work ⇒ same bands): a capture with clean ends but a degraded middle
     // must not write the clean record
@@ -435,6 +467,19 @@ object Bench {
         ("end" -> deliveredCores(parEnd)),
       threads, intruders, loadGate)
     val flagsJson = profileFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // host-WINDOW sub-class (pristine = zero co-tenancy vs ambient — see
+    // BenchUtil.captureClass): stamped on EVERY capture, orthogonal to
+    // the flag-based verdict, so BENCH_CLEAN records which of the two
+    // clean classes it holds (a pristine 74.6 s and an ambient-clean
+    // 87 s are both representative — of different host states) and a
+    // degraded capture in a pristine window still says so. Gates on
+    // quarter evidence only (seg cores + stall spans + all mem stamps);
+    // the par start/end pair brackets JVM edge activity and reads
+    // 28.5–29.4 even inside a pristine window, so it stays out.
+    val captureCls = BenchUtil.captureClass(
+      memStart._1 +: segMem.map(_._2) :+ memEnd._1,
+      segPar.map(_._2), threads,
+      stallSegs.toSeq.map(_._2._1))
     val full = jsonLine(ok.map { case (k, v) => k -> v.toString },
       s""","retried":$retriedJson,"ext_cores":$extJson,""" +
         s""""ext_cores_retry":$extRetryJson,""" +
@@ -463,7 +508,8 @@ object Bench {
             s""""psi_mem":${BenchUtil.fmt(pm, 4)},""" +
             s""""psi_io":${BenchUtil.fmt(pi, 4)}}"""
         }.mkString("[", ",", "]")},""" +
-        s""""capture_profile":"$profile","capture_flags":$flagsJson,""" +
+        s""""capture_profile":"$profile","capture_class":"$captureCls",""" +
+        s""""capture_flags":$flagsJson,""" +
         s""""loadavg_start":"$load0",""" +
         s""""loadavg_end":"${BenchUtil.loadavg()}",""" +
         s""""load_gate":"$loadGate","load_gate_max":$loadMax""")

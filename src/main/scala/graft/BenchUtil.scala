@@ -341,9 +341,90 @@ object BenchUtil {
   /** Whether a query's intruder stamp is co-tenant-confirmed (see
     * [[StealConfirmMinCores]]): `stealMax` is the max steal reading over
     * the query's pass-ordered samples, None when steal was unreadable.
+    * Callers pass the max ALREADY [[round2]]-rounded — the gate must
+    * compare the same 2-decimal value the artifact stamps, or boundary
+    * readings (0.495–0.4999 stamps as 0.50) would contradict the
+    * documented re-derivability of the retry set from the stamps.
     */
   def stealConfirms(stealMax: Option[Double]): Boolean =
     stealMax.forall(_ >= StealConfirmMinCores)
+
+  /** Round to the 2-decimal precision the ext/steal stamps carry
+    * ([[fmt]](v, 2) renders the same value): every gate that the artifact
+    * documents as re-derivable from the stamps must compare THIS value,
+    * not the raw double — a raw-value gate and a rounded stamp disagree
+    * exactly on boundary readings (ext 0.995–0.999 stamps 1.00 but would
+    * not trigger; steal 0.495–0.499 stamps 0.50 but would not confirm).
+    * HALF_UP like String.format, so round2 and the stamp never split a
+    * tie differently. Pinned in HarnessSpec.
+    */
+  def round2(v: Double): Double = roundAt(v, 2)
+
+  /** [[round2]] at an arbitrary stamp precision: the seg_ref cores stamp
+    * carries 1 decimal, mem/stall_ref 3 — each gate rounds to ITS stamp's
+    * precision.
+    */
+  def roundAt(v: Double, decimals: Int): Double =
+    BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Clean-capture SUB-CLASS bands: inside the machine-verdict-clean
+    * envelope this host shows two recurring states (round 17,
+    * docs/SCALE_MEASURED.md): "ambient" — clean with residual co-tenant
+    * draw (the 86.96 s record: seg cores 29.3–30.9, quarter-steal
+    * 0.008–0.027) — and "pristine" — zero co-tenancy, the state behind
+    * every 72–77 s total and the 65.97 s floor sum (the 74.63 s
+    * recurrence: seg cores 31.1–31.5, quarter-steal 0.002–0.003,
+    * mem_ref 0.053–0.070). Constants are frozen from RefCalibrate-
+    * protocol probe distributions (docs/CALIBRATION.md "pristine
+    * sub-verdict"), not from those two captures alone:
+    *
+    *  - [[PristineStealMaxCores]] 0.005: 171 probes over three dedicated
+    *    distributions put the idle steal floor at ≤0.01 with 21 probes
+    *    reading ≤0.005 — but ONLY in the zero-co-tenancy window do the
+    *    ~20 s capture quarters hold ≤0.005 simultaneously (ambient-clean
+    *    quarters read 0.008–0.027);
+    *  - [[PristineParFracMin]] 0.97 (31.04 of 32): quiet-guest probes
+    *    (run ext ≤0.5) top out at 30.97 delivered cores EXCEPT in the
+    *    zero-co-tenancy window (31.28–31.38); capture seg stamps split
+    *    the same way (ambient max 30.9 vs pristine min 31.1);
+    *  - [[PristineMemRefWallMax]] 0.08: probes show a steal-silent
+    *    bandwidth-pressure class (mem 0.17 at steal 0.004, full cores) —
+    *    the mem bound excludes it; both clean classes sit ≤0.077.
+    *
+    * Applied to the SEG/quarter stamps, not the start/end par_ref pair:
+    * suite-edge stamps bracket JVM startup/teardown and read 28.5–29.4
+    * even inside the pristine window. The class is a host-WINDOW
+    * classification, orthogonal to the flag-based capture verdict (the
+    * 74.63 s capture classifies pristine yet self-adjudicated degraded
+    * on one in-guest ext stamp — both statements are true and the
+    * artifact should say both). Pinned in HarnessSpec.
+    */
+  val PristineStealMaxCores: Double = 0.005
+  val PristineParFracMin: Double = 0.97
+  val PristineMemRefWallMax: Double = 0.08
+
+  /** Classify the capture's host window: "pristine" (zero co-tenancy —
+    * see the band scaladoc above) or "ambient" (anything else, including
+    * unreadable evidence: pristine requires POSITIVE evidence on all
+    * three axes, so missing seg stamps or -1 readings classify ambient,
+    * never pristine). `memWalls` takes every mem_ref wall stamp
+    * (start + segs + end), `segDelivered` the seg_ref delivered-cores
+    * readings only, `quarterSteal` the stall_ref per-span steal-cores.
+    */
+  def captureClass(memWalls: Seq[Double], segDelivered: Seq[Double],
+                   threads: Int, quarterSteal: Seq[Double]): String = {
+    // each axis gates on the value rounded to ITS stamp precision
+    // (mem/steal 3 decimals, seg cores 1), so the class is re-derivable
+    // from the artifact's stamps alone — same discipline as round2 for
+    // the retry gates
+    val memOk = memWalls.nonEmpty && memWalls.forall(w =>
+      w >= 0 && roundAt(w, 3) <= PristineMemRefWallMax)
+    val parOk = segDelivered.nonEmpty && segDelivered.forall(d =>
+      roundAt(d, 1) >= PristineParFracMin * threads)
+    val stealOk = quarterSteal.nonEmpty && quarterSteal.forall(s =>
+      s >= 0 && roundAt(s, 3) <= PristineStealMaxCores)
+    if (memOk && parOk && stealOk) "pristine" else "ambient"
+  }
 
   /** Capture-LEVEL adjudication from the per-capture host evidence (r16
     * ADVICE: BENCH_LOCAL.json is strict last-run output, so a consumer
@@ -380,18 +461,21 @@ object BenchUtil {
                      parDelivered: Seq[(String, Double)], threads: Int,
                      extIntruders: Seq[String],
                      loadGate: String): (String, Seq[String]) = {
+    // every band compares the value rounded to its flag/stamp precision
+    // (walls 3 decimals, delivered cores 1) so a boundary reading can
+    // never fire a flag whose own printed value sits inside the band
     val flags = Seq.newBuilder[String]
     cpuRefWalls.foreach { case (tag, w) =>
-      if (w > CpuRefCleanWallMax)
+      if (roundAt(w, 3) > CpuRefCleanWallMax)
         flags += s"cpu_ref $tag ${fmt(w, 3)} above ${fmt(CpuRefCleanWallMax, 2)}"
     }
     memRefWalls.foreach { case (tag, w) =>
-      if (w > MemRefCleanWallMax)
+      if (roundAt(w, 3) > MemRefCleanWallMax)
         flags += s"mem_ref $tag ${fmt(w, 3)} above ${fmt(MemRefCleanWallMax, 2)}"
     }
     val parMin = ParRefCleanFracMin * threads
     parDelivered.foreach { case (tag, d) =>
-      if (d >= 0 && d < parMin)
+      if (d >= 0 && roundAt(d, 1) < parMin)
         flags += s"par_ref $tag delivered ${fmt(d, 1)} of $threads cores " +
           s"under ${fmt(parMin, 1)}"
     }

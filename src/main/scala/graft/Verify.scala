@@ -38,9 +38,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional builder-side filter: only dump queries whose name contains
-    // args(2) (driver always calls with exactly two args → no-op there)
-    val nameFilter = args.lift(2).getOrElse("")
+    // optional builder-side filter: only dump queries matching args(2) —
+    // same contract as SPARK_GRAFT_BENCH_FILTER (comma-separated substring
+    // alternatives, empty segments dropped, empty/absent = all; see
+    // BenchUtil.parseNameFilters). The driver always calls with exactly
+    // two args → no-op there. Round 18: was a single substring, which
+    // could not name a 20-query subset for the sf1 spot-verify.
+    val nameFilters = BenchUtil.parseNameFilters(args.lift(2).getOrElse(""))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Root the oracle-aux dumps (persisted models/indexes the DuckDB oracle
     // reads back) under THIS run's out_dir: build and check then share one
@@ -62,7 +66,8 @@ object Verify {
     // everything (so the driver still gets the other results), then exit
     // nonzero so the failure can't slide through a snapshot unnoticed.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q =>
+      BenchUtil.matchesFilter(q._1, nameFilters)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val decs = decimalColumns(df.schema)

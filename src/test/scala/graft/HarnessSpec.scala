@@ -183,6 +183,26 @@ class HarnessSpec extends AnyFunSuite {
       s"history-less ext hit must not displace real regressions: $pressed")
   }
 
+  test("round2/roundAt: gates consume the exact value the stamps print") {
+    // r17 ADVICE: extPairJson stamps 2 decimals while the gates compared
+    // unrounded maxima, so boundary readings contradicted the documented
+    // stamp-re-derivability. The gates now consume round2/roundAt values,
+    // which must agree with BenchUtil.fmt (String.format HALF_UP) at the
+    // same precision — including ties and negatives.
+    for (v <- Seq(0.495, 0.4949, 0.4999, 0.995, 0.9949, 1.005, 0.005,
+      0.0045, 0.0054, 31.04, 31.05, 30.94, 0.0, 2.515)) {
+      assert(BenchUtil.fmt(BenchUtil.round2(v), 2) == BenchUtil.fmt(v, 2),
+        s"round2($v) must render as the 2-decimal stamp renders $v")
+      assert(BenchUtil.fmt(BenchUtil.roundAt(v, 3), 3) == BenchUtil.fmt(v, 3))
+      assert(BenchUtil.fmt(BenchUtil.roundAt(v, 1), 1) == BenchUtil.fmt(v, 1))
+    }
+    assert(BenchUtil.round2(0.495) == 0.50) // stamps 0.50 ⇒ must confirm
+    assert(BenchUtil.round2(0.995) == 1.00) // stamps 1.00 ⇒ must trigger
+    assert(BenchUtil.round2(0.9949) == 0.99)
+    assert(BenchUtil.roundAt(0.0054, 3) == 0.005) // stall stamp precision
+    assert(BenchUtil.roundAt(31.04, 1) == 31.0)   // seg cores precision
+  }
+
   test("Bench.retryExtStamps: steal-confirmed intruders only, conservative when unreadable") {
     // the band-freeze constant is the committed retry contract: idle-host
     // steal reads ≤0.01 cores, measured co-tenant bursts 0.73–5.83, so
@@ -206,6 +226,22 @@ class HarnessSpec extends AnyFunSuite {
     val stamps = Bench.retryExtStamps(ext, steal)
     assert(stamps == Map("q01_a" -> 1.41, "q03_c" -> 2.0, "q04_d" -> 1.1),
       s"q02 dropped (in-guest), q03 kept (unreadable), q05 dropped (no ext samples): $stamps")
+    // boundary readings gate on the ROUNDED (= stamped) value: ext 0.995
+    // stamps 1.00 and is eligible at ≥1.0 downstream; steal 0.495 stamps
+    // 0.50 and confirms; steal 0.4949 stamps 0.49 and does not
+    val b = Bench.retryExtStamps(
+      Map("q01_a" -> List(0.995), "q02_b" -> List(0.995)),
+      Map("q01_a" -> List(0.495), "q02_b" -> List(0.4949)))
+    assert(b == Map("q01_a" -> 1.0),
+      s"stamped-value gating at both boundaries: $b")
+    // PARTIAL steal list (fewer samples than ext — the steal read failed
+    // on some sample, possibly the contaminated one): conservative
+    // confirm, same as unreadable (r17 ADVICE)
+    val p = Bench.retryExtStamps(
+      Map("q01_a" -> List(1.41, 1.2, 0.1)),
+      Map("q01_a" -> List(0.03, 0.01))) // 2 steal samples vs 3 ext
+    assert(p == Map("q01_a" -> 1.41),
+      s"partial steal evidence must confirm conservatively: $p")
     // composition with retrySet: the measured wasted-retry case (q93-shaped
     // in-guest stamp above floor) no longer fires; the co-tenant case does
     val medians = Seq("q01_a" -> 0.45, "q02_b" -> 0.45)
@@ -277,6 +313,62 @@ class HarnessSpec extends AnyFunSuite {
       """"load_gate":"clean"}"""
     assert(Bench.parseHistory(line) == Map("q02_traffic_total" -> 0.36),
       "capture stamps must not poison a BENCH_LOCAL line fed as history")
+  }
+
+  test("BenchUtil.captureClass: pristine only on joint quarter evidence, ambient otherwise") {
+    // the frozen sub-verdict constants (docs/CALIBRATION.md "pristine
+    // sub-verdict": RefCalibrate-protocol probe distributions, 171+
+    // probes over three days — NOT the two anchor captures alone)
+    assert(BenchUtil.PristineStealMaxCores == 0.005)
+    assert(BenchUtil.PristineParFracMin == 0.97)
+    assert(BenchUtil.PristineMemRefWallMax == 0.08)
+    // the 74.63 s zero-co-tenancy recurrence (r17 session 3): mem stamps
+    // 0.053–0.070, seg cores 31.1–31.5, quarter-steal 0.002–0.003
+    val pristine = BenchUtil.captureClass(
+      Seq(0.065, 0.070, 0.058, 0.053, 0.054),
+      Seq(31.5, 31.1, 31.4), 32,
+      Seq(0.003, 0.002, 0.002, 0.002))
+    assert(pristine == "pristine")
+    // the 86.96 s ambient-clean record: seg cores 29.3–30.9 and
+    // quarter-steal 0.008–0.027 both sit outside the pristine bands
+    assert(BenchUtil.captureClass(
+      Seq(0.069, 0.077, 0.069, 0.061, 0.065),
+      Seq(30.1, 29.3, 30.9), 32,
+      Seq(0.025, 0.027, 0.008, 0.008)) == "ambient")
+    // steal-silent bandwidth-pressure window (probe: mem 0.17 at steal
+    // 0.004, full cores) — the mem bound excludes it from pristine
+    assert(BenchUtil.captureClass(
+      Seq(0.170, 0.075, 0.070), Seq(31.2, 31.3), 32,
+      Seq(0.004, 0.004)) == "ambient")
+    // single axis misses flip to ambient: one seg at 30.9 cores; one
+    // quarter-steal at 0.006; cores gate at the 1-decimal stamp value
+    // (31.04 threshold: 31.05 rounds 31.1 and passes, 31.04 rounds 31.0
+    // and fails — re-derivable from the artifact's "cores" stamp)
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5, 30.9), 32,
+      Seq(0.002)) == "ambient")
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5), 32,
+      Seq(0.002, 0.006)) == "ambient")
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(31.05), 32,
+      Seq(0.002)) == "pristine")
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(31.04), 32,
+      Seq(0.002)) == "ambient")
+    // steal gates at the 3-decimal stamp value (0.0054 stamps 0.005)
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5), 32,
+      Seq(0.0054)) == "pristine")
+    // pristine needs POSITIVE evidence on all three axes: missing seg
+    // stamps, missing quarters, or unreadable (-1) readings never
+    // classify pristine
+    assert(BenchUtil.captureClass(Seq(0.06), Nil, 32, Seq(0.002)) == "ambient")
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5), 32, Nil) == "ambient")
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5), 32,
+      Seq(-1.0)) == "ambient")
+    assert(BenchUtil.captureClass(Seq(-1.0), Seq(31.5), 32,
+      Seq(0.002)) == "ambient")
+    // parseHistory totality over an artifact carrying the class stamp
+    assert(Bench.parseHistory(
+      """{"q02_traffic_total":0.36,"capture_profile":"clean",""" +
+        """"capture_class":"pristine"}""")
+      == Map("q02_traffic_total" -> 0.36))
   }
 
   test("stall counters: snapshots are monotonic and deltas normalize per second") {

@@ -3,11 +3,13 @@
 
 Usage: check_oracle.py <sfDir> <verifyOutDir> [nameFilter]
 
-Pass the SAME nameFilter given to a filtered Verify run: dump dirs absent
-because the filter excluded them are then skipped; in an unfiltered run an
-absent dump dir means the query CRASHED during Verify and is counted as FAIL
-(Verify also exits nonzero, but the masking must not depend on the caller
-checking both).
+Pass the SAME nameFilter given to a filtered Verify run (round 18: the
+shared contract is comma-separated substring ALTERNATIVES, empty segments
+dropped — BenchUtil.parseNameFilters): dump dirs absent because the filter
+excluded them are then skipped; in an unfiltered run an absent dump dir
+means the query CRASHED during Verify and is counted as FAIL (Verify also
+exits nonzero, but the masking must not depend on the caller checking
+both).
 
 DRIVER-FAITHFUL READ PATHS (the rounds-8-AND-9 lesson): the driver reads the
 SPARK dump through pyarrow and the oracle through DuckDB. The two readers
@@ -86,7 +88,8 @@ def main(sf_dir, out_dir, name_filter=""):
         if not spark_dir.exists():
             # only a name-filtered Verify run may legitimately omit a dump;
             # in a full run an absent dir means the query crashed mid-Verify
-            if name_filter and name_filter not in name:
+            alts = [a.strip() for a in name_filter.split(",") if a.strip()]
+            if alts and not any(a in name for a in alts):
                 n_skip += 1
                 continue
             print(f"FAIL {name}: no dump dir (query crashed during Verify?)")
