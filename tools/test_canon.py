@@ -130,6 +130,54 @@ try:
 except ValueError:
     pass
 
+# --- clean_regress verdict arms (round 18) ---------------------------------
+# The regression-arm tool must (a) flag a genuine per-query code regression
+# through a uniform host factor, (b) reserve "code_question" for CLEAN
+# candidates, (c) call an unflagged clean capture "host_only". Synthetic
+# artifacts pin all three (the wild validation is the planted-pessimization
+# capture in docs/bench_val_clean_regress.md).
+import json as _json
+import subprocess as _sp
+
+def _regress(candidate, record):
+    with tempfile.TemporaryDirectory() as td:
+        c = Path(td) / "cand.json"
+        r = Path(td) / "rec.json"
+        c.write_text(_json.dumps(candidate))
+        r.write_text(_json.dumps(record))
+        out = _sp.run([sys.executable,
+                       str(Path(__file__).parent / "clean_regress.py"),
+                       str(c), str(r)], capture_output=True, text=True)
+        return _json.loads(out.stdout), out.returncode
+
+_rec = {"value": 10.0, "sf": "/root/testdata/sf0.1", "capture_profile": "clean",
+        "queries": {f"q{i:02d}_x{i}": 1.0 for i in range(1, 11)}}
+# uniform 1.2x host window + one 3x query: only that query flags
+_cand_q = dict(_rec, value=14.4, queries={
+    k: (3.0 if k == "q05_x5" else 1.2) for k in _rec["queries"]})
+_o, _rc = _regress(_cand_q, _rec)
+pin(_o["verdict"] == "code_question" and _rc == 1 and
+    [f["query"] for f in _o["flagged"]] == ["q05_x5"],
+    f"clean candidate with one 3x query must be code_question on it, got {_o}")
+pin(abs(_o["host_factor"] - 1.2) < 1e-9,
+    f"median ratio must read the 1.2x host window, got {_o['host_factor']}")
+# same shape but degraded profile: advisory, exit 0
+_o, _rc = _regress(dict(_cand_q, capture_profile="degraded"), _rec)
+pin(_o["verdict"] == "degraded_window_advisory" and _rc == 0,
+    f"degraded candidate never returns code_question, got {_o['verdict']}")
+# uniform 1.3x window, no outlier: host_only
+_o, _rc = _regress(dict(_rec, value=13.0, capture_profile="clean",
+                        queries={k: 1.3 for k in _rec["queries"]}), _rec)
+pin(_o["verdict"] == "host_only" and _rc == 0 and not _o["flagged"],
+    f"uniformly slow clean capture is the host, not code, got {_o}")
+# sub-noise-floor excess never flags (the q15/q49 class)
+_o, _rc = _regress(dict(_rec, capture_profile="clean", queries=dict(
+    _rec["queries"], q05_x5=1.0, q06_x6=1.0, **{"q11_tiny": 0.14}),
+    value=10.14), dict(_rec, queries=dict(_rec["queries"],
+    **{"q11_tiny": 0.05})), )
+pin(all(f["query"] != "q11_tiny" for f in _o["flagged"]),
+    f"0.09 s excess on a 0.05 s query stays under the floor, got {_o}")
+
 if FAILS:
     print(f"== {len(FAILS)} canonicalization pins FAILED ==")
     sys.exit(1)
