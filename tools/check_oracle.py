@@ -79,8 +79,12 @@ def main(sf_dir, out_dir, name_filter=""):
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
+            # driver testdata ships single-file tables; builder-side scale
+            # replicas (graft.tools.ScaleData) are Spark directory-parquet
+            # -- register those through a glob, which DuckDB needs for dirs
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
