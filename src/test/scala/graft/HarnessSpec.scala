@@ -188,7 +188,10 @@ class HarnessSpec extends AnyFunSuite {
     // unrounded maxima, so boundary readings contradicted the documented
     // stamp-re-derivability. The gates now consume round2/roundAt values,
     // which must agree with BenchUtil.fmt (String.format HALF_UP) at the
-    // same precision — including ties and negatives.
+    // same precision — over the NON-NEGATIVE domain the stamps live in
+    // (clamped-at-0 core readings and wall seconds; the -1 unreadable
+    // sentinels are never rounded or gated, and a negative near-zero
+    // would differ only in "-0.0" vs "0.0" signed-zero rendering).
     for (v <- Seq(0.495, 0.4949, 0.4999, 0.995, 0.9949, 1.005, 0.005,
       0.0045, 0.0054, 31.04, 31.05, 30.94, 0.0, 2.515)) {
       assert(BenchUtil.fmt(BenchUtil.round2(v), 2) == BenchUtil.fmt(v, 2),
