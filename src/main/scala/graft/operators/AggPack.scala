@@ -112,26 +112,45 @@ object AggPack extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Tracked capacity AND estimate size for [[topkSketchTokens]]'s
+    * frequency sketches. One constant on purpose: a space-saving sketch
+    * whose tracked set is never evicted (per-group distinct ≤ capacity)
+    * is EXACT, and estimating up to the same bound returns the complete
+    * exact frequency table — which is what the plain-counts DuckDB
+    * oracle checks. The round-18 sf1 spot-verify caught the old value
+    * (64) silently leaving that regime: the sf1 replica suffixes tokens
+    * per replica, so per-source vocabulary grew 310 > 64 with FLAT
+    * counts — the sketch fell into deep estimation where nothing is
+    * guaranteed-frequent and `approx_top_k_estimate` returned an EMPTY
+    * set (its no-false-positives contract), turning q118 into 0 rows.
+    * 8192 keeps the exact regime through any replica SF the rehearsals
+    * use (~26× sf1's vocab) at a few hundred KB of sketch state per
+    * group; at true-corpus vocabularies the sketch degrades gracefully
+    * to the guaranteed-frequent heads of a Zipfian distribution, which
+    * is the operator's documented approximate behavior there.
+    */
+  val TopKSketchTracked: Int = 8192
+
   /** Mergeable frequency sketches — the heavy-hitters companion to q112's
     * HLL cardinality pattern: per-source approx_top_k_accumulate states,
     * re-aggregated with approx_top_k_combine for the global answer (store
     * per-shard sketch, answer any rollup without re-reading the corpus).
-    * maxItemsTracked=64 exceeds the fixture's 31-token vocabulary, and a
-    * space-saving sketch whose tracked set is never evicted is EXACT — so
-    * unlike q112 this sketch query has a full DuckDB oracle (plain counts),
-    * while still exercising the accumulate/combine/estimate plumbing that
-    * runs approximate at real vocabulary sizes.
+    * In the exact regime (see [[TopKSketchTracked]]) the query has a full
+    * DuckDB oracle (plain counts) while still exercising the
+    * accumulate/combine/estimate plumbing that runs approximate at real
+    * vocabulary sizes.
     */
   def topkSketchTokens(spark: SparkSession, dir: String): DataFrame = {
+    val k = TopKSketchTracked
     val tok = graft.Tables.docs(spark, dir)
       .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
     val perSrc = tok.groupBy(col("source"))
-      .agg(expr("approx_top_k_accumulate(tok, 64)").as("st"))
+      .agg(expr(s"approx_top_k_accumulate(tok, $k)").as("st"))
     val per = perSrc.select(col("source"),
-      explode(expr("approx_top_k_estimate(st, 64)")).as("e"))
-    val global = perSrc.agg(expr("approx_top_k_combine(st, 64)").as("st"))
+      explode(expr(s"approx_top_k_estimate(st, $k)")).as("e"))
+    val global = perSrc.agg(expr(s"approx_top_k_combine(st, $k)").as("st"))
       .select(lit("__all__").as("source"),
-        explode(expr("approx_top_k_estimate(st, 64)")).as("e"))
+        explode(expr(s"approx_top_k_estimate(st, $k)")).as("e"))
     per.unionAll(global)
       .select(col("source"), col("e.item").as("tok"), col("e.count").as("n"))
       .orderBy(col("source"), col("tok"))
@@ -692,8 +711,9 @@ object AggPack extends QueryPack {
         |  SELECT 'orders_totalprice_positive', bad_price, bad_price = 0 FROM oa) u
         |ORDER BY "check"""".stripMargin,
     "q118_topk_sketch_union" ->
-      // the sketch is exact here (tracked items ≥ distinct tokens), so the
-      // oracle is the plain per-source + global token counts
+      // the sketch is exact here (TopKSketchTracked ≥ per-group distinct
+      // tokens, verified through sf1's suffix-inflated vocabulary), so
+      // the oracle is the plain per-source + global token counts
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
         |per AS (
