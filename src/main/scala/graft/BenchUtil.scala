@@ -363,6 +363,17 @@ object BenchUtil {
   /** [[round2]] at an arbitrary stamp precision: the seg_ref cores stamp
     * carries 1 decimal, mem/stall_ref 3 — each gate rounds to ITS stamp's
     * precision.
+    *
+    * LOAD-BEARING SUBTLETY: `scala.math.BigDecimal(Double)` goes through
+    * `Double.toString`'s shortest-repr semantics, so `BigDecimal(0.495)`
+    * is exactly 0.495 and HALF_UP gives 0.50 — agreeing with
+    * `String.format`/[[fmt]] at every boundary. Rewriting this with
+    * `java.math.BigDecimal`'s exact-double constructor (the "obvious"
+    * Java equivalent) would see 0.494999…, silently flip every boundary
+    * case (0.495→0.49, 0.995→0.99), and break the stamp-re-derivability
+    * contract the gates rely on. The HarnessSpec boundary pins
+    * (round2(0.495)==0.50 etc.) guard exactly this hazard — do not
+    * "simplify" the constructor.
     */
   def roundAt(v: Double, decimals: Int): Double =
     BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -383,7 +394,8 @@ object BenchUtil {
     *    reading ≤0.005 — but ONLY in the zero-co-tenancy window do the
     *    ~20 s capture quarters hold ≤0.005 simultaneously (ambient-clean
     *    quarters read 0.008–0.027);
-    *  - [[PristineParFracMin]] 0.97 (31.04 of 32): quiet-guest probes
+    *  - [[PristineParFracMin]] 0.97 (31.04 of 32, gated at the 1-decimal
+    *    stamp grid as 31.0 — see captureClass): quiet-guest probes
     *    (run ext ≤0.5) top out at 30.97 delivered cores EXCEPT in the
     *    zero-co-tenancy window (31.28–31.38); capture seg stamps split
     *    the same way (ambient max 30.9 vs pristine min 31.1);
@@ -419,8 +431,14 @@ object BenchUtil {
     // the retry gates
     val memOk = memWalls.nonEmpty && memWalls.forall(w =>
       w >= 0 && roundAt(w, 3) <= PristineMemRefWallMax)
+    // the threshold itself is rounded to the same 1-decimal grid as the
+    // stamp (0.97*32 = 31.04 → 31.0): comparing two grid values keeps the
+    // class re-derivable from the artifact at ANY thread count — an
+    // unrounded product landing on/near a 0.05 boundary would otherwise
+    // make the comparison hinge on binary float representation
+    val parMin = roundAt(PristineParFracMin * threads, 1)
     val parOk = segDelivered.nonEmpty && segDelivered.forall(d =>
-      roundAt(d, 1) >= PristineParFracMin * threads)
+      roundAt(d, 1) >= parMin)
     val stealOk = quarterSteal.nonEmpty && quarterSteal.forall(s =>
       s >= 0 && roundAt(s, 3) <= PristineStealMaxCores)
     if (memOk && parOk && stealOk) "pristine" else "ambient"

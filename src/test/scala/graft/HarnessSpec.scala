@@ -344,9 +344,11 @@ class HarnessSpec extends AnyFunSuite {
       Seq(0.170, 0.075, 0.070), Seq(31.2, 31.3), 32,
       Seq(0.004, 0.004)) == "ambient")
     // single axis misses flip to ambient: one seg at 30.9 cores; one
-    // quarter-steal at 0.006; cores gate at the 1-decimal stamp value
-    // (31.04 threshold: 31.05 rounds 31.1 and passes, 31.04 rounds 31.0
-    // and fails — re-derivable from the artifact's "cores" stamp)
+    // quarter-steal at 0.006. BOTH sides of the cores gate live on the
+    // 1-decimal stamp grid (r18 ADVICE): threshold roundAt(0.97*32,1)
+    // = 31.0, so 31.04 stamps 31.0 and passes, 30.94 stamps 30.9 and
+    // fails — grid-vs-grid, re-derivable from the artifact's "cores"
+    // stamp at any thread count, no binary-float hinge
     assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5, 30.9), 32,
       Seq(0.002)) == "ambient")
     assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5), 32,
@@ -354,6 +356,14 @@ class HarnessSpec extends AnyFunSuite {
     assert(BenchUtil.captureClass(Seq(0.06), Seq(31.05), 32,
       Seq(0.002)) == "pristine")
     assert(BenchUtil.captureClass(Seq(0.06), Seq(31.04), 32,
+      Seq(0.002)) == "pristine")
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(30.94), 32,
+      Seq(0.002)) == "ambient")
+    // non-32-thread boundary: 0.97*30 = 29.099999… in binary — the
+    // rounded threshold 29.1 makes a 29.1 stamp pass deterministically
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(29.1), 30,
+      Seq(0.002)) == "pristine")
+    assert(BenchUtil.captureClass(Seq(0.06), Seq(29.04), 30,
       Seq(0.002)) == "ambient")
     // steal gates at the 3-decimal stamp value (0.0054 stamps 0.005)
     assert(BenchUtil.captureClass(Seq(0.06), Seq(31.5), 32,

@@ -59,7 +59,16 @@ def main(argv):
         print(json.dumps({"tool": "clean_regress", "error": "no shared queries"}))
         return 2
     ratios = {n: cq[n] / rq[n] for n in shared if rq[n] > 0}
-    host = sorted(ratios.values())[len(ratios) // 2]
+    if not ratios:
+        print(json.dumps({"tool": "clean_regress",
+                          "error": "no positive record medians"}))
+        return 2
+    # median per BenchUtil.median's convention: midpoint average for even
+    # counts (not the upper-middle element, which biases the host factor
+    # high and desensitizes residual flags)
+    rv = sorted(ratios.values())
+    mid = len(rv) // 2
+    host = rv[mid] if len(rv) % 2 == 1 else (rv[mid - 1] + rv[mid]) / 2.0
     flagged = []
     for n in shared:
         if n not in ratios:

@@ -177,6 +177,22 @@ _o, _rc = _regress(dict(_rec, capture_profile="clean", queries=dict(
     **{"q11_tiny": 0.05})), )
 pin(all(f["query"] != "q11_tiny" for f in _o["flagged"]),
     f"0.09 s excess on a 0.05 s query stays under the floor, got {_o}")
+# even-count median is the MIDPOINT average (r18 ADVICE: the upper-middle
+# element biases the host factor toward the higher ratio and desensitizes
+# residual flags) — ratios [1.0,1.0,1.4,1.4] must read 1.2, not 1.4
+_rec4 = {"value": 4.0, "sf": "/root/testdata/sf0.1",
+         "capture_profile": "clean",
+         "queries": {f"q{i:02d}_y{i}": 1.0 for i in range(1, 5)}}
+_o, _rc = _regress(dict(_rec4, value=4.8, queries={
+    "q01_y1": 1.0, "q02_y2": 1.0, "q03_y3": 1.4, "q04_y4": 1.4}), _rec4)
+pin(abs(_o["host_factor"] - 1.2) < 1e-9,
+    f"even-count host factor must midpoint-average, got {_o['host_factor']}")
+# all-zero record medians (hand-edited/corrupt record): structured error +
+# exit 2, same path as the no-shared-queries case — never an IndexError
+_o, _rc = _regress(_rec4, dict(_rec4, queries={
+    k: 0.0 for k in _rec4["queries"]}))
+pin(_rc == 2 and _o.get("error") == "no positive record medians",
+    f"empty ratio set must emit the structured error, got {_o} rc={_rc}")
 
 if FAILS:
     print(f"== {len(FAILS)} canonicalization pins FAILED ==")
