@@ -26,13 +26,26 @@ object WideColumnPack extends QueryPack {
       .orderBy(col("version").desc)
 
   /** Newest-version cell per (rowkey, family, qualifier) — the retention
-    * rule in ONE place (the rn<=N scan variants parameterize the same
-    * window in prefixScan/pointGet).
+    * rule in ONE place (the rn<=N scan variants parameterize the
+    * ranking window in prefixScan/pointGet, which max_by cannot express).
+    *
+    * r19 optimization: `max_by(value, version)` instead of the
+    * row_number()-over-window form. The aggregate partial-aggregates
+    * MAP-SIDE, so the exchange carries one row per (rowkey, family,
+    * qualifier) per map partition instead of every cell version, and the
+    * per-partition sort the window needed disappears entirely — at 100 TB
+    * that is shuffle bytes ÷ version multiplicity and no sort spill.
+    * Deterministic because versions are unique within a cell (version =
+    * o_orderkey, globally unique; pinned in WideColumnSpec), so max_by
+    * never sees an ordering tie. Equivalence to the window form is
+    * spec-pinned; the oracle SQL stays the row_number form, so the driver
+    * re-proves it every round.
     */
   private def latestCells(spark: SparkSession, dir: String): DataFrame =
     Tables.cells(spark, dir)
-      .withColumn("rn", row_number().over(verWin))
-      .filter(col("rn") === 1)
+      .groupBy(col("rowkey"), col("family"), col("qualifier"))
+      .agg(max_by(col("value"), col("version")).as("value"),
+        max(col("version")).as("version"))
 
   /** Prefix + reversed scan with maxVersions(3) retention — the literal
     * hw3 scan (PrefixFilter("G202005790") + setReversed + 3 versions).
@@ -59,18 +72,31 @@ object WideColumnPack extends QueryPack {
 
   /** Latest-version pivot to a typed row view — `getNoVersionMap` shape
     * (family→qualifier→newest value) as columns.
+    *
+    * r19 optimization: ONE hash aggregate keyed on rowkey straight over
+    * the cells — each pivot column is `max_by(value-if-matching,
+    * version-if-matching)` (max_by ignores rows whose ordering expression
+    * is null, so each column sees exactly its own cell's versions). The
+    * previous form ran the latest-version window (full cell shuffle +
+    * per-partition sort) and THEN a second aggregate exchange on rowkey;
+    * this is 2 Exchange + Sort + Window → 1 Exchange, with map-side
+    * partial aggregation shrinking the shuffle to one row per rowkey per
+    * partition. Equivalence to the window form is spec-pinned
+    * (WideColumnSpec) and the oracle stays the row_number form.
     */
-  def latestPivot(spark: SparkSession, dir: String): DataFrame =
-    latestCells(spark, dir)
+  def latestPivot(spark: SparkSession, dir: String): DataFrame = {
+    def newest(fam: String, qual: String) = {
+      val cond = col("family") === fam && col("qualifier") === qual
+      max_by(when(cond, col("value")), when(cond, col("version")))
+    }
+    Tables.cells(spark, dir)
       .groupBy(col("rowkey"))
       .agg(
-        max(when(col("family") === "order" && col("qualifier") === "status",
-          col("value"))).as("status"),
-        max(when(col("family") === "order" && col("qualifier") === "totalprice",
-          col("value"))).as("totalprice"),
-        max(when(col("family") === "info" && col("qualifier") === "priority",
-          col("value"))).as("priority"))
+        newest("order", "status").as("status"),
+        newest("order", "totalprice").as("totalprice"),
+        newest("info", "priority").as("priority"))
       .orderBy(col("rowkey"))
+  }
 
   /** Family-map view: the reference's `getNoVersionMap` shape — family →
     * (qualifier → newest value) — one row per (rowkey, family), the map
