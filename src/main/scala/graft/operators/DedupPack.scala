@@ -455,8 +455,14 @@ object DedupPack extends QueryPack {
   def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = JaccardThreshold,
                        dfCap: Int = DfCap): DataFrame = {
     // one materialized cap-window pass: sizes + both join sides read this
-    // snapshot (3 branch recomputes of the df-cap window before)
-    val sh = cappedShingles(spark, dir, dfCap).localCheckpoint(eager = true)
+    // snapshot (3 branch recomputes of the df-cap window before). LAZY
+    // checkpoint (r19, the q112 pattern): eager ran the whole corpus
+    // tokenize/shingle/window as its own serial job BEFORE the query's
+    // action; lazy materializes each partition on first compute inside
+    // the single final job — same compute-once guarantee (all three
+    // consumers read the same checkpointed RDD's blocks), one fewer
+    // driver-serial barrier per invocation.
+    val sh = cappedShingles(spark, dir, dfCap).localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.filter(col("doc_id") % 2 === 1).as("a")
       .join(sh.filter(col("doc_id") % 2 === 0).as("b"),
@@ -562,7 +568,7 @@ object DedupPack extends QueryPack {
         col("qualifier").cast("long").as("d_old"))
     val newSh =
       if (built) cappedShingles(spark, dir, dfCap)
-        .filter(col("doc_id") % 2 === 1).localCheckpoint(eager = true)
+        .filter(col("doc_id") % 2 === 1).localCheckpoint(eager = false)
       else sh.filter(col("doc_id") % 2 === 1)
     val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sizesOld = idx.groupBy(col("d_old").as("doc_id")).agg(count(lit(1)).as("n"))
@@ -661,9 +667,14 @@ object DedupPack extends QueryPack {
       .select(col("rowkey").cast("long").as("shingle"),
         col("value").cast("long").as("df_old"))
     // the ONE batch pass the scaladoc promises: dfNew and the survivor
-    // join both read this snapshot instead of re-exploding the batch
+    // join both read this snapshot instead of re-exploding the batch.
+    // LAZY (r19): both consumers sit inside the single final job, so the
+    // first-computed partitions are cached and reused there — identical
+    // compute-once semantics without the eager form's serial
+    // materialization job (the serve was 5 serial jobs; see
+    // OPTIMIZATION_r19.md for the measured job-count cut).
     val newShRaw = rawShingles(spark, dir).filter(col("doc_id") % 2 === 1)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val dfNew = newShRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df_new"))
     // survivors carries shingle keys only — snapshotting IT instead of
     // the two joined frames keeps one narrow materialization and the
@@ -676,7 +687,7 @@ object DedupPack extends QueryPack {
       .filter(coalesce(col("df_new"), lit(0L)) +
         coalesce(col("df_old"), lit(0L)) <= dfCap)
       .select(col("shingle"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val newSh = newShRaw.join(survivors, "shingle")
     val idxKept = idx.join(survivors, "shingle")
     val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
