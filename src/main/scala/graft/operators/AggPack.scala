@@ -323,8 +323,17 @@ object AggPack extends QueryPack {
     // single global group a window's constant partition key constant-folds
     // to a partitionless (single-partition-exchange) spec, so cumsum the
     // strictly-lower buckets through a broadcast triangular self-join —
-    // ≤ nBuckets² joined rows, no exchange wider than a broadcast
-    val totals = bucketed.groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+    // ≤ nBuckets² joined rows, no exchange wider than a broadcast.
+    // The bucket totals ride the SAME bucket-hash exchange the cum window
+    // below uses (r19): cum_local is monotone within a bucket (weights are
+    // ≥ 1), so max(cum_local) per bucket IS the bucket total, and the
+    // aggregate sits directly on the window output — already clustered by
+    // bucket, no exchange of its own. The previous groupBy over `bucketed`
+    // re-shuffled the whole histogram a second time for the same numbers.
+    val wCum = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumLocal = bucketed.withColumn("cum_local", sum(col("c")).over(wCum))
+    val totals = cumLocal.groupBy(col("bucket")).agg(max(col("cum_local")).as("t"))
     // group by (bucket, t) — t is functionally determined by bucket, so
     // semantics are unchanged, but keeping t referenced on the probe side
     // stops column pruning from specializing THIS copy of `totals` into a
@@ -337,10 +346,7 @@ object AggPack extends QueryPack {
       .groupBy(col("bucket").as("obucket"), col("t"))
       .agg(coalesce(sum(col("bt")), lit(0L)).as("off"))
       .select(col("obucket"), col("off"))
-    val wCum = Window.partitionBy(col("bucket")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed
-      .withColumn("cum_local", sum(col("c")).over(wCum))
+    val cum = cumLocal
       .join(broadcast(offsets), col("bucket") === col("obucket"))
       .withColumn("cum", col("cum_local") + col("off"))
       .select(col("v"), col("cum"), col("tot"))
@@ -412,14 +418,21 @@ object AggPack extends QueryPack {
       .select(col("g"), col("v"), col("c"), col("bucket"))
     val wOff = Window.partitionBy(col("g")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col("g"), col("bucket")).agg(sum(col("c")).as("t"))
-      .select(col("g").as("og"), col("bucket").as("obucket"),
-        coalesce(sum(col("t")).over(wOff), lit(0L)).as("off"))
     val w = Window.partitionBy(col("g"), col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val endLocal = bucketed.withColumn("end_local", sum(col("c")).over(w))
+    // bucket totals from the SAME (g, bucket)-hash exchange the rank
+    // window uses (r19): end_local is monotone within a bucket (counts
+    // are ≥ 1), so max(end_local) per (g, bucket) IS the bucket total and
+    // the aggregate needs no exchange of its own — the previous
+    // groupBy over `bucketed` re-shuffled the whole histogram a second
+    // time for the same numbers.
+    val offsets = endLocal.groupBy(col("g"), col("bucket"))
+      .agg(max(col("end_local")).as("t"))
+      .select(col("g").as("og"), col("bucket").as("obucket"),
+        coalesce(sum(col("t")).over(wOff), lit(0L)).as("off"))
     // [start, end) rank interval covered by each distinct value (0-based)
-    val ranked = bucketed
-      .withColumn("end_local", sum(col("c")).over(w))
+    val ranked = endLocal
       .join(broadcast(offsets),
         col("g") === col("og") && col("bucket") === col("obucket"))
       .withColumn("end", col("end_local") + col("off"))

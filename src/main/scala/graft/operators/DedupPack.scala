@@ -915,12 +915,17 @@ object DedupPack extends QueryPack {
   val WinnowW = 5
 
   def winnowingPairs(spark: SparkSession, dir: String, w: Int = WinnowW): DataFrame = {
+    NGramShingles.register(spark)
     val grams = graft.Tables.docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
+      // native one-pass gram generation (r19, the q122 move): the
+      // transform+sequence+slice+concat_ws HOF chain evaluates an
+      // interpreted lambda per window position; allGramsFast emits the
+      // identical every-position 3-gram list (size >= 3 is already
+      // filtered, so the short-doc arm never fires) in one compiled pass
       .select(col("doc_id"), (size(col("toks")) - 2).as("g"),
-        posexplode(expr(
-          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
+        posexplode(NGramShingles.allGramsFast(col("toks"), 3)))
       .select(col("doc_id"), col("g"), (col("pos") + 1).as("pos"),
         conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("h"))
     val winMin = org.apache.spark.sql.expressions.Window
