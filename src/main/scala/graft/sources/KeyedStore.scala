@@ -112,7 +112,14 @@ object KeyedStore {
     */
   def resolveCells(cells: DataFrame, maxVersions: Int = 3): DataFrame =
     cells
-      .withColumn("tv", max(when(col("value").isNull, col("version"))).over(cellWin))
+      // the tombstone max is frame-unbounded, so its value is ordering-
+      // independent — but declaring verWin's (version DESC) ordering with
+      // an explicit whole-partition frame lets the ranking window below
+      // reuse the SAME sort: the previous orderless spec sorted the cell
+      // table twice (once on the partition keys for this max, once with
+      // version DESC for row_number). One exchange, one sort (r19).
+      .withColumn("tv", max(when(col("value").isNull, col("version")))
+        .over(verWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("value").isNotNull && (col("tv").isNull || col("version") > col("tv")))
       .drop("tv")
       .withColumn("rn", row_number().over(verWin))
