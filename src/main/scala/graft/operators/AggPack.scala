@@ -244,13 +244,13 @@ object AggPack extends QueryPack {
     * `Window.orderBy` would funnel the whole histogram through one
     * single-partition sort — bounded by |V|, but price-cents-like domains
     * reach 10⁷+ distinct values at 100×. Two-phase form instead: values
-    * are range-bucketed by a monotone (v−lo)/width map (correctness needs
-    * only monotonicity, not balance), each bucket cumsums locally after
-    * one hash exchange on the bucket id, and the per-bucket prefix
-    * offsets — ≤ nBuckets rows — come from a broadcast triangular
-    * self-join, so no single-partition pass touches anything
-    * histogram-sized. Plan-asserted in AggSpec (every WindowExec carries
-    * a partition spec).
+    * are bucketed by the data-independent monotone map (monotoneBucket —
+    * correctness needs only monotonicity, not balance), each bucket
+    * cumsums locally after one hash exchange on the bucket id, and the
+    * per-bucket prefix offsets — model-sized by construction — come from
+    * a broadcast triangular self-join, so no single-partition pass
+    * touches anything histogram-sized. Plan-asserted in AggSpec (every
+    * WindowExec carries a partition spec).
     */
   def percentilesViaHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -300,52 +300,50 @@ object AggPack extends QueryPack {
   def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val nBuckets = 64
     val hist = t(spark, dir, "lineitem")
       .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
       .select(round(col("l_extendedprice") * 100).cast("long").cast("double").as("v"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("v")).agg(sum(col("w")).as("c"))
-    // when(c > 0) is vacuously true (weights are positive) but keeps
-    // min/max referencing the weight sum, so RemoveRedundantAggregates
-    // cannot collapse bounds through the (v) aggregate into a second full
-    // corpus scan (the histogramPercentiles guard; PLANS.md: one Scan)
-    val vGuard = when(col("c") > 0, col("v"))
-    val bounds = hist.agg(min(vGuard).as("lo"), max(vGuard).as("hi"),
-      sum(col("c")).as("tot"))
-    val bucketed = hist.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / nBuckets)),
-            lit(nBuckets - 1))).cast("int"))
-      .select(col("v"), col("c"), col("bucket"), col("tot"))
-    // prefix offsets over the ≤ nBuckets totals WITHOUT a window: with a
-    // single global group a window's constant partition key constant-folds
-    // to a partitionless (single-partition-exchange) spec, so cumsum the
-    // strictly-lower buckets through a broadcast triangular self-join —
-    // ≤ nBuckets² joined rows, no exchange wider than a broadcast.
+    // data-independent monotone bucketing (r20, shared with
+    // histogramPercentiles — see monotoneBucket): no bounds aggregate, no
+    // bounds broadcast, so the histogram flows scan → (v) exchange →
+    // (bucket) exchange with nothing gating the ladder. The old
+    // bounds→broadcast→bucketed chain serialized two extra AQE stages in
+    // front of every downstream stage (the q105 11-job chain, guide §1.2).
+    // isNotNull is vacuous (weights/prices filtered upstream) but keeps
+    // both exchange consumers' subtrees canonically identical — see the
+    // histogramPercentiles note (the cum join's inferred isnotnull(bucket)
+    // otherwise pushes into one branch only and duplicates the scan)
+    val bucketed = hist
+      .select(col("v"), col("c"), monotoneBucket(col("v")).as("bucket"))
+      .filter(col("bucket").isNotNull)
     // The bucket totals ride the SAME bucket-hash exchange the cum window
-    // below uses (r19): cum_local is monotone within a bucket (weights are
-    // ≥ 1), so max(cum_local) per bucket IS the bucket total, and the
-    // aggregate sits directly on the window output — already clustered by
-    // bucket, no exchange of its own. The previous groupBy over `bucketed`
-    // re-shuffled the whole histogram a second time for the same numbers.
+    // uses (r19): cum_local is monotone within a bucket (weights are ≥ 1),
+    // so max(cum_local) per bucket IS the bucket total, and the aggregate
+    // sits directly on the window output — already clustered by bucket,
+    // no exchange of its own. (An explicit shared repartition would skip
+    // this branch's re-sort, but column pruning then breaks the exchange
+    // canonicalization and duplicates the corpus scan — measured r20,
+    // rejected; see histogramPercentiles.)
     val wCum = Window.partitionBy(col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumLocal = bucketed.withColumn("cum_local", sum(col("c")).over(wCum))
     val totals = cumLocal.groupBy(col("bucket")).agg(max(col("cum_local")).as("t"))
-    // group by (bucket, t) — t is functionally determined by bucket, so
-    // semantics are unchanged, but keeping t referenced on the probe side
-    // stops column pruning from specializing THIS copy of `totals` into a
-    // distinct-only aggregate whose exchange no longer canonicalizes equal
-    // to the broadcast copy's — which de-duplicated corpus scan #2
-    // (PLANS.md r11: one lineitem Scan, the pruned form had two)
-    val offsets = totals.as("a")
-      .join(broadcast(totals.select(col("bucket").as("bb"), col("t").as("bt"))),
-        col("bb") < col("bucket"), "left_outer")
-      .groupBy(col("bucket").as("obucket"), col("t"))
-      .agg(coalesce(sum(col("bt")), lit(0L)).as("off"))
-      .select(col("obucket"), col("off"))
+    // prefix offsets over the model-sized totals WITHOUT a window: with a
+    // single global group a window's constant partition key constant-folds
+    // to a partitionless (single-partition-exchange) spec, so cumsum the
+    // strictly-lower buckets through a broadcast triangular self-join —
+    // ≤ |buckets|² joined rows, no exchange wider than a broadcast. The
+    // same pass now also carries the grand total (sum over ALL buckets'
+    // bt), which replaces the old bounds subtree's `tot` — exact long
+    // arithmetic either way, one fewer serial branch (r20).
+    val offsets = totals
+      .crossJoin(broadcast(totals.select(col("bucket").as("bb"), col("t").as("bt"))))
+      .groupBy(col("bucket"), col("t"))
+      .agg(coalesce(sum(when(col("bb") < col("bucket"), col("bt"))), lit(0L)).as("off"),
+        sum(col("bt")).as("tot"))
+      .select(col("bucket").as("obucket"), col("off"), col("tot"))
     val cum = cumLocal
       .join(broadcast(offsets), col("bucket") === col("obucket"))
       .withColumn("cum", col("cum_local") + col("off"))
@@ -369,26 +367,20 @@ object AggPack extends QueryPack {
     * (ceil−pos)·v_lo + (pos−floor)·v_hi) within group g. `probesDf` is a
     * `(pg, name, p)` frame when probe sets differ per group (q85), or a
     * `(name, p)` frame fanned across every data-driven group via
-    * `fanAllGroups` (q134 — built from `bounds`, NOT a caller-side
-    * `hist.select(g).distinct()`, which Catalyst collapses into one more
-    * corpus scan). Row counts and bucket bounds are derived FROM the
-    * histogram (sum(c)/min/max per group) — histogram-sized aggregates,
-    * never another corpus pass: the `when(c > 0, v)` guard below is
-    * vacuously true (counts are ≥ 1) but makes min/max reference the
-    * count column, which stops Catalyst's RemoveRedundantAggregates from
-    * collapsing bounds THROUGH the (g,v) aggregate into a direct corpus
-    * aggregate — a "simplification" that re-scans (for q134:
-    * re-tokenizes) the whole corpus a second time, because the collapsed
-    * subtree no longer matches the histogram exchange that ReuseExchange
-    * would otherwise dedupe. Verified in PLANS.md: one Scan per table.
+    * `fanAllGroups` (q134 — built from the offsets branch's per-group
+    * rows, NOT a caller-side `hist.select(g).distinct()`, which Catalyst
+    * collapses into one more corpus scan). Row counts are derived FROM
+    * the histogram (sum of bucket totals per group — exact long
+    * arithmetic, any order) — histogram-sized aggregates, never another
+    * corpus pass.
     *
-    * The rank cumsum is DISTRIBUTED: values are range-bucketed by a
-    * monotone (v−lo)/width map (correctness needs only monotonicity, not
-    * balance — v == hi lands on nBuckets and is clamped), each bucket
-    * cumsums locally after one hash exchange on (g, bucket), and the
-    * prefix offsets come from a per-group window over the ≤ nBuckets-row
-    * totals (model-sized BY CONSTRUCTION — nBuckets is a constant), so
-    * no single-partition pass ever touches anything histogram-sized.
+    * The rank cumsum is DISTRIBUTED: values are bucketed by the
+    * data-independent monotone map below (correctness needs only
+    * monotonicity, not balance), each bucket cumsums locally after one
+    * hash exchange on (g, bucket), and the prefix offsets come from a
+    * per-group window over the model-sized totals (bucket ids span
+    * ≤ 4160 values BY CONSTRUCTION), so no single-partition pass ever
+    * touches anything histogram-sized.
     * Plan-asserted in AggSpec (every WindowExec carries a partition spec).
     *
     * The final probe-hit aggregate doubles as the pivot (round-11
@@ -398,39 +390,89 @@ object AggPack extends QueryPack {
     * max-over-admitting-rows semantics the previous (pg,name)-grouped
     * aggregate had. One exchange where the old agg + caller pivot took two.
     */
+  /** Data-independent MONOTONE bucket id over a double-valued histogram
+    * key (r20). The rank machinery needs only monotonicity — v1 < v2 ⇒
+    * bucket(v1) ≤ bucket(v2) — never balance, and never the actual
+    * bounds: global ranks are bucketing-invariant. Deriving buckets from
+    * the VALUE ALONE (vs the old min/max-range map) removes the bounds
+    * aggregate + its broadcast from the critical stage ladder — two fewer
+    * serial AQE stages in front of every percentile query (guide §1.2).
+    *
+    * Construction (exact integer ops only, all codegen builtins): truncate
+    * v toward zero (monotone; saturating at Long extremes, which is also
+    * monotone), split non-negatives into power-of-two octaves by bit
+    * length L = length(bin(x)), refine each octave into 32 sub-buckets by
+    * the value's top 5 bits (x >> max(L−5, 0) ∈ [16,31] for L ≥ 6, = x
+    * for L ≤ 5), and map negatives through the overflow-safe mirror
+    * m = −(x+1) to the mirrored negative range. Bucket ids live in
+    * [−2080, 2079] — model-sized by construction — and within one octave
+    * a sub-bucket spans ≤ 2× in value, so occupancy stays comparable to
+    * the old 64-equal-width map on any realistic domain. No FP anywhere:
+    * bit-length and shifts cannot mis-order the way floor(log2(v)) could
+    * at representation boundaries.
+    */
+  private[graft] def monotoneBucket(v: Column): Column = {
+    def posBucket(x: Column): Column =
+      length(bin(x)).cast("long") * 32 +
+        call_function("shiftright", x, greatest(length(bin(x)) - 5, lit(0)))
+    val vL = v.cast("long")
+    when(vL < 0, -posBucket(-(vL + lit(1L))) - 1)
+      .otherwise(posBucket(vL)).cast("int")
+  }
+
   private[graft] def histogramPercentiles(hist: DataFrame, probesDf: DataFrame,
                                               names: Seq[String],
                                               fanAllGroups: Boolean,
-                                              grouped: Boolean,
-                                              nBuckets: Int = 64): DataFrame = {
+                                              grouped: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vGuard = when(col("c") > 0, col("v"))
-    val bounds = hist.groupBy(col("g"))
-      .agg(min(vGuard).as("lo"), max(vGuard).as("hi"), sum(col("c")).as("n"))
+    // data-independent monotone bucketing (r20): the old bounds→broadcast→
+    // range-bucket chain put a per-group min/max aggregate AND its
+    // broadcast in front of every downstream stage; buckets from the value
+    // alone leave the histogram flowing scan → (g,v) exchange →
+    // (g,bucket) exchange with the tiny offsets branch as the only other
+    // serial dependency. Ranks — hence every output value — are
+    // bucketing-invariant, and n per group moves to the offsets window
+    // below (same exact long sum).
+    // the explicit isNotNull is vacuous (bucket is null only for null v,
+    // which every caller excludes — percentile semantics ignore NULLs) but
+    // load-bearing for plan shape: the ranked-side inner join infers
+    // isnotnull(bucket) and pushes it below the rank window (whose
+    // partition spec contains bucket) all the way into the scan, while the
+    // totals branch's per-group window (partitioned by g alone) blocks the
+    // same push — asymmetric filters break exchange canonicalization and
+    // the corpus scan runs twice (measured r20). Filtering here keeps both
+    // consumers' subtrees identical, so ReuseExchange dedupes the scan.
     val bucketed = hist
-      .join(broadcast(bounds.select(col("g").as("bg"), col("lo"), col("hi"))),
-        col("g") === col("bg"))
-      .withColumn("bucket",
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(floor((col("v") - col("lo")) /
-            ((col("hi") - col("lo")) / nBuckets)), lit(nBuckets - 1)))
-          .cast("int"))
-      .select(col("g"), col("v"), col("c"), col("bucket"))
+      .select(col("g"), col("v"), col("c"), monotoneBucket(col("v")).as("bucket"))
+      .filter(col("bucket").isNotNull)
     val wOff = Window.partitionBy(col("g")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val w = Window.partitionBy(col("g"), col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val endLocal = bucketed.withColumn("end_local", sum(col("c")).over(w))
     // bucket totals from the SAME (g, bucket)-hash exchange the rank
     // window uses (r19): end_local is monotone within a bucket (counts
     // are ≥ 1), so max(end_local) per (g, bucket) IS the bucket total and
-    // the aggregate needs no exchange of its own — the previous
-    // groupBy over `bucketed` re-shuffled the whole histogram a second
-    // time for the same numbers.
-    val offsets = endLocal.groupBy(col("g"), col("bucket"))
+    // the aggregate needs no exchange of its own. (An explicit shared
+    // repartition would avoid this branch's duplicate Sort+Window — but
+    // column pruning then specializes the totals copy of the subtree, the
+    // exchanges stop canonicalizing equal, and the corpus scan runs
+    // twice; measured r20, rejected. The window-output read keeps
+    // ReuseExchange intact and only re-sorts histogram-sized data.)
+    val totals = endLocal.groupBy(col("g"), col("bucket"))
       .agg(max(col("end_local")).as("t"))
-      .select(col("g").as("og"), col("bucket").as("obucket"),
-        coalesce(sum(col("t")).over(wOff), lit(0L)).as("off"))
+    // prefix offsets AND the per-group row count from one model-sized
+    // window pass (two frames over one (g, bucket-ordered) sort): `off` is
+    // the strictly-lower-bucket cumsum, `n` the whole-group total — the
+    // same exact long the old bounds subtree produced, without a separate
+    // corpus-derived aggregate branch (r20).
+    val offsetsN = totals.select(col("g"), col("bucket"),
+      coalesce(sum(col("t")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+      sum(col("t")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("n"))
+    val offsets = offsetsN
+      .select(col("g").as("og"), col("bucket").as("obucket"), col("off"))
     // [start, end) rank interval covered by each distinct value (0-based)
     val ranked = endLocal
       .join(broadcast(offsets),
@@ -438,12 +480,18 @@ object AggPack extends QueryPack {
       .withColumn("end", col("end_local") + col("off"))
       .withColumn("start", col("end") - col("c"))
       .select(col("g"), col("v"), col("start"), col("end"))
+    // one (g, n) row per group, riding the offsets branch's (g) exchange —
+    // the probe targets' group list and row counts come from here, NOT a
+    // hist.select(g).distinct() (which Catalyst collapses into one more
+    // corpus scan — the q134 guard, unchanged in spirit from the old
+    // bounds-based derivation)
+    val nPerG = offsetsN.groupBy(col("g")).agg(max(col("n")).as("n"))
     val pos = col("p") * (col("n") - 1).cast("double")
     val tgt0 =
       if (fanAllGroups)
-        bounds.select(col("g").as("pg"), col("n")).crossJoin(probesDf)
+        nPerG.select(col("g").as("pg"), col("n")).crossJoin(probesDf)
       else probesDf
-        .join(bounds.select(col("g").as("ng"), col("n")), col("pg") === col("ng"))
+        .join(nPerG.select(col("g").as("ng"), col("n")), col("pg") === col("ng"))
     val tgt = broadcast(tgt0.select(col("pg"), col("name"), pos.as("pos"),
       floor(pos).as("lo_r"), ceil(pos).as("hi_r")))
     // ONE containment probe for both bracketing ranks: the histogram is
