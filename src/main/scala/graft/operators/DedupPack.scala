@@ -521,13 +521,25 @@ object DedupPack extends QueryPack {
       val s = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
       if (marked) s else s.localCheckpoint(eager = true)
     }
+    // marker ⇒ built (r20): the compaction marker is written only by
+    // ensureCompacted below, which every invocation reaches strictly AFTER
+    // validating (or completing) a build of THIS table, and any later
+    // put/delete removes the marker BEFORE appending — so a marked store
+    // is a validated, fully-built index and the sentinel-validation
+    // aggregate (a full store pass collected on the driver, gating
+    // everything downstream) is provably redundant on the serve path. An
+    // unmarked store (fresh, or a crash anywhere before the compact)
+    // still runs the full validation. Pinned in DedupSpec.
+    //
     // sentinel fetch + validation count in ONE store pass (round 12; the
     // same merge as the stored-df serve — two jobs became one aggregate)
-    val meta = resolved0.agg(
-      max(when(col("family") === "m", col("value"))).as("sentinel"),
-      sum(when(col("family") === "p", 1L).otherwise(0L)).as("n_postings")).head
-    val sentinel = Option(meta.getString(0)).map(_.toLong)
-    val built = sentinel.exists(_ == (if (meta.isNullAt(1)) 0L else meta.getLong(1)))
+    val built = marked || {
+      val meta = resolved0.agg(
+        max(when(col("family") === "m", col("value"))).as("sentinel"),
+        sum(when(col("family") === "p", 1L).otherwise(0L)).as("n_postings")).head
+      val sentinel = Option(meta.getString(0)).map(_.toLong)
+      sentinel.exists(_ == (if (meta.isNullAt(1)) 0L else meta.getLong(1)))
+    }
     // the (documented-residue) full-corpus df-cap window: the BUILD needs
     // both halves (postings = even docs) and snapshots the window once for
     // its three consumers; a SERVE-only invocation needs just the odd half,
@@ -623,14 +635,22 @@ object DedupPack extends QueryPack {
       val s = graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
       if (marked) s else s.localCheckpoint(eager = true)
     }
+    // marker ⇒ built (r20, same argument as q127's serve): the marker is
+    // written only after a validated/completed build of this table and
+    // removed before any append, so a marked store needs no
+    // sentinel-validation pass — that aggregate was a full store scan
+    // collected on the driver before the query's own action could start.
+    //
     // sentinel fetch + validation count in ONE store pass (round 12): the
     // two-job form paid the family-column scan twice per serve — this
     // aggregate returns both in a single bounded metadata pass
-    val meta = resolved0.agg(
-      max(when(col("family") === "m", col("value"))).as("sentinel"),
-      sum(when(col("family") =!= "m", 1L).otherwise(0L)).as("n_cells")).head
-    val sentinel = Option(meta.getString(0)).map(_.toLong)
-    val built = sentinel.exists(_ == (if (meta.isNullAt(1)) 0L else meta.getLong(1)))
+    val built = marked || {
+      val meta = resolved0.agg(
+        max(when(col("family") === "m", col("value"))).as("sentinel"),
+        sum(when(col("family") =!= "m", 1L).otherwise(0L)).as("n_cells")).head
+      val sentinel = Option(meta.getString(0)).map(_.toLong)
+      sentinel.exists(_ == (if (meta.isNullAt(1)) 0L else meta.getLong(1)))
+    }
     if (!built) {
       val oldSh = rawShingles(spark, dir).filter(col("doc_id") % 2 === 0)
       val dfOld = oldSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -660,36 +680,54 @@ object DedupPack extends QueryPack {
     val cells =
       if (built) resolved0
       else graft.sources.KeyedStore.scan(spark, table, maxVersions = 1)
-    val idx = cells.filter(col("family") === "p")
-      .select(col("rowkey").cast("long").as("shingle"),
-        col("qualifier").cast("long").as("d_old"))
-    val dfOldStored = cells.filter(col("family") === "d")
-      .select(col("rowkey").cast("long").as("shingle"),
-        col("value").cast("long").as("df_old"))
-    // the ONE batch pass the scaladoc promises: dfNew and the survivor
-    // join both read this snapshot instead of re-exploding the batch.
-    // LAZY (r19): both consumers sit inside the single final job, so the
-    // first-computed partitions are cached and reused there — identical
-    // compute-once semantics without the eager form's serial
-    // materialization job (the serve was 5 serial jobs; see
-    // OPTIMIZATION_r19.md for the measured job-count cut).
-    val newShRaw = rawShingles(spark, dir).filter(col("doc_id") % 2 === 1)
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    // ONE batch pass, ONE batch-side shingle exchange (r20): df_new rides
+    // the shingle window on the batch rows themselves instead of a
+    // separate groupBy whose output full-outer-joined a second store scan
+    // and then re-joined the batch — the agg→survivors→double-rejoin
+    // chain cost four shingle-keyed exchanges and a survivor snapshot
+    // (guide §2.4). LAZY checkpoint (the r19 q112 pattern): all four
+    // downstream reads (both pair sides, both size aggregates) consume
+    // the same materialized rows inside the single final job — without
+    // it, column pruning specializes the consumers' copies of the window
+    // subtree and the corpus re-tokenizes per copy.
+    val batch = rawShingles(spark, dir).filter(col("doc_id") % 2 === 1)
+      .withColumn("df_new", count(lit(1)).over(byShingle))
       .localCheckpoint(eager = false)
-    val dfNew = newShRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df_new"))
-    // survivors carries shingle keys only — snapshotting IT instead of
-    // the two joined frames keeps one narrow materialization and the
-    // joined frames then read checkpoint blocks (newShRaw) / pushed-down
-    // parquet (idx), which round-11 profiling showed beats two more
-    // batch-sized checkpoint barriers (the serve was 7 serial jobs; now
-    // 5). No broadcast hint: at 100 TB the survivor set is
-    // vocabulary-sized — AQE picks broadcast at runtime iff it fits.
-    val survivors = dfNew.join(dfOldStored, Seq("shingle"), "full_outer")
-      .filter(coalesce(col("df_new"), lit(0L)) +
-        coalesce(col("df_old"), lit(0L)) <= dfCap)
-      .select(col("shingle"))
+    // ONE store pass, ONE store-side shingle exchange: each posting picks
+    // up its shingle's stored df through the same window (the d cell and
+    // its p cells share the partition), replacing the second family scan
+    // and its join exchange. The sentinel row (family "m") is excluded;
+    // postings always have a d sibling (the build writes a d cell for
+    // every old shingle), so df_old is non-null on every posting row.
+    val withDf = cells.filter(col("family") =!= "m")
+      .select(col("rowkey").cast("long").as("shingle"), col("family"),
+        col("qualifier"), col("value"))
+      .withColumn("df_old",
+        max(when(col("family") === "d", col("value").cast("long"))).over(byShingle))
       .localCheckpoint(eager = false)
-    val newSh = newShRaw.join(survivors, "shingle")
-    val idxKept = idx.join(survivors, "shingle")
+    val idxD = withDf.filter(col("family") === "p")
+      .select(col("shingle"), col("qualifier").cast("long").as("d_old"),
+        col("df_old"))
+    val dfOldV = withDf.filter(col("family") === "d")
+      .select(col("shingle"), col("df_old"))
+    // groupBy(shingle), not distinct(shingle, df_new): df_new is constant
+    // per shingle (it came off the shingle window), so max() is pure
+    // extraction — and the aggregate's exchange is keyed on shingle
+    // alone, which the idxKept join below needs (a distinct would
+    // partition on the pair and force one more exchange)
+    val dfNewV = batch.groupBy(col("shingle")).agg(max(col("df_new")).as("df_new"))
+    // the cap rule, unchanged (DedupSpec boundary pins): a shingle
+    // survives iff df_new + df_old ≤ cap, where either side's absence
+    // counts 0 — batch rows check against the stored df, postings
+    // against the batch df. No broadcast hints: at 100 TB both df tables
+    // are vocabulary-sized — AQE picks broadcast at runtime iff it fits.
+    val newSh = batch.join(dfOldV, Seq("shingle"), "left")
+      .filter(col("df_new") + coalesce(col("df_old"), lit(0L)) <= dfCap)
+      .select(col("doc_id"), col("shingle"))
+    val idxKept = idxD.join(dfNewV, Seq("shingle"), "left")
+      .filter(col("df_old") + coalesce(col("df_new"), lit(0L)) <= dfCap)
+      .select(col("shingle"), col("d_old"))
     val sizesNew = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sizesOld = idxKept.groupBy(col("d_old").as("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = newSh.join(idxKept, "shingle")

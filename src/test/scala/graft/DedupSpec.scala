@@ -269,6 +269,49 @@ class DedupSpec extends AnyFunSuite {
     assert(served == Seq((1L, 0L, 1.0)))
   }
 
+  test("q135 marker⇒built: a partial build (cells, no sentinel) stays unmarked and rebuilds; a completed build serves marked") {
+    import spark.implicits._
+    // the r20 serve path trusts the compaction marker as proof of a
+    // validated build (marker is written only after validation/build and
+    // removed before any append). This pins the other half of that
+    // argument: a crash-shaped store — a SUBSET of the real cells with no
+    // sentinel — must be detected as not-built (full validation path),
+    // rebuilt at a higher version, and served identically to the
+    // recompute; and a completed invocation must leave the marker behind
+    // so later serves take the trusted fast path.
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val tmp = java.nio.file.Files.createTempDirectory("dfidx_partial").toString
+    Tables.t(spark, dir, "documents").write.parquet(s"$tmp/documents.parquet")
+    Tables.t(spark, dir, "lineitem").write.parquet(s"$tmp/lineitem.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // complete build in store A — the donor for realistic partial cells
+    val a = rows(DedupPack.dedupIncrementalStoredDf(spark, tmp,
+      tableOverride = "dfidx_partial_a", locationOverride = s"$tmp/storeA"))
+    assert(graft.sources.KeyedStore
+      .compactedVersions(spark, "dfidx_partial_a").exists(_ <= 1),
+      "a completed invocation must leave the store marked")
+    // store B: half of A's cells at version 1, sentinel withheld — the
+    // exact on-disk shape of a build that died between its two puts
+    graft.sources.KeyedStore.create(spark, "dfidx_partial_b", s"$tmp/storeB")
+    val partial = spark.table("dfidx_partial_a")
+      .where(col("family") =!= "m" && pmod(xxhash64(col("rowkey")), lit(2)) === 0)
+      .select(col("rowkey"), col("family"), col("qualifier"), col("value"),
+        lit(1L).as("version"))
+    graft.sources.KeyedStore.put(spark, "dfidx_partial_b", partial)
+    assert(graft.sources.KeyedStore
+      .compactedVersions(spark, "dfidx_partial_b").isEmpty,
+      "a put must leave the store unmarked")
+    val b = rows(DedupPack.dedupIncrementalStoredDf(spark, tmp,
+      tableOverride = "dfidx_partial_b", locationOverride = s"$tmp/storeB"))
+    assert(b == a, "a partial store must rebuild and serve the full result")
+    assert(graft.sources.KeyedStore
+      .compactedVersions(spark, "dfidx_partial_b").exists(_ <= 1))
+    assert(rows(DedupPack.dedupIncrementalStoredDf(spark, tmp,
+      tableOverride = "dfidx_partial_b", locationOverride = s"$tmp/storeB")) == a,
+      "the marked serve after a rebuild must match")
+  }
+
   test("q115 keep-list totals are consistent with the cluster labels") {
     val kl = DedupPack.dedupKeepList(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
