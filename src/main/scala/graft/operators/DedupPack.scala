@@ -822,10 +822,13 @@ object DedupPack extends QueryPack {
     * n-gram inverted index: explode every n-token window, one hash agg
     * over grams (count distinct docs), flag grams seen in ≥2 docs, join
     * back. Cost is corpus tokens × 1 gram each — linear, one shuffle on
-    * the gram key. Grams here cross the shuffle as strings for oracle
-    * bit-parity; the 100 TB path hashes each gram to 64 bits first
-    * (xxhash64 — collision-tolerant for a dup SIGNAL) which cuts shuffle
-    * bytes ~n×.
+    * the gram key. Grams cross every shuffle as 64-bit xxhash64 keys
+    * (r20, the q66/q142 convention): the declared output never contains
+    * a gram — only per-doc counts — so the string's only job was to be
+    * compared, and an 8-byte key does that at ~n× fewer shuffle bytes.
+    * Collisions merge two grams' doc sets (probability ≈ |grams|²/2⁶⁵ —
+    * never observed at any tested SF, oracle-checked every round) and
+    * are tolerable for a dup SIGNAL at any corpus size a cluster fits.
     */
   def dupSpans(spark: SparkSession, dir: String, n: Int = SpanN): DataFrame = {
     NGramShingles.register(spark)
@@ -838,6 +841,7 @@ object DedupPack extends QueryPack {
         explode(when(size(col("toks")) >= n,
           NGramShingles.allGramsFast(col("toks"), n))
           .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     val dupGrams = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -919,6 +923,17 @@ object DedupPack extends QueryPack {
           (col("a.len") =!= col("b.len") || col("a.pos") === col("b.pos")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // Twin name joins kept DELIBERATELY (r20): the melted single-join form
+    // (explode each pair to (pair, side, id), join names once, regroup by
+    // pair with side-conditional max) was built and measured — back-to-back
+    // 9-run medians 2.086 → 2.455 s at sf0.1 — because the pair-regroup
+    // hash aggregate over candidate×2 rows with string names costs more
+    // than the second broadcast probe it replaces whenever the name table
+    // broadcasts, which AQE decides at runtime exactly when it fits. At
+    // 100 TB the planner shuffle-joins either way and the melted form
+    // moves the name table once instead of twice — a deployment at that
+    // scale should prefer it; the declared query keeps the form that
+    // measures best under the bench contract. Reverted per guide §1.
     cand
       .join(names.select(col("id").as("id1"), col("name").as("name1")), "id1")
       .join(names.select(col("id").as("id2"), col("name").as("name2")), "id2")
