@@ -93,7 +93,11 @@ object AggPack extends QueryPack {
     // decimal gate in SparkEntrySpec, PlanAudit) hit for every registered
     // query; lazy materializes on the first real action and each
     // partition is cached as first computed, so the corpus is still
-    // tokenized only once per execution
+    // tokenized only once per execution. Fault-tolerance: checkpoint
+    // blocks are executor-local and not recomputable after executor loss
+    // (lost block ⇒ job failure) — fine inside one action's lifetime; a
+    // deployment needing decommission-survival uses checkpoint() to
+    // reliable storage (the DedupPack clusterMemo caveat).
     val pairs = graft.Tables.docs(spark, dir)
       .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
       .distinct()

@@ -461,7 +461,11 @@ object DedupPack extends QueryPack {
     // action; lazy materializes each partition on first compute inside
     // the single final job — same compute-once guarantee (all three
     // consumers read the same checkpointed RDD's blocks), one fewer
-    // driver-serial barrier per invocation.
+    // driver-serial barrier per invocation. Fault-tolerance: checkpoint
+    // blocks are executor-local and NOT recomputable after executor loss
+    // (lost block ⇒ job failure, not recompute — the clusterMemo caveat);
+    // acceptable here because the blocks live and die inside one query's
+    // single action — a failed job is simply re-run from the source.
     val sh = cappedShingles(spark, dir, dfCap).localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.filter(col("doc_id") % 2 === 1).as("a")
@@ -578,6 +582,8 @@ object DedupPack extends QueryPack {
       .filter(col("family") === "p")
       .select(col("rowkey").cast("long").as("shingle"),
         col("qualifier").cast("long").as("d_old"))
+    // lazy checkpoint: lives inside the single serve action — lost-block
+    // ⇒ job failure, re-run from source (see dedupIncremental's note)
     val newSh =
       if (built) cappedShingles(spark, dir, dfCap)
         .filter(col("doc_id") % 2 === 1).localCheckpoint(eager = false)
@@ -690,7 +696,9 @@ object DedupPack extends QueryPack {
     // downstream reads (both pair sides, both size aggregates) consume
     // the same materialized rows inside the single final job — without
     // it, column pruning specializes the consumers' copies of the window
-    // subtree and the corpus re-tokenizes per copy.
+    // subtree and the corpus re-tokenizes per copy. Fault-tolerance: a
+    // lost checkpoint block fails the job rather than recomputing (the
+    // clusterMemo caveat) — acceptable within one action's lifetime.
     val batch = rawShingles(spark, dir).filter(col("doc_id") % 2 === 1)
       .withColumn("df_new", count(lit(1)).over(byShingle))
       .localCheckpoint(eager = false)
