@@ -298,7 +298,7 @@ object AggPack extends QueryPack {
     * (v, Σw) histogram collapses the corpus in one two-phase aggregate,
     * the rank cumsum is bucket-local after one hash exchange, and prefix
     * offsets come from a broadcast triangular self-join over the
-    * ≤ nBuckets totals row set — nothing histogram-sized ever crosses a
+    * model-sized totals row set — nothing histogram-sized ever crosses a
     * single partition.
     */
   def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
